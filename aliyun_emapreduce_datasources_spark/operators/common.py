@@ -1,0 +1,85 @@
+"""Shared helpers for operator/query builders.
+
+Determinism conventions shared by every (Spark query, DuckDB oracle)
+pair — engine-native double aggregation is accumulation-order-dependent
+and therefore not reproducible across engines, so:
+
+- Numeric measures are cast to ``decimal(18,6)`` before aggregation.
+  Every double column in the testdata is exactly representable at 6
+  decimal places (verified), so the cast is exact in both Spark and
+  DuckDB and sums become order-independent integer arithmetic.
+- Products (e.g. price * (1 - discount)) are summed at full decimal
+  precision — (18,6)×(18,6) → scale-12 exact in both engines — and
+  only the final aggregate is cast back to ``double``, which yields
+  the identical IEEE-754 value on both sides.
+- Averages are exact-decimal-sum / count evaluated in double.
+- Integer outputs are cast to ``long`` to match DuckDB's BIGINT-typed
+  scalar functions.
+
+This mirrors the reference corpus' exact-money model (Avro
+``decimal(7,2)`` — FIXTURES.md §1, StoreSales.avsc).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg"]
+
+DEC = "decimal(18,6)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table (parquet scan → Catalyst prunes/pushes).
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark only reads via the nanosAsLong legacy conf; we floor-divide
+    to micros (identical to DuckDB's nanos→micros truncation) so both
+    engines see the same timestamps.
+    """
+    # Canonical engine timezone: all event-time semantics (windows,
+    # year()/date_trunc extraction, timestamp literals) are UTC, like
+    # the corpus' Avro timestamp-millis instants — and independent of
+    # whatever session the caller hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def m(col: str | Column) -> Column:
+    """Exact-decimal view of a measure column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(expr: str | Column, alias: str) -> Column:
+    """Order-independent sum: exact decimal in, double out."""
+    e = m(expr) if isinstance(expr, str) else expr
+    return F.sum(e).cast("double").alias(alias)
+
+
+def davg(expr: str | Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum (as double) / count."""
+    e = m(expr) if isinstance(expr, str) else expr
+    return (F.sum(e).cast("double") / F.count(e)).alias(alias)
+
+
+# ---- Oracle-side (DuckDB SQL) twins ----------------------------------
+
+def o_m(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(18,6))"
+
+
+def o_dsum(expr: str, alias: str) -> str:
+    """expr must already be decimal-exact (use o_m on raw columns)."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr}) AS {alias}"

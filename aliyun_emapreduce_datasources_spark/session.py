@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-aware defaults.
+
+Design notes (100 TB target, tested on local[32]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast-join conversion replace hand-tuned partition
+  counts when the real cluster sees skewed TPC-DS-like keys.
+- ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a
+  real cluster AQE's coalescing makes a high initial value cheap, so we
+  leave it overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+- Arrow enabled for the pandas-UDF paths (dedup, multimodal, scoring).
+- Broadcast threshold kept at default (10 MB) — dimension tables in the
+  corpus (date_dim, item, store, ...) are all far below it, so every
+  stream-static star join plan broadcasts (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_session", "default_parallelism"]
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return multiprocessing.cpu_count()
+
+
+def get_session(app_name: str = "emr-datasources-spark", master: str | None = None) -> SparkSession:
+    """Return a tuned SparkSession (idempotent per-JVM)."""
+    cores = default_parallelism()
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * cores)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "catalog_total", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with a noop sink (full plan runs,
+nothing is collected to the driver — the 100 TB-honest measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+from aliyun_emapreduce_datasources_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT/metadata costs
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
