@@ -1,0 +1,21 @@
+"""Aggregated (QUERIES, ORACLES) for the dedup package."""
+
+from __future__ import annotations
+
+from aliyun_emapreduce_datasources_spark.dedup import embedding, exact, minhash, ngram, simhash
+
+QUERIES = {
+    "dedup_exact": exact.QUERY,
+    "dedup_ngram_jaccard": ngram.QUERY,
+    "dedup_minhash_lsh": minhash.QUERY,
+    "dedup_simhash": simhash.QUERY,
+    "dedup_embedding_cosine": embedding.QUERY,
+}
+
+# minhash/simhash use engine-specific hash functions (xxhash64) that
+# DuckDB cannot reproduce → rows-only checks for those two.
+ORACLES = {
+    "dedup_exact": exact.ORACLE,
+    "dedup_ngram_jaccard": ngram.ORACLE,
+    "dedup_embedding_cosine": embedding.ORACLE,
+}

@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs — so a 100 TB documents table
+runs at scan speed. Each operator is expressible in ANSI SQL, so every
+query here carries a DuckDB oracle.
+
+Operators: tokenization + token stats, quality scoring, language ID
+(stopword-ratio heuristic), document fingerprinting (sorted-vocabulary
+hash, the canonical "fingerprint then exact-dedup" step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["tokens", "shingles", "EN_STOPWORDS", "QUERIES", "ORACLES"]
+
+# Small, fixed English stopword list (public knowledge); used by the
+# quality and language-ID heuristics.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (single-space split, matching the
+    oracle's string_split — run normalize_ws first for raw text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-token shingles (contiguous n-grams) as strings; the unit of
+    near-dup comparison for MinHash/Jaccard (w-shingling)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(k)])
+    )
+
+
+def _stopword_count(tok: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(tok, lambda x: F.array_contains(arr, x)))
+
+
+# --- token stats -------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (counting, length, stopword ratio)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(tok)).alias("avg_token_len"),
+        (_stopword_count(tok).cast("double") / F.size(tok)).alias("stopword_ratio"),
+    )
+
+
+_O_TOK = "string_split(text, ' ')"
+_O_STOPLIST = "['" + "','".join(EN_STOPWORDS) + "']"
+_O_STOPCNT = f"len(list_filter({_O_TOK}, x -> list_contains({_O_STOPLIST}, x)))"
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_O_TOK}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_O_TOK})) AS BIGINT) AS n_distinct,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_O_TOK}) AS avg_token_len,
+       CAST({_O_STOPCNT} AS DOUBLE) / len({_O_TOK}) AS stopword_ratio
+FROM documents
+"""
+
+
+# --- quality score -----------------------------------------------------
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length component, lexical
+    diversity, stopword presence — the standard pretraining-corpus
+    filter shape. Same arithmetic tree as the oracle for IEEE equality."""
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n = F.size(tok).cast("double")
+    length_c = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    divers_c = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_c = F.least(_stopword_count(tok).cast("double") / n * F.lit(10.0), F.lit(1.0))
+    score = length_c * F.lit(0.4) + divers_c * F.lit(0.3) + stop_c * F.lit(0.3)
+    return docs.select("doc_id", score.alias("quality"), (score >= 0.5).alias("keep"))
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       (least(CAST(len({_O_TOK}) AS DOUBLE), 100.0) / 100.0) * 0.4
+       + (CAST(len(list_distinct({_O_TOK})) AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE)) * 0.3
+       + least(CAST({_O_STOPCNT} AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE) * 10.0, 1.0) * 0.3
+       AS quality,
+       ((least(CAST(len({_O_TOK}) AS DOUBLE), 100.0) / 100.0) * 0.4
+       + (CAST(len(list_distinct({_O_TOK})) AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE)) * 0.3
+       + least(CAST({_O_STOPCNT} AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE) * 10.0, 1.0) * 0.3) >= 0.5
+       AS keep
+FROM documents
+"""
+
+
+# --- language ID -------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, reported as a confusion table
+    against the labeled ``lang`` column. (The real multi-language
+    n-gram profile version would ship per-language stopword arrays —
+    same plan shape, one array per language.)"""
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    ratio = _stopword_count(tok).cast("double") / F.size(tok)
+    pred = F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("unknown"))
+    return (
+        docs.select(F.col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT lang,
+       CASE WHEN CAST({_O_STOPCNT} AS DOUBLE) / len({_O_TOK}) > 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       COUNT(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --- document fingerprint ---------------------------------------------
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive vocabulary fingerprint: md5 of the sorted
+    distinct token list. Canonical cheap pre-dedup key (docs with the
+    same vocabulary fingerprint are shuffle-grouped once, then only
+    within-group exact comparison is needed)."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text")))))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_O_TOK})), ' ')) AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality_score": ORACLE_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,16 @@
+"""Aggregated (QUERIES, ORACLES) for the similarity package."""
+
+from __future__ import annotations
+
+from aliyun_emapreduce_datasources_spark.similarity import bruteforce, lsh
+
+QUERIES = {
+    "ann_bruteforce_topk": bruteforce.QUERY,
+    "ann_lsh_topk": lsh.QUERY,
+}
+
+# The LSH variant is approximate by design → rows-only check; recall
+# vs the brute-force baseline is asserted in tests/test_similarity.py.
+ORACLES = {
+    "ann_bruteforce_topk": bruteforce.ORACLE,
+}

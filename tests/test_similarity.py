@@ -1,0 +1,33 @@
+"""ANN quality: the LSH-bucketed search must reach usable recall@k
+against the exact brute-force baseline on the same query set."""
+
+from __future__ import annotations
+
+from aliyun_emapreduce_datasources_spark.similarity import bruteforce, lsh
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = bruteforce.QUERY(spark, sf_dir).collect()
+    approx = lsh.QUERY(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    recall = hits / total
+    # multi-probe 12-bit LSH on 64-dim random vectors: recall is
+    # modest by construction; the floor guards against regressions
+    # (e.g. a broken signature making buckets random).
+    assert recall >= 0.3, f"recall@5 collapsed: {recall:.2f}"
+
+
+def test_bruteforce_ranks_are_dense_per_query(spark, sf_dir):
+    rows = bruteforce.QUERY(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
