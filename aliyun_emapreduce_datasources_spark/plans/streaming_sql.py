@@ -1,0 +1,190 @@
+"""Streaming-SQL dialect front-end (SURVEY.md §3.1, §7.5).
+
+The reference corpus is executed as SQL scripts against a closed-source
+EMR Spark build with extended ANTLR rules (emr-baseline-testing/
+README.md "Extended Streaming SQL"; bin/run-query.sh). Statement shapes
+it supports, and what this front-end does with them on public Spark:
+
+  SET k=v                                  -> spark.conf.set(k, v)
+  CREATE TABLE n USING <fmt> OPTIONS(...)  -> register a StreamTable /
+                                              batch table in the session
+                                              catalog (S31)
+  CREATE TABLE n AS SELECT ... / INSERT INTO n SELECT ...
+                                           -> rewrite the SELECT, run it,
+                                              hand it to the sink table
+  SELECT ... GROUP BY TUMBLING(c, interval d)
+                                           -> window(c, 'd')
+  SELECT ... GROUP BY HOPPING(c, interval d, interval s)
+                                           -> window(c, 'd', 's')
+  WHERE delay(c) < 'd'                     -> withWatermark(c, 'd') on
+                                              the source stream, predicate
+                                              dropped from the WHERE
+
+The rewrite is string/AST-level (regex over the statement text), NOT a
+Catalyst rule — exactly the "thin SQL front-end" called for in
+SURVEY.md §3.1. The rewritten text is standard Spark SQL executed with
+``spark.sql`` against temp views, so Catalyst still does all planning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["rewrite_streaming_sql", "split_statements", "StreamingSqlSession"]
+
+_TUMBLING = re.compile(r"TUMBLING\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^)]+?)\s*\)", re.IGNORECASE)
+_HOPPING = re.compile(
+    r"HOPPING\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^,)]+?)\s*,\s*interval\s+([^)]+?)\s*\)",
+    re.IGNORECASE,
+)
+# delay(col) < 'interval' — a watermark declaration, not a row predicate
+_DELAY = re.compile(r"delay\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*<\s*'([^']+)'", re.IGNORECASE)
+_SET = re.compile(r"^\s*SET\s+([\w.]+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL)
+_CREATE_USING = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(\([^)]*\))?\s*USING\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_INTO = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL)
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(?:USING\s+(\w+)\s+(?:OPTIONS\s*\(([^)]*)\)\s*)?)?AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_streaming_sql(sql: str) -> tuple[str, list[tuple[str, str]]]:
+    """Rewrite TUMBLING/HOPPING/delay into standard Spark SQL.
+
+    Returns (rewritten_sql, watermarks) where watermarks is a list of
+    (column, delay_interval) declarations stripped from the text.
+    """
+    watermarks: list[tuple[str, str]] = []
+
+    def _delay_sub(m: re.Match) -> str:
+        watermarks.append((m.group(1), m.group(2)))
+        return "TRUE"
+
+    out = _DELAY.sub(_delay_sub, sql)
+    out = _HOPPING.sub(lambda m: f"window({m.group(1)}, '{m.group(2).strip()}', '{m.group(3).strip()}')", out)
+    out = _TUMBLING.sub(lambda m: f"window({m.group(1)}, '{m.group(2).strip()}')", out)
+    return out, watermarks
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a corpus-style SQL script on semicolons (the scripts never
+    embed semicolons in strings; comments start with --)."""
+    lines = [ln for ln in script.splitlines() if not ln.strip().startswith("--")]
+    return [s.strip() for s in "\n".join(lines).split(";") if s.strip()]
+
+
+def _parse_options(opts: str | None) -> dict[str, str]:
+    if not opts:
+        return {}
+    out = {}
+    # Spark DDL accepts both `key='value'` and `key 'value'`
+    for m in re.finditer(r"['\"]?([\w.]+)['\"]?\s*=?\s*'([^']*)'", opts):
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+@dataclass
+class StreamingSqlSession:
+    """Executes corpus-dialect SQL scripts on public PySpark.
+
+    Registered stream tables (CREATE TABLE ... USING stream/json/file)
+    become temp views over readStream file sources with any declared
+    watermark applied (the registry-backed equivalent of the Kafka
+    stream tables, S31); batch tables (USING parquet) become plain temp
+    views. INSERT INTO / CTAS run the rewritten SELECT: streaming plans
+    start a writeStream into a memory sink named after the target table
+    (the local stand-in for the Kafka result topic + registry schema),
+    batch plans materialize a temp view.
+    """
+
+    spark: SparkSession
+    queries: dict[str, object] = field(default_factory=dict)
+    sinks: dict[str, dict[str, str]] = field(default_factory=dict)
+
+    def execute_script(self, script: str) -> list[object]:
+        return [self.execute(stmt) for stmt in split_statements(script)]
+
+    def execute(self, stmt: str):
+        m = _SET.match(stmt)
+        if m:
+            self.spark.conf.set(m.group(1), m.group(2).strip())
+            return None
+        m = _CREATE_USING.match(stmt)
+        if m and not re.search(r"\bAS\s+SELECT\b", stmt, re.IGNORECASE):
+            return self._create_table(m.group(1), m.group(2), m.group(3).lower(), _parse_options(m.group(4)))
+        m = _CTAS.match(stmt)
+        if m:
+            return self._run_select(m.group(1), m.group(4), _parse_options(m.group(3)))
+        m = _INSERT_INTO.match(stmt)
+        if m:
+            return self._run_select(m.group(1), m.group(2), {})
+        # plain SELECT or any standard statement
+        sql, watermarks = rewrite_streaming_sql(stmt)
+        return self._apply_and_sql(sql, watermarks)
+
+    # -- statement handlers -------------------------------------------
+
+    def _create_table(self, name: str, ddl_cols: str | None, fmt: str, options: dict[str, str]) -> None:
+        from pyspark.sql import types as T
+
+        if "path" not in options:
+            # sink-table declaration (the corpus' kafka_temp_table_qN:
+            # no source path, carries output.mode etc. — q3.sql:11-21);
+            # remember its options for the INSERT INTO that targets it.
+            self.sinks[name] = options
+            return None
+        if fmt in ("stream", "json", "file", "kafka"):
+            schema = T.StructType.fromDDL(ddl_cols.strip("() \n")) if ddl_cols else None
+            reader = self.spark.readStream
+            if schema is not None:
+                reader = reader.schema(schema)
+            if "maxFilesPerTrigger" in options:
+                reader = reader.option("maxFilesPerTrigger", options["maxFilesPerTrigger"])
+            df = reader.json(options["path"])
+            df.createOrReplaceTempView(name)
+        elif fmt == "parquet":
+            self.spark.read.parquet(options["path"]).createOrReplaceTempView(name)
+        else:
+            raise ValueError(f"unsupported USING {fmt}")
+        return None
+
+    def _apply_and_sql(self, sql: str, watermarks: list[tuple[str, str]]) -> DataFrame:
+        # watermark declarations bind to the view that owns the column;
+        # re-register the view with withWatermark before planning.
+        for col, delay in watermarks:
+            view = self._find_view_with_column(sql, col)
+            if view is not None:
+                wdf = self.spark.table(view).withWatermark(col, delay)
+                wdf.createOrReplaceTempView(view)
+        return self.spark.sql(sql)
+
+    def _find_view_with_column(self, sql: str, col: str) -> str | None:
+        for view in re.findall(r"(?:FROM|JOIN)\s+([\w.]+)", sql, re.IGNORECASE):
+            try:
+                if col in self.spark.table(view).columns:
+                    return view
+            except Exception:
+                continue
+        return None
+
+    def _run_select(self, target: str, select_sql: str, options: dict[str, str]):
+        sql, watermarks = rewrite_streaming_sql(select_sql)
+        df = self._apply_and_sql(sql, watermarks)
+        if df.isStreaming:
+            mode = options.get("output.mode") or self.sinks.get(target, {}).get("output.mode", "complete")
+            q = (
+                df.writeStream.format("memory")
+                .queryName(target)
+                .outputMode(mode)
+                .start()
+            )
+            self.queries[target] = q
+            return q
+        df.createOrReplaceTempView(target)
+        return df

@@ -1,0 +1,176 @@
+"""Streaming-semantics tests, mirroring the reference's StreamTest
+suites (LoghubMicroBatchSourceSuite.scala:128-498 — watermark windowed
+agg :381-425, self-join :427-469; TableStoreSinkSuite.scala:80-295):
+a replayed micro-batch stream must converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.streaming.joins import interval_join, stream_static_join
+from aliyun_emapreduce_datasources_spark.streaming.sinks import IdempotentBatchSink, SQLiteExactlyOnceSink
+from aliyun_emapreduce_datasources_spark.streaming.sources import StreamTable, replay_to_json_dir
+from aliyun_emapreduce_datasources_spark.streaming.windows import windowed_agg
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="events-stream-")
+    replay_to_json_dir(t(spark, sf_dir, "events"), d, n_chunks=4, order_col="ts")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, mode: str):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+def _stream_table(events_stream_dir, **options):
+    return StreamTable("events", EVENTS_SCHEMA, events_stream_dir, options)
+
+
+def test_tumbling_agg_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    """TUMBLING windowed agg in complete mode == batch answer."""
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+    stream = st.read_stream(spark)
+    agg = windowed_agg(
+        stream, "ts", "1 hour", "event_type", aggs=[F.count(F.lit(1)).alias("cnt")]
+    )
+    name = _run_to_memory(agg, "complete")
+    got = {
+        (r.window_start, r.event_type): r.cnt for r in spark.table(name).collect()
+    }
+    batch = windowed_agg(
+        t(spark, sf_dir, "events"), "ts", "1 hour", "event_type", aggs=[F.count(F.lit(1)).alias("cnt")]
+    )
+    want = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want
+
+
+def test_hopping_agg_with_watermark_append(spark, sf_dir, events_stream_dir):
+    """HOPPING + delay() watermark in append mode: emitted windows are
+    exactly the closed ones, and every emitted row matches batch."""
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+    stream = st.read_stream(spark)
+    agg = windowed_agg(
+        stream, "ts", "1 hour", aggs=[F.count(F.lit(1)).alias("cnt")], slide="30 minutes", watermark="10 minutes"
+    )
+    name = _run_to_memory(agg, "append")
+    got = {(r.window_start, r.window_end): r.cnt for r in spark.table(name).collect()}
+    batch = windowed_agg(
+        t(spark, sf_dir, "events"), "ts", "1 hour", aggs=[F.count(F.lit(1)).alias("cnt")], slide="30 minutes"
+    )
+    want = {(r.window_start, r.window_end): r.cnt for r in batch.collect()}
+    assert got, "append mode emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
+
+
+def test_stream_static_broadcast_join(spark, sf_dir, events_stream_dir):
+    """Stream-static star join (30 corpus queries): counts per nation
+    via events->customer dim must match batch."""
+    st = _stream_table(events_stream_dir)
+    stream = st.read_stream(spark)
+    cust = t(spark, sf_dir, "customer")
+    joined = stream_static_join(stream, cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    name = _run_to_memory(agg, "complete")
+    got = {(r.c_nationkey): r.cnt for r in spark.table(name).collect()}
+    ev = t(spark, sf_dir, "events")
+    want = {
+        r.c_nationkey: r.cnt
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
+    """q40-shaped dual-watermark interval join (inner for exact
+    convergence): stream result == batch result."""
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="2")
+    s1 = st.read_stream(spark)
+    views = s1.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    s2 = st.read_stream(spark)
+    buys = s2.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    j = interval_join(
+        views, buys, "v_ts", "b_ts", [("v_user", "b_user")], "30 minutes", "60 seconds", "30 seconds", how="inner"
+    ).select("view_id", "buy_id")
+    name = _run_to_memory(j, "append")
+    got = {(r.view_id, r.buy_id) for r in spark.table(name).collect()}
+
+    ev = t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    b = ev.where(F.col("event_type") == "purchase").select(F.col("event_id").alias("buy_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    want = {
+        (r.view_id, r.buy_id)
+        for r in v.join(
+            b,
+            (v.v_user == b.b_user) & (b.b_ts >= v.v_ts) & (b.b_ts <= v.v_ts + F.expr("interval 30 minutes")),
+        ).select("view_id", "buy_id").collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_idempotent_sink_skips_replayed_batch(spark):
+    writes = []
+    sink = IdempotentBatchSink(lambda df, bid: writes.append((bid, df.count())))
+    df = spark.range(5)
+    sink(df, 0)
+    sink(df, 0)  # replay
+    sink(df, 1)
+    assert [w[0] for w in writes] == [0, 1]
+
+
+def test_sqlite_exactly_once_sink_replay_and_partial(spark, tmp_path):
+    db = str(tmp_path / "sink.db")
+    sink = SQLiteExactlyOnceSink(db, "out", ["id"])
+    df = spark.range(3).select(F.col("id"))
+    sink(df, 0)
+    sink(df, 0)  # exact replay → no duplicates
+    assert len(sink.read_all()) == 3
+
+    # simulate a crash mid-batch: UNCOMMITTED log entry + partial rows
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO out__stream_log VALUES (1, 'UNCOMMITTED')")
+    con.execute("INSERT INTO out VALUES (1, '999')")
+    con.commit()
+    con.close()
+    sink(df, 1)  # replay of batch 1 must purge the partial write
+    rows = sink.read_all()
+    assert len(rows) == 6
+    assert ("999",) not in rows

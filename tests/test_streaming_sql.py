@@ -1,0 +1,82 @@
+"""End-to-end test of the streaming-SQL dialect front-end: a
+corpus-shaped script (SET / CREATE TABLE USING / INSERT INTO SELECT
+with TUMBLING + delay()) runs on public Spark and converges to the
+batch answer — the public-engine replacement for the closed-source
+EMR streaming SQL parser (emr-baseline-testing/queries/q101.sql)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+    StreamingSqlSession,
+    rewrite_streaming_sql,
+    split_statements,
+)
+from aliyun_emapreduce_datasources_spark.streaming.sources import replay_to_json_dir
+
+
+def test_rewrite_tumbling_hopping_delay():
+    sql = (
+        "SELECT window.start, count(*) FROM s "
+        "WHERE delay(ts) < '1 minute' AND x > 0 "
+        "GROUP BY TUMBLING(ts, interval 1 hour)"
+    )
+    out, wm = rewrite_streaming_sql(sql)
+    assert "window(ts, '1 hour')" in out
+    assert "TRUE AND x > 0" in out
+    assert wm == [("ts", "1 minute")]
+
+    out2, _ = rewrite_streaming_sql("GROUP BY HOPPING(ts, interval 1 minute, interval 30 seconds)")
+    assert "window(ts, '1 minute', '30 seconds')" in out2
+
+
+def test_split_statements_skips_comments():
+    script = "-- header\nSET a=1;\nSELECT 1;\n"
+    assert split_statements(script) == ["SET a=1", "SELECT 1"]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="sqlstream-")
+    replay_to_json_dir(t(spark, sf_dir, "events"), d, n_chunks=3, order_col="ts")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+CORPUS_SCRIPT = """
+-- q101-shaped: tumbling window agg over a registered stream table
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream (event_id bigint, ts timestamp, user_id bigint,
+                        event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE result_q101 USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q101
+SELECT window.start AS window_start, event_type, count(*) AS cnt
+FROM ev_stream
+WHERE delay(ts) < '5 minutes'
+GROUP BY TUMBLING(ts, interval 1 hour), event_type
+"""
+
+
+def test_corpus_dialect_script_end_to_end(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(CORPUS_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_q101"]
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.window_start, r.event_type): r.cnt for r in spark.table("result_q101").collect()}
+
+    ev = t(spark, sf_dir, "events")
+    want = {
+        (r.ws, r.event_type): r.cnt
+        for r in ev.groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
