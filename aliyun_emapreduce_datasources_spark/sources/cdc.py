@@ -1,0 +1,79 @@
+"""CDC record model and merge-apply (change streams → table state).
+
+Reference parity:
+
+- Record-level op types PUT/UPDATE/DELETE in `__ots_record_type__` and
+  per-column op types in `__ots_column_type_<c>`
+  (TableStoreSource.scala:214-229, TableStoreSourceProvider.scala:159-161).
+- ``ots_col_parser``: returns the column value when the column op is
+  PUT, NULL when DELETE_ONE_VERSION/DELETE_ALL_VERSION
+  (ResolveTableStoreBinlogUDF.scala:29-91) — here a Column expression,
+  no UDF needed.
+- ``merge``-apply of a change batch onto a snapshot by primary key:
+  last change per key wins; DELETE drops the row, PUT/UPDATE upserts
+  (KuduUpdatableRelation.scala:39-73 merge(data, opTypeColumn); the
+  Delta CDC example materializes the same way —
+  examples/.../DeltaTableStoreCDC.scala).
+
+Scale note: apply_cdc is one shuffle on the primary key (window to
+pick the last change) plus a key-partitioned full outer join — the
+same plan a Delta MERGE produces, with no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["PUT", "UPDATE", "DELETE", "ots_col_parser", "apply_cdc"]
+
+PUT = "PUT"
+UPDATE = "UPDATE"
+DELETE = "DELETE"
+
+
+def ots_col_parser(value_col: str | Column, col_type_col: str | Column) -> Column:
+    """value if the per-column op is PUT else NULL
+    (ResolveTableStoreBinlogUDF semantics, all five type overloads
+    collapse to one generic expression in Spark)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    ct = F.col(col_type_col) if isinstance(col_type_col, str) else col_type_col
+    return F.when(ct == PUT, v).otherwise(F.lit(None))
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "__ots_record_type__",
+    seq_col: str = "__ots_record_timestamp__",
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot; returns the new table state.
+
+    changes carries the snapshot's columns + op_col + seq_col. The
+    latest change per key (max seq) wins. Result:
+      key only in snapshot            -> snapshot row
+      latest change DELETE            -> row dropped
+      latest change PUT/UPDATE        -> change row (upsert)
+    """
+    data_cols = [c for c in snapshot.columns]
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*data_cols, F.col(op_col).alias("_op"))
+    )
+    s = snapshot.alias("s")
+    c = latest.alias("c")
+    cond = None
+    for k in keys:
+        e = F.col(f"s.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = e if cond is None else cond & e
+    joined = s.join(c, cond, "full_outer")
+    out_cols = []
+    has_change = F.col("c._op").isNotNull()
+    for col in data_cols:
+        out_cols.append(
+            F.when(has_change, F.col(f"c.{col}")).otherwise(F.col(f"s.{col}")).alias(col)
+        )
+    return joined.where(~has_change | (F.col("c._op") != DELETE)).select(*out_cols)
