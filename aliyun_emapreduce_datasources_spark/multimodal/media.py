@@ -1,0 +1,152 @@
+"""Binary media columns: schema, synthesis, and mapInPandas transforms.
+
+The reference treats service payloads as opaque bytes plus typed
+metadata (e.g. Loghub's string bag + system columns, OTS binary
+attribute columns — TableStoreRelation.scala:188-242 BINARY branch);
+this module applies the same model to media for ML pipelines.
+
+STUB NOTE: ``_decode_image_stub`` stands in for a real codec (PIL /
+libjpeg). It deterministically derives pixel statistics from the
+bytes so tests are reproducible; swap the single function for a real
+decoder when the library exists. Everything around it — the Arrow
+batch iteration, the output schema contract, the byte-bounded
+batching — is production-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "decode_features",
+    "frame_sample",
+]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),       # image | audio | video
+        T.StructField("format", T.StringType()),         # jpeg | png | wav | mp4
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """Derive a deterministic fake media column from any table: payload
+    bytes from sha2 of the seed column (stand-in for real blobs read
+    from object storage), metadata filled accordingly."""
+    payload = F.to_binary(F.sha2(F.col(seed_col).cast("string"), 256), F.lit("hex"))
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit("fake").alias("format"),
+        (F.pmod(F.col(id_col), F.lit(64)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col(id_col), F.lit(48)) + 16).cast("int").alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col(seed_col).cast("string"), 256).alias("digest"),
+    )
+    return df.select(F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-pixels from the payload
+    digest. Replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+
+    Raises like a real decoder would on empty payloads.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.
+
+    Incoming Arrow batches are re-chunked so no decode batch holds more
+    than ``batch_bytes`` of payload — row-count-based batching is wrong
+    for blob columns.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            sizes = pdf["payload"].map(len).to_numpy()
+            cum = 0
+            for i in range(len(pdf)):
+                cum += int(sizes[i])
+                if cum >= batch_bytes or i == len(pdf) - 1:
+                    chunk = pdf.iloc[start : i + 1]
+                    out = {"media_id": [], "mean_luma": [], "std_luma": [], "n_pixels": []}
+                    for _, row in chunk.iterrows():
+                        img = _decode_image_stub(
+                            row["payload"], row["meta"]["width"], row["meta"]["height"]
+                        )
+                        out["media_id"].append(row["media_id"])
+                        out["mean_luma"].append(float(img.mean()))
+                        out["std_luma"].append(float(img.std()))
+                        out["n_pixels"].append(int(img.size))
+                    yield pd.DataFrame(out)
+                    start, cum = i + 1, 0
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4, n_frames: int = 16) -> DataFrame:
+    """Video-style frame sampling: one output row per sampled frame
+    (1→N explode inside mapInPandas — the UDTF-ish shape). Frame
+    content is stubbed as digest-of(payload, idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_digest": []}
+            for _, row in pdf.iterrows():
+                for idx in range(0, n_frames, every_n):
+                    digest = hashlib.sha256(bytes(row["payload"]) + idx.to_bytes(4, "big")).hexdigest()
+                    rows["media_id"].append(row["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["frame_digest"].append(digest)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
