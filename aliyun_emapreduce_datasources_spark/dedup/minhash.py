@@ -1,28 +1,39 @@
 """MinHash + LSH banding near-duplicate detection — the unblocked
 scale path for shingle-Jaccard dedup.
 
-Pipeline (all built-in JVM expressions; no Python in the hot path):
+Pipeline:
 
-1. signature: for each of P permutations, min over the doc's distinct
-   shingles of xxhash64(shingle, seed=i)  → array<long> of length P.
-2. banding: split the signature into B bands of R rows (P = B*R); hash
-   each band. Docs sharing any band hash become candidates — the
-   shuffle is O(docs × B) band keys, never O(docs²).
-3. verify: exact shingle-Jaccard on candidate pairs only (join back to
-   the shingle arrays), keep pairs >= threshold.
+1. **Signatures (map-side only).** Signature computation is per-
+   document, so it runs in one ``mapInPandas`` pass: tokenize, shingle
+   (k=3), hash each distinct shingle once (blake2b-64), fold into an
+   P-slot one-permutation signature (Li et al. '12: slot = h mod P,
+   keep the min per slot; empty slots densified from the doc's global
+   min). Band bucket hashes are computed in the same pass. No shuffle,
+   no per-pair work, vectorized numpy inner loop — this is the shape
+   that sweeps 100 TB at scan speed.
+2. **Banding (one shuffle).** posexplode the B bucket hashes; docs
+   sharing any (band, bucket) key become candidates — shuffle volume
+   O(docs × B), never O(docs²).
+3. **Verify (small join).** Exact shingle-Jaccard on candidates only.
 
 With P=128, B=32, R=4 the LSH S-curve crosses ~50% detection at
-Jaccard ≈ (1/B)^(1/R) ≈ 0.42 — tuned for a 0.5 threshold.
+Jaccard ≈ (1/B)^(1/R) ≈ 0.42 — tuned for the 0.5 threshold.
 
-Reference parity: this is the SURVEY.md §7.8 "north-star" MinHash/LSH
-dedup operator; semantics follow the standard MinHash estimator
-(Broder '97), not any reference code.
+Reference parity: SURVEY.md §7.8 north-star MinHash/LSH dedup;
+semantics follow the standard MinHash estimator (Broder '97), not any
+reference code.
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
 from aliyun_emapreduce_datasources_spark.operators.common import t
@@ -32,15 +43,76 @@ __all__ = ["minhash_signature", "lsh_candidate_pairs", "minhash_dedup_pairs", "Q
 N_PERM = 128
 N_BANDS = 32
 ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 3
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sh", T.ArrayType(T.StringType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _h64(data: bytes) -> np.int64:
+    return np.frombuffer(hashlib.blake2b(data, digest_size=8).digest(), dtype=np.int64)[0]
+
+
+def _signature(text: str, n_perm: int, n_bands: int, rows_per_band: int) -> tuple[list[str], np.ndarray]:
+    toks = text.split(" ")
+    sh = list({" ".join(toks[i : i + SHINGLE_K]) for i in range(max(len(toks) - SHINGLE_K + 1, 0))})
+    if not sh:
+        return sh, np.zeros(0, dtype=np.int64)
+    hs = np.fromiter((_h64(s.encode()) for s in sh), dtype=np.int64, count=len(sh))
+    slots = (hs % n_perm + n_perm) % n_perm
+    sig = np.full(n_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(sig, slots, hs)
+    empty = sig == np.iinfo(np.int64).max
+    if empty.any():
+        # densification: filler mixes the doc's global min hash with the
+        # slot index — two docs share a filler only if they share their
+        # min-hash shingle (itself a Jaccard-faithful collision)
+        gmin = np.int64(hs.min())
+        ks = np.arange(n_perm, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            fill = (gmin * np.int64(-7046029254386353131)) ^ (ks * np.int64(1099511628211))
+        sig[empty] = fill[empty]
+    bands = np.empty(n_bands, dtype=np.int64)
+    for b in range(n_bands):
+        bands[b] = _h64(sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes() + bytes([b]))
+    return sh, bands
+
+
+def _with_signatures(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sh, bands) in one Arrow-batched map pass."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sh": [], "bands": []}
+            for _, row in pdf.iterrows():
+                sh, bands = _signature(row[text_col], n_perm, n_bands, rows_per_band)
+                if not sh:
+                    continue
+                out["doc_id"].append(int(row[id_col]))
+                out["sh"].append(sh)
+                out["bands"].append(bands.tolist())
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).repartition(n_parts).mapInPandas(run, SIG_SCHEMA)
 
 
 def minhash_signature(sh: Column, n_perm: int = N_PERM) -> Column:
-    """array<long> MinHash signature over a distinct-shingle array.
-
-    Expression form (nested higher-order functions). Correct but
-    interpreted — O(n_perm × shingles) per row outside codegen; use
-    ``_with_signatures`` (explode + wide min-agg, whole-stage codegen)
-    on anything bigger than a toy table.
+    """Expression-form MinHash signature over a shingle array column
+    (classic per-permutation formulation). Kept for composability in
+    pure-SQL pipelines; the OPH mapInPandas path above is the fast one.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
@@ -48,33 +120,9 @@ def minhash_signature(sh: Column, n_perm: int = N_PERM) -> Column:
     )
 
 
-def _with_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, sh, sig) via the relational plan: explode shingles,
-    compute all permutation hashes in one codegen'd projection, take
-    per-doc mins, reassemble the signature array. One shuffle on
-    doc_id; scales linearly in docs × shingles."""
-    sh = F.array_distinct(shingles(tokens("text")))
-    base = docs.select("doc_id", sh.alias("sh")).where(F.size("sh") > 0)
-    exploded = base.select("doc_id", F.explode("sh").alias("s"))
-    mins = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(n_perm)]
-    )
-    sig = mins.select("doc_id", F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
-    return base.join(sig, "doc_id")
-
-
-def lsh_candidate_pairs(with_sig: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+def lsh_candidate_pairs(with_sig: DataFrame) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs via band-bucket join."""
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.concat_ws(",", F.transform(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))), b).alias("bucket"),
-        ),
-    )
-    exploded = with_sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    exploded = with_sig.select("doc_id", F.posexplode("bands").alias("band", "bucket"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -91,9 +139,12 @@ def lsh_candidate_pairs(with_sig: DataFrame, n_bands: int = N_BANDS, rows_per_ba
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Confirmed near-dup pairs: LSH candidates verified with exact
-    shingle-Jaccard (two broadcast-free shuffles total)."""
+    shingle-Jaccard. The signature table is persisted eagerly — the
+    band self-join and the two verify joins all read it (at cluster
+    scale this is a checkpointed intermediate)."""
     docs = t(spark, sf_dir, "documents")
-    with_sig = _with_signatures(docs)
+    with_sig = _with_signatures(docs).persist()
+    with_sig.count()
     cand = lsh_candidate_pairs(with_sig)
     sh_only = with_sig.select("doc_id", "sh")
     jac = (

@@ -29,12 +29,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b) with shingle-Jaccard >= 0.5,
     blocked by (source, n_chars // 64)."""
     docs = t(spark, sf_dir, "documents")
-    base = docs.select(
+    # spread shingle construction across cores (single-file input) and
+    # cache: the self-join consumes the shingle arrays on both sides
+    n_parts = spark.sparkContext.defaultParallelism
+    base = docs.repartition(n_parts).select(
         "doc_id",
         "source",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
         F.array_distinct(shingles(tokens("text"))).alias("sh"),
-    )
+    ).persist()
     a = base.alias("a")
     b = base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

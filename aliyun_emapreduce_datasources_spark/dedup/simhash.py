@@ -30,7 +30,10 @@ MAX_HAMMING = 3
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash long) per document."""
-    tok = docs.select(id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_parts).select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
     h = tok.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{bit}")
