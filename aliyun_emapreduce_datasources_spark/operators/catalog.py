@@ -24,9 +24,10 @@ def _merge(mod) -> None:
 
 
 def _load() -> None:
-    from aliyun_emapreduce_datasources_spark.operators import corpus, tpch
+    from aliyun_emapreduce_datasources_spark.operators import corpus, tpch, tpch_extra
 
     _merge(tpch)
+    _merge(tpch_extra)
     _merge(corpus)
     for modname in ("dedup.queries", "similarity.queries", "functions.queries", "sources.queries"):
         try:
