@@ -1,0 +1,338 @@
+"""Analytic / OLAP operators beyond the corpus: window functions,
+CUBE / GROUPING SETS, pivot, distinct-count sketches.
+
+SURVEY.md §2.2 lists these as absent from the reference corpus but
+free on Spark — an engine claiming "a user of the reference could
+switch" needs them for any ad-hoc analytics workload, and a training-
+data pipeline needs sessionization + per-group top-k constantly.
+
+Every window spec here carries a TOTAL ordering (ties broken by a key
+column) so results are engine-reproducible; running sums use the
+decimal-exact convention of operators/common.py because a windowed sum
+is accumulation-ordered by definition.
+
+Scale notes: window functions shuffle once on their partition key —
+same cost profile as a groupBy on that key; none of these plans
+materialize to the driver. approx_count_distinct is the HLL sketch
+path (mergeable, map-side partial) — the 100 TB answer to
+count(distinct); its exact twin is kept for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import dsum, m, o_dsum, o_m, t
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+# --- row_number top-k per group ----------------------------------------
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (row_number over a fully
+    ordered window — the per-group top-k every ranking pipeline uses)."""
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("rn"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_retailprice").alias("price"),
+        )
+    )
+
+
+ORACLE_TOPK = """
+SELECT p_brand AS brand, CAST(rn AS BIGINT) AS rn, p_partkey AS partkey, p_retailprice AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+"""
+
+
+# --- running (cumulative) total ----------------------------------------
+
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over their order history. The
+    frame is ROWS-bounded over a total order (orderdate, orderkey) and
+    the sum is exact decimal, so every prefix is engine-identical."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(m("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+ORACLE_RUNNING = f"""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(SUM({o_m('o_totalprice')}) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders WHERE o_custkey % 100 = 0
+"""
+
+
+# --- moving average over a row frame -----------------------------------
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-event moving average of `value` per user (exact-decimal sum /
+    frame count, divided once in double)."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        (F.sum(m("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+ORACLE_MOVAVG = f"""
+SELECT user_id, event_id,
+       CAST(SUM({o_m('value')}) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+FROM events WHERE user_id % 50 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- lag + gap sessionization ------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lag-gap sessionization: a new session starts when the
+    gap to the previous event (per user, totally ordered) exceeds 30
+    minutes; emit per-user session/event counts. This is the batch twin
+    of streaming/windows.py's session windows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > SESSION_GAP_MIN * 60,
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSION = f"""
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# --- rank / dense_rank --------------------------------------------------
+
+def win_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() and dense_rank() of suppliers by account balance within
+    nation — tied doubles produce identical gaps in both engines."""
+    supp = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return supp.select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    ).where(F.col("rnk") <= 5)
+
+
+ORACLE_RANK = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey AS suppkey,
+       CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+FROM (
+  SELECT s_nationkey, s_suppkey,
+         rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+  FROM supplier
+  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+)
+WHERE rnk <= 5
+"""
+
+
+# --- lead/lag delta -----------------------------------------------------
+
+def win_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag arithmetic —
+    the reorder-interval feature of churn pipelines)."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        )
+    )
+
+
+ORACLE_GAP = """
+SELECT custkey, orderkey, CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders WHERE o_custkey % 100 = 0
+)
+WHERE prev_date IS NOT NULL
+"""
+
+
+# --- CUBE ---------------------------------------------------------------
+
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (the superset of the corpus' ROLLUP, SURVEY §2.2)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", "total"),
+        )
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS cnt, {o_dsum(o_m('o_totalprice'), 'total')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- GROUPING SETS ------------------------------------------------------
+
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)) — two
+    independent summaries in one scan. Spark exposes this through SQL;
+    the DataFrame twin would be two groupBys unioned, which is two
+    scans — so the SQL form IS the idiomatic plan here."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS decimal(18,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       {o_dsum(o_m('l_quantity'), 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# --- pivot --------------------------------------------------------------
+
+def olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals to one column per status (explicit value
+    list — at scale an implicit pivot would need a distinct pre-pass)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(m("o_totalprice")).cast("double"))
+        .orderBy("priority")
+    )
+
+
+ORACLE_PIVOT = f"""
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN {o_m('o_totalprice')} END) AS DOUBLE) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN {o_m('o_totalprice')} END) AS DOUBLE) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN {o_m('o_totalprice')} END) AS DOUBLE) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- exact + approximate distinct counts --------------------------------
+
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(distinct user_id) per event type (two-phase exact
+    distinct aggregation — the oracle-checkable twin of the sketch)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct per event type — the mergeable
+    sketch that replaces exact distinct at 100 TB (one map-side sketch
+    per partition, constant memory). No oracle: sketch estimates are
+    implementation-defined; tests/test_analytic.py bounds its error
+    against the exact twin instead."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+QUERIES = {
+    "win_topk_per_group": win_topk_per_group,
+    "win_running_total": win_running_total,
+    "win_moving_avg": win_moving_avg,
+    "win_sessionize": win_sessionize,
+    "win_rank_suppliers": win_rank_suppliers,
+    "win_order_gap_days": win_order_gap_days,
+    "olap_cube": olap_cube,
+    "olap_grouping_sets": olap_grouping_sets,
+    "olap_pivot": olap_pivot,
+    "distinct_users_exact": distinct_users_exact,
+    "distinct_users_approx": distinct_users_approx,
+}
+
+ORACLES = {
+    "win_topk_per_group": ORACLE_TOPK,
+    "win_running_total": ORACLE_RUNNING,
+    "win_moving_avg": ORACLE_MOVAVG,
+    "win_sessionize": ORACLE_SESSION,
+    "win_rank_suppliers": ORACLE_RANK,
+    "win_order_gap_days": ORACLE_GAP,
+    "olap_cube": ORACLE_CUBE,
+    "olap_grouping_sets": ORACLE_GROUPING_SETS,
+    "olap_pivot": ORACLE_PIVOT,
+    "distinct_users_exact": ORACLE_DISTINCT_USERS,
+}

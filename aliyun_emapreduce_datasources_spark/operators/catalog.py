@@ -24,11 +24,12 @@ def _merge(mod) -> None:
 
 
 def _load() -> None:
-    from aliyun_emapreduce_datasources_spark.operators import corpus, tpch, tpch_extra
+    from aliyun_emapreduce_datasources_spark.operators import analytic, corpus, tpch, tpch_extra
 
     _merge(tpch)
     _merge(tpch_extra)
     _merge(corpus)
+    _merge(analytic)
     for modname in ("dedup.queries", "similarity.queries", "functions.queries", "sources.queries"):
         try:
             import importlib
