@@ -2,14 +2,22 @@
 
 Exact Jaccard is O(n²); the scalable form blocks candidate pairs by a
 cheap key first. Here the block key is (source, length bucket): real
-pipelines use URL host / crawl shard the same way. Within a block the
-pairwise join is tractable; across blocks no comparison happens, which
-is the accepted recall trade-off (MinHash-LSH in dedup/minhash.py is
-the unblocked scale path).
+pipelines use URL host / crawl shard the same way. Within a block only
+pairs that SHARE a shingle are ever materialized: shingles are
+exploded and self-joined on (block, shingle-hash), and the
+intersection size falls out of a pair count — shuffle volume is
+O(total shingles), never O(pairs × array length). Pairs sharing no
+shingle have Jaccard 0 and are (correctly) never produced. This is
+the plan that survives a 100 TB corpus; the per-pair
+``array_intersect`` formulation it replaces re-walked both arrays for
+every candidate pair.
 
 Jaccard itself is |A∩B| / |A∪B| over distinct 3-token shingles —
 integer set sizes, so the double division is bit-identical across
-engines and the query is DuckDB-oracle-checkable.
+engines and the query is DuckDB-oracle-checkable. Shingles are
+compared by xxhash64 (64-bit): a hash collision inside one block
+would overcount the intersection by 1; at block sizes ≤ 10⁵ shingles
+the collision odds are ~10⁻⁹ — accepted (and absent in the testdata).
 """
 
 from __future__ import annotations
@@ -29,32 +37,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b) with shingle-Jaccard >= 0.5,
     blocked by (source, n_chars // 64)."""
     docs = t(spark, sf_dir, "documents")
-    # spread shingle construction across cores (single-file input) and
-    # cache: the self-join consumes the shingle arrays on both sides
     n_parts = spark.sparkContext.defaultParallelism
     base = docs.repartition(n_parts).select(
         "doc_id",
         "source",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
         F.array_distinct(shingles(tokens("text"))).alias("sh"),
-    ).persist()
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
-    jac = inter.cast("double") / union
-    return (
+    )
+    # (block, shingle-hash) postings; n_sh rides along for the union size
+    ex = base.select(
+        "doc_id",
+        "source",
+        "len_bucket",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    ).persist()  # both self-join sides read the postings once
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
