@@ -133,9 +133,16 @@ def replay_to_json_dir(
         rows = sorted(rows, key=lambda r: json.loads(r).get(order_col) or "")
     chunk = max(1, (len(rows) + n_chunks - 1) // n_chunks)
     paths = []
+    base_mtime = int(os.path.getmtime(out_dir))
     for i in range(0, len(rows), chunk):
         p = os.path.join(out_dir, f"chunk-{i // chunk:04d}.json")
         with open(p, "w") as fh:
             fh.write("\n".join(rows[i : i + chunk]))
+        # FileStreamSource batches files by MODIFICATION TIME, not name:
+        # strictly increasing mtimes make replay order = chunk order
+        # (otherwise same-second writes replay in arbitrary order and
+        # "earlier" chunks arrive behind the watermark).
+        mt = base_mtime + i // chunk
+        os.utime(p, (mt, mt))
         paths.append(p)
     return paths

@@ -1,0 +1,114 @@
+"""Avro wire-format + schema-registry contract tests (SURVEY.md §7
+hard parts (c) decimal round-trip and (e) subset-schema validation)."""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.streaming.avro_codec import (
+    avro_schema_for,
+    decode_avro,
+    encode_avro,
+    spark_schema_for,
+)
+from aliyun_emapreduce_datasources_spark.streaming.schema_registry import (
+    SchemaRegistry,
+    SchemaValidationError,
+    validate_subset_schema,
+)
+
+MONEY_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_totalprice", T.DecimalType(18, 2), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_orderdate", T.TimestampType(), True),
+    ]
+)
+
+
+def test_schema_mapping_round_trip():
+    avro = avro_schema_for(MONEY_SCHEMA, "Orders")
+    assert spark_schema_for(avro) == MONEY_SCHEMA
+    assert '"logicalType": "decimal"' in avro
+    assert '"logicalType": "timestamp-millis"' in avro
+
+
+def test_decimal_money_round_trip(spark, sf_dir):
+    """decimal-in-Avro: encode orders money as decimal(18,2) bytes,
+    decode, values must be exactly equal (no float detour)."""
+    orders = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "o_orderstatus",
+            "o_orderdate",
+        )
+        .limit(200)
+    )
+    avro = avro_schema_for(MONEY_SCHEMA, "Orders")
+    decoded = decode_avro(encode_avro(orders, avro), avro)
+    want = {r.o_orderkey: r for r in orders.collect()}
+    got = {r.o_orderkey: r for r in decoded.collect()}
+    assert want.keys() == got.keys() and len(want) == 200
+    for k, w in want.items():
+        g = got[k]
+        assert isinstance(g.o_totalprice, decimal.Decimal)
+        assert g.o_totalprice == w.o_totalprice, k
+        assert g.o_orderstatus == w.o_orderstatus
+        # timestamp-millis truncates micros — orders dates are whole days
+        assert g.o_orderdate == w.o_orderdate
+
+
+def test_nullable_union_encodes_nulls(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], schema)
+    avro = avro_schema_for(schema, "KV")
+    got = {r.k: r.v for r in decode_avro(encode_avro(df, avro), avro).collect()}
+    assert got == {1: "a", 2: None, 3: "c"}
+
+
+def test_registry_versioning_and_subset(tmp_path):
+    reg = SchemaRegistry(str(tmp_path / "registry.json"))
+    v1 = avro_schema_for(MONEY_SCHEMA, "Orders")
+    assert reg.register("orders-value", v1) == 1
+    assert reg.register("orders-value", v1) == 1  # idempotent
+    wider = T.StructType(list(MONEY_SCHEMA.fields) + [T.StructField("extra", T.LongType(), True)])
+    assert reg.register("orders-value", avro_schema_for(wider, "Orders")) == 2
+    assert reg.latest_spark_schema("orders-value") == wider
+
+    # persisted across reopen
+    reg2 = SchemaRegistry(str(tmp_path / "registry.json"))
+    assert reg2.latest_spark_schema("orders-value") == wider
+
+    # user schema may be a column subset
+    user = T.StructType([T.StructField("o_orderkey", T.LongType(), False)])
+    reg2.check_user_schema("orders-value", user)
+
+
+def test_subset_validation_rejects():
+    registered = MONEY_SCHEMA
+    with pytest.raises(SchemaValidationError, match="not in registered"):
+        validate_subset_schema(
+            T.StructType([T.StructField("nope", T.LongType())]), registered
+        )
+    with pytest.raises(SchemaValidationError, match="declared"):
+        validate_subset_schema(
+            T.StructType([T.StructField("o_totalprice", T.DoubleType())]), registered
+        )
+    with pytest.raises(SchemaValidationError, match="NOT NULL"):
+        validate_subset_schema(
+            T.StructType([T.StructField("o_totalprice", T.DecimalType(18, 2), False)]),
+            registered,
+        )

@@ -144,6 +144,27 @@ def test_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
     assert len(got) > 0
 
 
+def test_rate_limit_offset_progression(spark, sf_dir, events_stream_dir):
+    """S9 rate-limit semantics (maxOffsetsPerTrigger → file-source
+    maxFilesPerTrigger): one chunk per micro-batch, offsets advance
+    monotonically, total rows conserved (LoghubMicroBatchSourceSuite's
+    offset-progression/rate-limit tests)."""
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+    agg = st.read_stream(spark).groupBy().count()
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    total = t(spark, sf_dir, "events").count()
+    assert len(progress) == 4, f"expected 4 rate-limited batches, got {len(progress)}"
+    assert sum(p["numInputRows"] for p in progress) == total
+    assert max(p["numInputRows"] for p in progress) < total, "rate limit not applied"
+    assert spark.table(name).collect()[0]["count"] == total
+
+
 def test_idempotent_sink_skips_replayed_batch(spark):
     writes = []
     sink = IdempotentBatchSink(lambda df, bid: writes.append((bid, df.count())))
