@@ -1,0 +1,52 @@
+"""Catalog entries for the multimodal layer.
+
+The decode itself is stubbed (no image libs in this container —
+media.py STUB NOTE), but the Spark-side plumbing is fully exercised
+and oracle-checked: metadata-derived facts (n_pixels = width×height,
+frames-per-media) survive the mapInPandas decode/explode, proving
+every row went through the codec path with the right batch shape.
+mean/std luma are stub-RNG values — deterministic but not
+SQL-expressible, covered by tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.multimodal.media import (
+    attach_fake_media,
+    decode_features,
+    frame_sample,
+)
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → fake media blobs → decode features + frame sampling
+    → (media_id, n_pixels, n_frames)."""
+    docs = t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = decode_features(media).select("media_id", "n_pixels")
+    frames = (
+        frame_sample(media, every_n=4, n_frames=16)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "media_id")
+
+
+# n_pixels mirrors attach_fake_media's metadata derivation
+# (width = id%64+16, height = id%48+16); n_frames = |range(0,16,4)|.
+ORACLE_MEDIA = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_pixels,
+       CAST(4 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {"media_pipeline": media_pipeline}
+ORACLES = {"media_pipeline": ORACLE_MEDIA}

@@ -30,7 +30,13 @@ def _load() -> None:
     _merge(tpch_extra)
     _merge(corpus)
     _merge(analytic)
-    for modname in ("dedup.queries", "similarity.queries", "functions.queries", "sources.queries"):
+    for modname in (
+        "dedup.queries",
+        "similarity.queries",
+        "functions.queries",
+        "sources.queries",
+        "multimodal.queries",
+    ):
         try:
             import importlib
 

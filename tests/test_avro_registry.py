@@ -97,6 +97,75 @@ def test_registry_versioning_and_subset(tmp_path):
     reg2.check_user_schema("orders-value", user)
 
 
+def test_avro_wire_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Corpus S31 shape on the file transport: rows → Avro binary
+    payloads (registry-validated schema) → micro-batch stream →
+    decode_avro → windowless agg converges to the batch answer with
+    exact decimal money."""
+    import base64
+    import uuid
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DecimalType(18, 2), True),
+        ]
+    )
+    avro = avro_schema_for(schema, "Events")
+    reg = SchemaRegistry()
+    reg.register("events-value", avro)
+    reg.check_user_schema("events-value", schema)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    payloads = [bytes(r.value) for r in encode_avro(ev, avro).collect()]
+    import json as _json
+    import os
+
+    d = str(tmp_path / "avro_stream")
+    os.makedirs(d)
+    n_chunks = 3
+    chunk = (len(payloads) + n_chunks - 1) // n_chunks
+    for i in range(0, len(payloads), chunk):
+        p = os.path.join(d, f"c{i // chunk:04d}.json")
+        with open(p, "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"value": base64.b64encode(v).decode()})
+                    for v in payloads[i : i + chunk]
+                )
+            )
+        os.utime(p, (1_700_000_000 + i // chunk, 1_700_000_000 + i // chunk))
+
+    wire_schema = T.StructType([T.StructField("value", T.StringType())])
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+        .select(F.unbase64("value").alias("value"))
+    )
+    decoded = decode_avro(stream, reg.latest("events-value"))
+    agg = decoded.groupBy("event_type").agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+    name = f"avro_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_type: (r.total, r.cnt) for r in spark.table(name).collect()}
+    want = {
+        r.event_type: (r.total, r.cnt)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_subset_validation_rejects():
     registered = MONEY_SCHEMA
     with pytest.raises(SchemaValidationError, match="not in registered"):

@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale properties SURVEY.md
+§"Optimize for scale" promises must be visible in explain output —
+filters reaching the parquet scan, column pruning, broadcast joins on
+dim tables, whole-stage codegen on the hot path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or f"GreaterThan({col}" in plan or f"LessThan({col}" in plan, col
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    # untouched wide columns must NOT be read
+    for col in ("l_returnflag", "l_linestatus", "l_partkey", "l_orderkey"):
+        assert col not in read, f"scan reads unused column {col}"
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["q3_star_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan5 = plan_of(QUERIES["q5_local_supplier"](spark, sf_dir))
+    assert plan5.count("BroadcastHashJoin") >= 4, "snowflake dims should broadcast"
+    assert "SortMergeJoin" not in plan5 or plan5.count("SortMergeJoin") <= 1
+
+
+def test_semi_anti_joins_in_plan(spark, sf_dir):
+    plan = plan_of(QUERIES["q21_waiting_supplier"](spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: the shuffle must carry partial aggregates,
+    not raw rows (AQE's pre-execution plan hides codegen markers, so
+    partial_sum presence is the checkable scale property here)."""
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("Exchange") or "HashAggregate" in plan
+
+
+def test_kv_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["kv_filter_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "c_acctbal" in plan[plan.index("PushedFilters") :].splitlines()[0]
+
+
+def test_text_stats_prunes_to_two_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["text_token_stats"](spark, sf_dir))
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
