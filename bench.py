@@ -31,9 +31,11 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT/metadata costs
+    # warm the JVM + parquet footers + Python/Arrow worker pool once so
+    # per-query numbers measure execution, not first-touch JIT/metadata
+    # or pyspark-worker fork costs
     QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    QUERIES["lr_scoring"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
