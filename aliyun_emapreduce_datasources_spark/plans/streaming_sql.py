@@ -160,12 +160,31 @@ class StreamingSqlSession:
         for col, delay in watermarks:
             view = self._find_view_with_column(sql, col)
             if view is not None:
-                wdf = self.spark.table(view).withWatermark(col, delay)
+                bare = col.split(".")[-1]
+                wdf = self.spark.table(view).withWatermark(bare, delay)
                 wdf.createOrReplaceTempView(view)
         return self.spark.sql(sql)
 
     def _find_view_with_column(self, sql: str, col: str) -> str | None:
-        for view in re.findall(r"(?:FROM|JOIN)\s+([\w.]+)", sql, re.IGNORECASE):
+        """Resolve `delay(x)` / `delay(alias.x)` to the temp view that
+        owns column x (q40 declares watermarks on both join sides via
+        alias-qualified columns — q40.sql:41)."""
+        refs = re.findall(
+            r"(?:FROM|JOIN)\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|JOIN\b|GROUP\b|LEFT\b|RIGHT\b|INNER\b|FULL\b)(\w+))?",
+            sql,
+            re.IGNORECASE,
+        )
+        alias_map = {a: v for v, a in refs if a}
+        if "." in col:
+            alias, bare = col.split(".", 1)
+            view = alias_map.get(alias, alias)
+            try:
+                if bare in self.spark.table(view).columns:
+                    return view
+            except Exception:
+                return None
+            return None
+        for view, _ in refs:
             try:
                 if col in self.spark.table(view).columns:
                     return view

@@ -1,0 +1,179 @@
+"""IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probed
+exact search — the third leg of the similarity stack (brute force =
+exact baseline, LSH = hash-bucketed, IVF = learned partitions).
+
+Pipeline (FAISS IVF-Flat shape, public knowledge):
+
+1. **Train** (driver, deterministic): sample ≤ ``train_cap`` corpus
+   vectors by vec_id order, run seeded Lloyd's k-means (fixed
+   iterations, rng(0) init) → K centroid matrix. At 100 TB the sample
+   is still driver-sized: K×dim doubles, independent of corpus size.
+2. **Assign** (one matmul per Arrow batch): every corpus vector gets
+   its nearest-centroid cluster id. In production this materializes as
+   a cluster-partitioned table — the "inverted file" — so a probe
+   reads only nprobe/K of the data (partition pruning does the work).
+3. **Search**: each query probes its ``nprobe`` nearest clusters;
+   candidates = corpus rows in those clusters (cluster-id equi-join,
+   no O(n²) pairs); exact cosine + per-batch top-k pre-reduction, then
+   global window rank.
+
+Recall grows with nprobe/K; tests/test_similarity.py bounds recall@5
+against brute force on the testdata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
+
+__all__ = ["train_centroids", "assign_clusters", "ann_ivf_topk", "QUERY"]
+
+N_CLUSTERS = 16
+N_PROBE = 4
+K = 5
+N_QUERIES = 8
+TRAIN_CAP = 2048
+KMEANS_ITERS = 10
+
+ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("cluster", T.IntegerType()),
+    ]
+)
+
+CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
+def train_centroids(
+    corpus: DataFrame, k: int = N_CLUSTERS, train_cap: int = TRAIN_CAP, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded sample (normalized
+    vectors → spherical k-means); returns (k, dim) float64 centroids."""
+    sample = (
+        corpus.select("vec_id", "embedding").orderBy("vec_id").limit(train_cap).collect()
+    )
+    X = _normalize(np.array([r.embedding for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(0)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def assign_clusters(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, embedding, cluster): nearest-centroid id per vector,
+    one matmul per Arrow batch. At scale: write out partitioned by
+    cluster — the inverted file."""
+    spark = corpus.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_c.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(
+                np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+            )
+            cl = (mat @ C.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": pdf["embedding"],
+                    "cluster": cl,
+                }
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(run, ASSIGN_SCHEMA)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    n_clusters: int = N_CLUSTERS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Approximate top-k neighbors per query via nprobe-cluster probe.
+
+    corpus: (vec_id, embedding); queries: (query_id, q_embedding) —
+    small by contract (collected for probe computation + scoring).
+    """
+    spark = corpus.sparkSession
+    C = train_centroids(corpus, k=n_clusters)
+    assigned = assign_clusters(corpus, C)
+
+    qrows = queries.select("query_id", "q_embedding").collect()
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
+    probes = np.argsort(-(q_mat @ C.T), axis=1)[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [(int(q), int(c)) for qi, q in enumerate(q_ids) for c in probes[qi]],
+        "query_id long, cluster int",
+    )
+
+    joined = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = b_q.value
+        index = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = _normalize(
+                np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+            )
+            qidx = pdf["query_id"].map(index).to_numpy(dtype=np.int64)
+            sims = np.einsum("ij,ij->i", emb, qm[qidx])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "sim": sims,
+                }
+            )
+
+    scored = joined.select("query_id", "vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ann_ivf_topk(emb.select("vec_id", "embedding"), queries)

@@ -1,27 +1,41 @@
-"""ANN quality: the LSH-bucketed search must reach usable recall@k
-against the exact brute-force baseline on the same query set."""
+"""ANN quality: the LSH-bucketed and IVF-probed searches must reach
+usable recall@k against the exact brute-force baseline on the same
+query set."""
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.similarity import bruteforce, lsh
+from aliyun_emapreduce_datasources_spark.similarity import bruteforce, ivf, lsh
+
+
+def _recall(exact_rows, approx_rows) -> float:
+    exact_sets = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    return hits / total
 
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     exact = bruteforce.QUERY(spark, sf_dir).collect()
     approx = lsh.QUERY(spark, sf_dir).collect()
-    exact_sets = {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    approx_sets = {}
-    for r in approx:
-        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
-    total = sum(len(v) for v in exact_sets.values())
-    recall = hits / total
+    recall = _recall(exact, approx)
     # multi-probe 12-bit LSH on 64-dim random vectors: recall is
     # modest by construction; the floor guards against regressions
     # (e.g. a broken signature making buckets random).
-    assert recall >= 0.3, f"recall@5 collapsed: {recall:.2f}"
+    assert recall >= 0.3, f"LSH recall@5 collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = bruteforce.QUERY(spark, sf_dir).collect()
+    approx = ivf.QUERY(spark, sf_dir).collect()
+    recall = _recall(exact, approx)
+    # nprobe/K = 4/16 of the corpus scanned; near-neighbors concentrate
+    # in the probed clusters so recall should beat the scan fraction
+    assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
 def test_bruteforce_ranks_are_dense_per_query(spark, sf_dir):

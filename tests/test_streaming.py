@@ -175,6 +175,67 @@ def test_idempotent_sink_skips_replayed_batch(spark):
     assert [w[0] for w in writes] == [0, 1]
 
 
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Stop/restart recovery (S5's checkpointed offsets + S23's sink
+    protocol): a query killed and restarted from its checkpoint — with
+    new data arriving in between — must deliver every row exactly
+    once through the commit-log sink."""
+    import json
+    import os
+
+    from aliyun_emapreduce_datasources_spark.operators.common import t as load
+
+    ev = load(spark, sf_dir, "events").select("event_id").limit(200)
+    rows = [r.event_id for r in ev.collect()]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def write_chunk(idx: int, ids: list[int]) -> None:
+        p = os.path.join(d, f"c{idx:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps({"event_id": i}) for i in ids))
+        os.utime(p, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    write_chunk(0, rows[:50])
+    write_chunk(1, rows[50:100])
+
+    cp = str(tmp_path / "ckpt")
+    db = str(tmp_path / "sink.db")
+    sink = SQLiteExactlyOnceSink(db, "out", ["event_id"])
+    schema = "event_id long"
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(sink.read_all()) == 100
+
+    # new data lands while the query is down; restart from checkpoint
+    write_chunk(2, rows[100:150])
+    write_chunk(3, rows[150:200])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = [int(v[0]) for v in sink.read_all()]
+    assert len(got) == 200, "restart must not duplicate or drop batches"
+    assert sorted(got) == sorted(rows)
+
+    # immediate restart with no new data: nothing re-delivered
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(sink.read_all()) == 200
+
+
 def test_sqlite_exactly_once_sink_replay_and_partial(spark, tmp_path):
     db = str(tmp_path / "sink.db")
     sink = SQLiteExactlyOnceSink(db, "out", ["id"])

@@ -80,3 +80,49 @@ def test_corpus_dialect_script_end_to_end(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == want
+
+
+Q40_SCRIPT = """
+-- q40-shaped: stream-stream event-time interval join, delay() on BOTH
+-- sides with alias-qualified columns (q40.sql:26-41)
+CREATE TABLE ev_views (event_id bigint, ts timestamp, user_id bigint,
+                       event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE ev_buys (event_id bigint, ts timestamp, user_id bigint,
+                      event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE result_q40 USING kafka OPTIONS (output.mode 'append');
+INSERT INTO result_q40
+SELECT a.event_id AS view_id, b.event_id AS buy_id
+FROM ev_views a JOIN ev_buys b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + interval 30 minutes
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND delay(a.ts) < '60 seconds' AND delay(b.ts) < '30 seconds'
+"""
+
+
+def test_q40_dual_watermark_interval_join_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(Q40_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_q40"]
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.view_id, r.buy_id) for r in spark.table("result_q40").collect()}
+
+    ev = t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").alias("a")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    want = {
+        (r.view_id, r.buy_id)
+        for r in v.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 30 minutes")),
+        )
+        .select(F.col("a.event_id").alias("view_id"), F.col("b.event_id").alias("buy_id"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
