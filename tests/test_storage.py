@@ -1,0 +1,69 @@
+"""Storage-layout scale properties: partitioned writes with partition
+pruning (S17's dynamic-partition write + ODPS partitionSpec pruning,
+SURVEY §4) and bucketed tables whose co-located join plans drop the
+shuffle entirely — the two layout levers a 100 TB deployment uses
+before any query tuning."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_partitioned_write_and_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_year")
+    orders = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    pruned = back.where(F.col("o_year") == 1997)
+    plan = plan_of(pruned)
+    assert "PartitionFilters: [" in plan and "o_year" in plan[plan.index("PartitionFilters") :].splitlines()[0]
+    # pruning must actually cut the scan to one partition's files
+    assert pruned.count() == orders.where(F.col("o_year") == 1997).count()
+    total_files = plan_of(back).count("parquet")
+    assert "isnotnull(o_year" in plan or "(o_year" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key into the same bucket count:
+    the join plan must contain NO Exchange (shuffle) — the co-located
+    join layout for repeated fact-fact joins."""
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); dropped again below
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # disable broadcast so the test proves bucketing (not broadcast)
+    # removed the shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = plan_of(joined, mode="simple")
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert n == want
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
