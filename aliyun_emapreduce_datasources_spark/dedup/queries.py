@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.dedup import embedding, exact, minhash, ngram, simhash
+from aliyun_emapreduce_datasources_spark.dedup import embedding, exact, minhash, ngram, simhash, winnow
 
 QUERIES = {
     "dedup_exact": exact.QUERY,
@@ -10,10 +10,11 @@ QUERIES = {
     "dedup_minhash_lsh": minhash.QUERY,
     "dedup_simhash": simhash.QUERY,
     "dedup_embedding_cosine": embedding.QUERY,
+    "dedup_winnow_fingerprint": winnow.QUERY,
 }
 
-# minhash/simhash use engine-specific hash functions (xxhash64) that
-# DuckDB cannot reproduce → rows-only checks for those two.
+# minhash/simhash/winnow use engine-specific hash functions that
+# DuckDB cannot reproduce → rows-only checks for those.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,

@@ -1,0 +1,111 @@
+"""Winnowing rolling-hash document fingerprints (Schleimer, Wilkerson,
+Aiken '03 — the MOSS local fingerprinting algorithm).
+
+Per document: polynomial rolling hashes of all character k-grams
+(base-257 mod 2⁶⁴, fully vectorized — one sliding-window matmul with
+natural uint64 wraparound), then the minimum hash of every w-hash
+window; the distinct window-minima are the fingerprint set. Guarantee:
+any shared substring of length ≥ k + w − 1 yields at least one shared
+fingerprint, so near-dup pairs are found by an exact fingerprint
+equi-join — postings-shaped shuffle, O(total fingerprints), the same
+scale geometry as dedup/ngram.py.
+
+Fingerprints are implementation-defined numbers (no SQL oracle);
+tests/test_dedup.py checks containment against exact shingle-Jaccard
+pairs instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["winnow_fingerprints", "winnow_dedup_pairs", "QUERY"]
+
+KGRAM = 16
+WINDOW = 8
+# relative containment: shared fingerprints / smaller doc's
+# fingerprint count — robust to length mismatch, unlike an absolute
+# shared-count threshold
+MIN_CONTAINMENT = 0.5
+
+FP_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("fp", T.LongType())]
+)
+
+_BASE = np.uint64(257)
+
+
+def _winnow(text: str, k: int = KGRAM, w: int = WINDOW) -> np.ndarray:
+    b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return np.zeros(0, dtype=np.int64)
+    weights = _BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(b, k)  # (n-k+1, k)
+    hashes = grams @ weights  # uint64 wraparound == mod 2^64
+    if len(hashes) < w:
+        mins = np.array([hashes.min()], dtype=np.uint64)
+    else:
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins).view(np.int64)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) postings — one row per distinct window-min hash."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                f = _winnow(text)
+                ids.append(np.full(len(f), did, dtype=np.int64))
+                fps.append(f)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+
+    return docs.select(id_col, text_col).repartition(n_parts).mapInPandas(run, FP_SCHEMA)
+
+
+def winnow_dedup_pairs(
+    spark: SparkSession, sf_dir: str, min_containment: float = MIN_CONTAINMENT
+) -> DataFrame:
+    """(doc_a, doc_b, containment) pairs whose shared winnowing
+    fingerprints cover ≥ min_containment of the smaller doc's
+    fingerprint set — near-dup candidates via fingerprint equi-join."""
+    docs = t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs).persist()
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    with_n = fps.join(counts, "doc_id")
+    a, b = with_n.alias("a"), with_n.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_fp").alias("n_a"),
+            F.col("b.n_fp").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return pairs.select("doc_a", "doc_b", containment.alias("containment")).where(
+        F.col("containment") >= min_containment
+    )
+
+
+QUERY = winnow_dedup_pairs

@@ -153,11 +153,53 @@ FROM documents GROUP BY 1
 """
 
 
+# --- BPE-ish regex token counting --------------------------------------
+
+# GPT-2-style piece classes reduced to the regex subset Java (Spark)
+# and RE2 (DuckDB) evaluate identically: letter runs, digit runs,
+# single punctuation marks.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token counting (the pretraining-pipeline token
+    budget estimate): regex piece count, distinct pieces, and the
+    per-class split — all JVM-side regexp_extract_all, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    alpha = F.size(F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$")))
+    num = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        alpha.cast("long").alias("n_alpha"),
+        num.cast("long").alias("n_num"),
+        (F.size(pieces) - alpha - num).cast("long").alias("n_punct"),
+    )
+
+
+_O_PIECES = f"regexp_extract_all(text, '{BPE_PATTERN}')"
+
+ORACLE_BPE = f"""
+SELECT doc_id,
+       CAST(len({_O_PIECES}) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct({_O_PIECES})) AS BIGINT) AS n_distinct_pieces,
+       CAST(len(list_filter({_O_PIECES}, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha,
+       CAST(len(list_filter({_O_PIECES}, p -> regexp_matches(p, '^[0-9]+$'))) AS BIGINT) AS n_num,
+       CAST(len({_O_PIECES})
+            - len(list_filter({_O_PIECES}, p -> regexp_matches(p, '^[A-Za-z]+$')))
+            - len(list_filter({_O_PIECES}, p -> regexp_matches(p, '^[0-9]+$'))) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_bpe_stats": bpe_token_stats,
 }
 
 ORACLES = {
@@ -165,4 +207,5 @@ ORACLES = {
     "text_quality_score": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_bpe_stats": ORACLE_BPE,
 }

@@ -169,6 +169,45 @@ FROM orders GROUP BY 1
 """
 
 
+# --- Loghub record wrap/parse round trip (S12) -------------------------
+
+def loghub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap events in the Loghub record shape (system columns + JSON
+    __value__ bag), then schema-on-read parse the bag back to typed
+    fields and aggregate — wrap∘parse must be the identity, so the
+    oracle is the plain aggregation (LoghubSourceProvider.scala:249-268
+    record shape; Utils.scala:101-152 typed converters)."""
+    from pyspark.sql import types as T
+
+    from aliyun_emapreduce_datasources_spark.streaming.sources import (
+        parse_loghub_value,
+        with_loghub_columns,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wrapped = with_loghub_columns(ev, project="p1", store="events")
+    user_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = parse_loghub_value(wrapped, user_schema)
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("event_id").alias("max_id"),
+        dsum("value", "sum_value"),
+    )
+
+
+ORACLE_LOGHUB = f"""
+SELECT event_type, COUNT(*) AS cnt, MAX(event_id) AS max_id,
+       {o_dsum(o_m('value'), 'sum_value')}
+FROM events GROUP BY 1
+"""
+
+
 # --- LR scoring (U3) ---------------------------------------------------
 
 LR_COEF = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
@@ -201,6 +240,7 @@ QUERIES = {
     "cdc_merge_apply": cdc_merge_apply,
     "ots_col_parser": ots_col_parser_query,
     "dts_decode": dts_decode,
+    "loghub_roundtrip": loghub_roundtrip,
     "lr_scoring": lr_scoring,
 }
 
@@ -209,5 +249,6 @@ ORACLES = {
     "cdc_merge_apply": ORACLE_CDC_MERGE,
     "ots_col_parser": ORACLE_OTS_PARSER,
     "dts_decode": ORACLE_DTS_DECODE,
+    "loghub_roundtrip": ORACLE_LOGHUB,
     "lr_scoring": ORACLE_LR,
 }

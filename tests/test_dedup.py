@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.dedup import minhash, ngram
+from aliyun_emapreduce_datasources_spark.dedup import minhash, ngram, winnow
 from aliyun_emapreduce_datasources_spark.dedup.exact import dedup_keep_first
 
 
@@ -30,6 +30,40 @@ def test_minhash_pairs_verified_above_threshold(spark, sf_dir):
     rows = minhash.minhash_dedup_pairs(spark, sf_dir, threshold=0.5).collect()
     assert all(r.jaccard >= 0.5 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_winnow_recovers_high_jaccard_pairs(spark, sf_dir):
+    """Winnowing guarantee: docs sharing long substrings share
+    fingerprints — every high-Jaccard shingle pair must surface as a
+    winnow candidate pair."""
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram.ngram_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard >= 0.6
+    }
+    win_pairs = {(r.doc_a, r.doc_b) for r in winnow.winnow_dedup_pairs(spark, sf_dir).collect()}
+    missed = exact_pairs - win_pairs
+    assert not missed, f"winnowing missed near-dup pairs: {missed}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Two docs sharing a ≥ k+w-1-char substring must share ≥1
+    fingerprint; disjoint-alphabet docs must share none."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + common + " BBBB"),
+            (2, "CCCC " + common + " DDDD"),
+            (3, "zzzzyyyyxxxxwwwwvvvvuuuuttttssss"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow.winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
 
 
 def test_dedup_keep_first_removes_duplicates(spark):
