@@ -639,13 +639,199 @@ GROUP BY 1
 """
 
 
+# --- Q2 shape: per-group MIN correlated subquery + join-back ----------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per STANDARD part (TPC-H Q2 with unit sale
+    price from lineitem standing in for the missing partsupp
+    ps_supplycost). The correlated `cost = (SELECT min ...)` becomes a
+    grouped MIN joined back on equality — Catalyst's own decorrelation
+    shape, expressed directly. At 100 TB the only wide shuffle is the
+    (partkey, suppkey) pre-aggregation; the part/supplier/nation/region
+    dims broadcast, and the join-back runs on the already-reduced
+    pair table. MIN over doubles is accumulation-order independent, so
+    the double unit price needs no decimal detour.
+    """
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    )
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    li = t(spark, sf_dir, "lineitem")
+
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.bp) & (costs.cost == best.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY 1, 2
+), eligible AS (
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey AS partkey,
+           cost, l_partkey
+    FROM costs
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size < 15 AND r_name = 'ASIA'
+)
+SELECT s_acctbal, s_name, nation, partkey, cost
+FROM eligible e
+WHERE cost = (SELECT MIN(cost) FROM eligible i WHERE i.l_partkey = e.l_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, partkey
+LIMIT 100
+"""
+
+
+# --- Q12 shape: conditional two-way counts by derived category --------
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority line counts per ship mode (TPC-H Q12; the testdata has
+    no l_shipmode/commitdate, so the mode is derived deterministically
+    from l_linenumber and the late-commit predicate becomes a 1997
+    ship-year filter). The CASE-WHEN-inside-SUM pair is the corpus'
+    'CASE WHEN (arith guard)' class (SURVEY §2.2) in aggregate
+    position. One shuffle on a 3-value key; the orders join stays
+    broadcast-free only at corpus scale — here orders is the smaller
+    side of a fact-fact join, so shuffle hash on orderkey.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.element_at(
+                F.array(F.lit("MAIL"), F.lit("RAIL"), F.lit("SHIP")),
+                (F.col("l_linenumber") % 3 + 1).cast("int"),
+            ).alias("ship_mode")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+ORACLE_Q12 = """
+SELECT (['MAIL', 'RAIL', 'SHIP'])[(l_linenumber % 3) + 1] AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- Q20 shape: nested aggregate threshold + semi-join chain ----------
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved >20% of a PROMO part's 1998 volume (TPC-H
+    Q20: ps_availqty > 0.5 * sum(l_quantity) becomes pair-share vs
+    part-total, both from lineitem since partsupp doesn't exist). Two
+    stacked aggregates on the same shuffled (partkey[, suppkey]) keys,
+    a broadcast threshold comparison, then EXISTS = left_semi onto
+    supplier. Quantity sums use the exact-decimal convention and the
+    0.2 factor is a decimal literal, so the threshold comparison is
+    integer-exact in both engines.
+    """
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    promo = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pair = promo.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(m("l_quantity")).alias("pair_qty")
+    )
+    total = promo.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum(m("l_quantity")).alias("total_qty")
+    )
+    qualifying = pair.join(total, pair.l_partkey == total.tp).where(
+        F.col("pair_qty")
+        > F.col("total_qty") * F.lit("0.2").cast("decimal(2,1)")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            qualifying.select("l_suppkey").distinct(),
+            sup.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_Q20 = f"""
+WITH promo AS (
+    SELECT l_partkey, l_suppkey, {o_m('l_quantity')} AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+), pair AS (
+    SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+    FROM promo GROUP BY 1, 2
+), total AS (
+    SELECT l_partkey, SUM(qty) AS total_qty FROM promo GROUP BY 1
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM pair JOIN total USING (l_partkey)
+    WHERE pair_qty > total_qty * CAST(0.2 AS DECIMAL(2,1)))
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_exists_priority": q4_exists_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_top20": q10_returned_top20,
     "q11_important_parts": q11_important_parts,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q13_count_distribution": q13_count_distribution,
     "q14_promo_effect": q14_promo_effect,
     "q15_top_supplier": q15_top_supplier,
@@ -653,17 +839,20 @@ QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
+    "q20_potential_promotion": q20_potential_promotion,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_idle_customers": q22_idle_customers,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": ORACLE_Q2,
     "q4_exists_priority": ORACLE_Q4,
     "q7_volume_shipping": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,
     "q9_product_profit": ORACLE_Q9,
     "q10_returned_top20": ORACLE_Q10,
     "q11_important_parts": ORACLE_Q11,
+    "q12_shipmode_priority": ORACLE_Q12,
     "q13_count_distribution": ORACLE_Q13,
     "q14_promo_effect": ORACLE_Q14,
     "q15_top_supplier": ORACLE_Q15,
@@ -671,6 +860,7 @@ ORACLES = {
     "q17_small_quantity": ORACLE_Q17,
     "q18_large_orders": ORACLE_Q18,
     "q19_disjunctive": ORACLE_Q19,
+    "q20_potential_promotion": ORACLE_Q20,
     "q21_waiting_supplier": ORACLE_Q21,
     "q22_idle_customers": ORACLE_Q22,
 }

@@ -134,7 +134,11 @@ def dts_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode orders as CDC wire records, decode with the 9-field DTS
     record schema, aggregate by record type (decode∘encode == id, so
     the oracle computes the plain equivalent)."""
-    orders = t(spark, sf_dir, "orders")
+    # single-file input → one scan partition; spread the (CPU-bound)
+    # JSON encode/decode chain across cores before it runs
+    orders = t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     mod = F.col("o_orderkey") % 10
     wire = orders.select(
         F.to_json(

@@ -36,6 +36,10 @@ def main() -> None:
     # or pyspark-worker fork costs
     QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     QUERIES["lr_scoring"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # JSON codec codegen (to_json/from_json JIT) — one tiny row
+    spark.sql(
+        "SELECT from_json(to_json(named_struct('a', 1)), 'a int')"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
