@@ -2,10 +2,11 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.dedup import embedding, exact, minhash, ngram, simhash, winnow
+from aliyun_emapreduce_datasources_spark.dedup import clusters, embedding, exact, minhash, ngram, simhash, winnow
 
 QUERIES = {
     "dedup_exact": exact.QUERY,
+    "dedup_cluster_resolve": clusters.QUERY,
     "dedup_ngram_jaccard": ngram.QUERY,
     "dedup_minhash_lsh": minhash.QUERY,
     "dedup_simhash": simhash.QUERY,
@@ -17,6 +18,7 @@ QUERIES = {
 # DuckDB cannot reproduce → rows-only checks for those.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
+    "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,
 }

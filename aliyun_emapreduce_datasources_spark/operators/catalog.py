@@ -24,13 +24,21 @@ def _merge(mod) -> None:
 
 
 def _load() -> None:
-    from aliyun_emapreduce_datasources_spark.operators import analytic, corpus, skew, tpch, tpch_extra
+    from aliyun_emapreduce_datasources_spark.operators import (
+        analytic,
+        corpus,
+        pipeline,
+        skew,
+        tpch,
+        tpch_extra,
+    )
 
     _merge(tpch)
     _merge(tpch_extra)
     _merge(corpus)
     _merge(analytic)
     _merge(skew)
+    _merge(pipeline)
     for modname in (
         "dedup.queries",
         "similarity.queries",

@@ -1,0 +1,189 @@
+"""Training-data pipeline operators: deterministic sampling / source
+mixing, as-of (point-in-time) joins, and distribution statistics.
+
+These are the everyday verbs of a 100 TB corpus build that the
+reference's connector surface doesn't name but its users run on top:
+down-weighting over-represented sources into a training mix, aligning
+an event to the most recent fact row at-or-before its timestamp, and
+profiling length distributions per language. All three are pure
+DataFrame plans (no UDFs) and all three are DuckDB-oracle-checked —
+the sampling one by construction, because the "random" coin is a
+cryptographic hash both engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+# --- Deterministic weighted sampling (data mixing) --------------------
+
+def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample of documents with a deterministic,
+    engine-portable coin: bucket = first 32 bits of md5(doc_id) mod
+    1000, keep iff bucket < rate*1000. Unlike ``df.sample`` (seeded
+    per-partition RNG → changes with partitioning and engine), the
+    hash coin is a pure per-row function — stable under repartition,
+    retries, and re-runs, which is what makes a training mix
+    reproducible. Rates cycle 0.25/0.5/0.75 by source number; a real
+    pipeline feeds a rate table, which would broadcast-join the same
+    way the CASE expression folds here. Embarrassingly parallel: scan
+    → filter, no shuffle at all.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate_millis = (
+        F.when(src_num % 3 == 0, 250)
+        .when(src_num % 3 == 1, 500)
+        .otherwise(750)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate_millis)
+        .select("doc_id", "source", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MIX = """
+SELECT doc_id, source, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000
+      < CASE CAST(substr(source, 4) AS INT) % 3
+            WHEN 0 THEN 250 WHEN 1 THEN 500 ELSE 750 END
+ORDER BY doc_id
+"""
+
+
+# --- As-of (point-in-time) join ---------------------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order at-or-before
+    the event time (ASOF LEFT JOIN). Spark lacks the operator, and the
+    naive range join is O(events x orders per user); the scalable
+    composition is union-then-window: tag order rows and event rows,
+    sort each user's timeline once, and carry the latest order key
+    forward with ``last(ignorenulls)``. One shuffle on user_id total —
+    the same plan at 100 TB, with state bounded by window frame, not
+    pair count. Orders are pre-reduced to one row per (user, date)
+    (max orderkey — the ASOF tie rule) so the timeline is unambiguous;
+    orders sort before events on timestamp ties so a.ts <= e.ts
+    matches the oracle's ASOF semantics.
+    """
+    events = t(spark, sf_dir, "events")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderkey").alias("order_key"))
+    )
+    timeline = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("order_key"),
+        F.lit(1).alias("tag"),
+    ).unionByName(
+        orders.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            "order_key",
+            F.lit(0).alias("tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        timeline.withColumn(
+            "last_order_key", F.last("order_key", ignorenulls=True).over(w)
+        )
+        .where(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_order_key")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+WITH o AS (
+    SELECT o_custkey AS user_id, o_orderdate AS ts,
+           MAX(o_orderkey) AS order_key
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(o.order_key AS BIGINT) AS last_order_key
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND o.ts <= e.ts
+ORDER BY e.event_id
+"""
+
+
+# --- Distribution statistics (exact quantiles) ------------------------
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p50/p90/p99 of document length plus mean — the
+    profile every corpus filter threshold is read off of. Exact
+    ``percentile`` here (matches the oracle bit-for-bit at any SF
+    because both engines use the same linear interpolation on sorted
+    doubles); the 100 TB variant swaps in ``approx_percentile(...,
+    accuracy)`` — same plan shape, one pass, bounded memory — which is
+    why the column names carry no "approx": callers choose per run.
+    """
+    docs = t(spark, sf_dir, "documents")
+    q = F.percentile(F.col("n_chars").cast("double"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q.getItem(0).alias("p50_chars"),
+            q.getItem(1).alias("p90_chars"),
+            q.getItem(2).alias("p99_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT lang, COUNT(*) AS n_docs,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "mix_sample_weighted": mix_sample_weighted,
+    "asof_join_events": asof_join_events,
+    "doc_length_quantiles": doc_length_quantiles,
+}
+
+ORACLES = {
+    "mix_sample_weighted": ORACLE_MIX,
+    "asof_join_events": ORACLE_ASOF,
+    "doc_length_quantiles": ORACLE_QUANTILES,
+}

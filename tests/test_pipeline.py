@@ -1,0 +1,81 @@
+"""Unit tests for pipeline operators on synthetic micro-tables:
+connected-components closure (multi-hop chains, singletons) and as-of
+join semantics (ties, no-prior-order NULLs, strictly-later orders).
+Differential coverage at testdata scale lives in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.dedup.clusters import connected_components
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # 1-2-3 chain (transitive closure!), 4-5 pair, 6 singleton
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-hop path exercises multi-round propagation + checkpointing
+    n = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(nodes, edges)
+    assert got.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_asof_join_tie_and_null(spark, sf_dir, tmp_path):
+    # build a tiny parquet fixture shaped like the testdata tables
+    events = spark.createDataFrame(
+        [
+            (1, "2020-01-05", 10),  # order exactly at event ts -> match
+            (2, "2020-01-04", 10),  # order strictly after -> prior one
+            (3, "2020-01-01", 10),  # before any order -> NULL
+            (4, "2020-01-09", 20),  # two orders same day -> max orderkey
+        ],
+        ["event_id", "d", "user_id"],
+    ).select(
+        "event_id",
+        F.col("d").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 10, "2020-01-02"),
+            (101, 10, "2020-01-05"),
+            (102, 20, "2020-01-08"),
+            (103, 20, "2020-01-08"),
+        ],
+        ["o_orderkey", "o_custkey", "d"],
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    events.write.parquet(str(tmp_path / "events.parquet"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+
+    from aliyun_emapreduce_datasources_spark.operators.pipeline import asof_join_events
+
+    got = {
+        r["event_id"]: r["last_order_key"]
+        for r in asof_join_events(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 101, 2: 100, 3: None, 4: 103}
