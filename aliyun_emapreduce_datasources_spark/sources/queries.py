@@ -239,8 +239,55 @@ FROM embeddings GROUP BY 1
 """
 
 
+# --- Python DataSource scan (S1-S3 on the pyspark.sql.datasource API) --
+
+def pyds_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan documents through the registered ``emrkv`` Python
+    DataSource with a JSON-catalog-declared subset schema and two
+    pushable predicates (compiled to pyarrow expressions inside the
+    reader, so filtering happens at the Arrow scan, not post-hoc),
+    then aggregate per language. The residual-split contract is
+    unit-tested in tests/test_pyds.py; this entry proves the e2e path
+    under the driver's vanilla session."""
+    from aliyun_emapreduce_datasources_spark.sources.pyds import register_all
+
+    register_all(spark)
+    catalog = (
+        '{"columns": {"doc_id": {"type": "bigint"}, "lang": {"type": "string"},'
+        ' "source": {"type": "string"}, "n_chars": {"type": "bigint"}}}'
+    )
+    df = (
+        spark.read.format("emrkv")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("catalog", catalog)
+        .load()
+    )
+    return (
+        df.where(F.col("lang").isin("en", "de", "fr") & (F.col("n_chars") > 100))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PYDS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE lang IN ('en', 'de', 'fr') AND n_chars > 100
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "kv_filter_pushdown": kv_filter_pushdown,
+    "pyds_kv_scan": pyds_kv_scan,
     "cdc_merge_apply": cdc_merge_apply,
     "ots_col_parser": ots_col_parser_query,
     "dts_decode": dts_decode,
@@ -250,6 +297,7 @@ QUERIES = {
 
 ORACLES = {
     "kv_filter_pushdown": ORACLE_KV,
+    "pyds_kv_scan": ORACLE_PYDS,
     "cdc_merge_apply": ORACLE_CDC_MERGE,
     "ots_col_parser": ORACLE_OTS_PARSER,
     "dts_decode": ORACLE_DTS_DECODE,
