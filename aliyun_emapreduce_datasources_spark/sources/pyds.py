@@ -46,6 +46,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -58,6 +60,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     Not,
     StringStartsWith,
+    WriterCommitMessage,
 )
 # NOTE: no _parse_datatype_string anywhere in this module — every
 # DataSource method runs in a sessionless Python worker, so schemas
@@ -243,6 +246,12 @@ class KVStoreDataSource(DataSource):
     def reader(self, schema: StructType) -> KVStoreReader:
         return KVStoreReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return KVStoreWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return KVStoreStreamWriter(schema, self.options)
+
 
 def _ARROW_TO_DDL(t: pa.DataType) -> str:  # noqa: N802
     if pa.types.is_int64(t):
@@ -370,6 +379,128 @@ class LogShardDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> LogShardStreamReader:
         return LogShardStreamReader(schema, self.options)
+
+
+# --- emrkv write path: two-phase commit (S4/S8/S23 analog) ------------
+
+def _DDL_TO_ARROW(type_name: str) -> pa.DataType:  # noqa: N802
+    return {
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "timestamp": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }.get(type_name, pa.string())
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class KVStoreWriter(DataSourceWriter):
+    """Batch writer with the stage-then-commit protocol the reference's
+    exactly-once sinks use (JDBCSinkLog.scala:25-110 two-phase
+    COMMITTED log; TableStoreSink idempotent addBatch): executors write
+    parquet part files into ``_staging/``, the driver-side ``commit``
+    atomically renames every part into place and drops a ``_SUCCESS``
+    manifest listing them; ``abort`` removes the orphaned stage. A
+    reader never sees a half-written table because parts only become
+    visible after all tasks succeeded.
+    """
+
+    def __init__(self, schema: StructType, options, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        schema = StructType.fromJson(json.loads(self.schema_json))
+        names = [f.name for f in schema.fields]
+        rows = [tuple(r) for r in iterator]
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        staged = os.path.join(
+            self.path, "_staging", f"part-{part_id:05d}-{attempt}.parquet"
+        )
+        arrays = list(zip(*rows)) if rows else [[] for _ in names]
+        arrow_schema = pa.schema(
+            [(n, _DDL_TO_ARROW(f.dataType.typeName())) for n, f in zip(names, schema.fields)]
+        )
+        table = pa.table(
+            {n: list(col) for n, col in zip(names, arrays)}, schema=arrow_schema
+        )
+        pq.write_table(table, staged)
+        return _StagedFile(staged=staged, rows=len(rows))
+
+    def commit(self, messages) -> None:
+        final: list[str] = []
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(self.path, f))
+        for msg in messages:
+            if msg is None:
+                continue
+            dest = os.path.join(self.path, os.path.basename(msg.staged))
+            os.replace(msg.staged, dest)
+            final.append(os.path.basename(msg.staged))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"files": final}, fh)
+
+    def abort(self, messages) -> None:
+        for msg in messages or []:
+            if msg is not None and os.path.exists(msg.staged):
+                os.remove(msg.staged)
+
+
+class KVStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: same staging protocol, plus an idempotent
+    per-batch commit log. ``commit`` is a no-op when the batch's
+    manifest already exists — the replayed-batch case after failure
+    recovery (JdbcSink.scala:50-70: COMMITTED batchIds are skipped) —
+    so end-to-end semantics are exactly-once even though Spark's
+    contract is at-least-once.
+    """
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options["path"]
+        self.schema_json = schema.json()
+
+    def write(self, iterator) -> _StagedFile:
+        return KVStoreWriter.write(self, iterator)  # same staging step
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        manifest = os.path.join(self.path, f"_batch-{batchId}.json")
+        if os.path.exists(manifest):  # replayed batch: drop duplicates
+            for msg in messages:
+                if msg is not None and os.path.exists(msg.staged):
+                    os.remove(msg.staged)
+            return
+        final = []
+        for msg in messages:
+            if msg is None:
+                continue
+            dest = os.path.join(
+                self.path, f"batch-{batchId}-{os.path.basename(msg.staged)}"
+            )
+            os.replace(msg.staged, dest)
+            final.append(os.path.basename(dest))
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batchId": batchId, "files": final}, fh)
+        os.replace(tmp, manifest)  # the atomic COMMITTED flip
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        for msg in messages or []:
+            if msg is not None and os.path.exists(msg.staged):
+                os.remove(msg.staged)
 
 
 def register_all(spark) -> None:

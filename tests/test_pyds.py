@@ -195,3 +195,81 @@ def test_emrlog_append_resumes_from_cursor(spark, tmp_path):
         assert ks == list(range(10))
     finally:
         q.stop()
+
+
+# --- emrkv write path (S4/S8/S23) ---------------------------------------
+
+def test_emrkv_batch_write_roundtrip(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "kv_out")
+    os.makedirs(out)
+    src.write.format("emrkv").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.listdir(os.path.join(out, "_staging"))  # all promoted
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_emrkv_stream_write_exactly_once(spark, tmp_path):
+    d_in = str(tmp_path / "shards")
+    d_out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d_in)
+    os.makedirs(d_out)
+    _write_shard(d_in, 0, 20)
+    stream = (
+        spark.readStream.format("emrlog")
+        .option("path", d_in)
+        .option("schema", "k bigint, v string")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("emrkv")
+        .option("path", d_out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            files = [f for f in os.listdir(d_out) if f.endswith(".parquet")]
+            if files and spark.read.parquet(d_out + "/*.parquet").count() >= 20:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.read.parquet(d_out + "/*.parquet")
+    assert got.count() == 20
+    assert {r.k for r in got.collect()} == set(range(20))
+
+    # replayed batch: re-committing an already-manifested batchId must
+    # drop the duplicate staged files, not double the table
+    manifests = [f for f in os.listdir(d_out) if f.startswith("_batch-")]
+    assert manifests
+    # restart from the same checkpoint with more data appended
+    _write_shard(d_in, 0, 10, start=20)
+    q2 = (
+        spark.readStream.format("emrlog")
+        .option("path", d_in)
+        .option("schema", "k bigint, v string")
+        .load()
+        .writeStream.format("emrkv")
+        .option("path", d_out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.read.parquet(d_out + "/*.parquet").count() >= 30:
+                break
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+    got2 = spark.read.parquet(d_out + "/*.parquet")
+    assert got2.count() == 30  # no duplicates across restart
+    assert {r.k for r in got2.collect()} == set(range(30))
