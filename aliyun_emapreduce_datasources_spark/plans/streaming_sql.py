@@ -28,6 +28,7 @@ SURVEY.md §3.1. The rewritten text is standard Spark SQL executed with
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -133,6 +134,30 @@ class StreamingSqlSession:
     def _create_table(self, name: str, ddl_cols: str | None, fmt: str, options: dict[str, str]) -> None:
         from pyspark.sql import types as T
 
+        if fmt == "emrkv":
+            # sink table backed by the emrkv connector (the corpus'
+            # CREATE TABLE ... USING kafka sink-table declaration,
+            # q3.sql:11-21, pointed at our own DataSource instead)
+            from aliyun_emapreduce_datasources_spark.sources.pyds import register_all
+
+            register_all(self.spark)
+            self.sinks[name] = {**options, "format": "emrkv"}
+            return None
+        if fmt == "emrlog":
+            from aliyun_emapreduce_datasources_spark.sources.pyds import register_all
+
+            register_all(self.spark)
+            reader = self.spark.readStream.format("emrlog").option(
+                "path", options["path"]
+            )
+            if ddl_cols:
+                reader = reader.option("schema", ddl_cols.strip("() \n"))
+            if "maxOffsetsPerTrigger" in options:
+                reader = reader.option(
+                    "maxOffsetsPerTrigger", options["maxOffsetsPerTrigger"]
+                )
+            reader.load().createOrReplaceTempView(name)
+            return None
         if "path" not in options:
             # sink-table declaration (the corpus' kafka_temp_table_qN:
             # no source path, carries output.mode etc. — q3.sql:11-21);
@@ -196,13 +221,29 @@ class StreamingSqlSession:
         sql, watermarks = rewrite_streaming_sql(select_sql)
         df = self._apply_and_sql(sql, watermarks)
         if df.isStreaming:
-            mode = options.get("output.mode") or self.sinks.get(target, {}).get("output.mode", "complete")
-            q = (
-                df.writeStream.format("memory")
-                .queryName(target)
-                .outputMode(mode)
-                .start()
-            )
+            sink = self.sinks.get(target, {})
+            mode = options.get("output.mode") or sink.get("output.mode", "complete")
+            if sink.get("format") == "emrkv":
+                q = (
+                    df.writeStream.format("emrkv")
+                    .option("path", sink["path"])
+                    .option(
+                        "checkpointLocation",
+                        sink.get(
+                            "checkpointLocation",
+                            os.path.join(sink["path"], "_ckpt"),
+                        ),
+                    )
+                    .outputMode(mode)
+                    .start()
+                )
+            else:
+                q = (
+                    df.writeStream.format("memory")
+                    .queryName(target)
+                    .outputMode(mode)
+                    .start()
+                )
             self.queries[target] = q
             return q
         df.createOrReplaceTempView(target)

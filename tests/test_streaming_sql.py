@@ -126,3 +126,49 @@ def test_q40_dual_watermark_interval_join_script(spark, sf_dir, stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+# --- full lifecycle on our own connectors (SURVEY §3.1 end to end) ----
+
+CONNECTOR_SCRIPT = """
+CREATE TABLE log_src (k bigint, v string) USING emrlog
+    OPTIONS (path '{src}', maxOffsetsPerTrigger '60');
+CREATE TABLE kv_sink USING emrkv
+    OPTIONS (path '{dst}', output.mode 'append', checkpointLocation '{ckpt}');
+INSERT INTO kv_sink SELECT k, upper(v) AS v FROM log_src WHERE k % 2 = 0
+"""
+
+
+def test_connector_lifecycle_sql_script(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "shards"
+    dst = tmp_path / "sink"
+    src.mkdir()
+    dst.mkdir()
+    for shard in range(2):
+        with open(src / f"shard-{shard}.jsonl", "w") as fh:
+            for i in range(50):
+                fh.write(_json.dumps({"k": shard * 100 + i, "v": f"r{i}"}) + "\n")
+
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        CONNECTOR_SCRIPT.format(src=src, dst=dst, ckpt=tmp_path / "ckpt")
+    )
+    q = sess.queries["kv_sink"]
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            files = [f for f in dst.iterdir() if f.name.endswith(".parquet")]
+            if files and spark.read.parquet(f"{dst}/*.parquet").count() >= 50:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.read.parquet(f"{dst}/*.parquet")
+    rows = {(r.k, r.v) for r in got.collect()}
+    assert len(rows) == 50  # 50 even keys across both shards
+    assert all(k % 2 == 0 for k, _ in rows)
+    assert {v for _, v in rows} <= {f"R{i}" for i in range(50)}
