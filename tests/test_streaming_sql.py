@@ -172,3 +172,100 @@ def test_connector_lifecycle_sql_script(spark, tmp_path):
     assert len(rows) == 50  # 50 even keys across both shards
     assert all(k % 2 == 0 for k, _ in rows)
     assert {v for _, v in rows} <= {f"R{i}" for i in range(50)}
+
+
+# --- q3-shape: stream-static star join + complete-mode ORDER BY -------
+
+Q3_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream3 (event_id bigint, ts timestamp, user_id bigint,
+                         event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE customer_dim USING parquet OPTIONS (path '{dim}');
+CREATE TABLE result_q3s USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q3s
+SELECT c_mktsegment, count(*) AS cnt, sum(value) AS total_value
+FROM ev_stream3, customer_dim
+WHERE user_id = c_custkey AND event_type IN ('view', 'purchase')
+GROUP BY c_mktsegment
+ORDER BY total_value DESC, c_mktsegment
+"""
+
+
+def test_q3_shape_stream_static_star_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        Q3_SHAPE_SCRIPT.format(path=stream_dir, dim=f"{sf_dir}/customer.parquet")
+    )
+    q = sess.queries["result_q3s"]
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.c_mktsegment, r.cnt, round(r.total_value, 6))
+        for r in spark.table("result_q3s").collect()
+    ]
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    want = [
+        (r.c_mktsegment, r.cnt, round(r.total_value, 6))
+        for r in ev.where(F.col("event_type").isin("view", "purchase"))
+        .join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .orderBy(F.col("total_value").desc(), "c_mktsegment")
+        .collect()
+    ]
+    # complete-mode ORDER BY is respected in the materialized result
+    assert got == want
+    assert len(got) > 0
+
+
+# --- q73-shape: static derived table re-joined to the stream ----------
+
+Q73_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream73 (event_id bigint, ts timestamp, user_id bigint,
+                          event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE customer_dim73 USING parquet OPTIONS (path '{dim}');
+CREATE TABLE nation_dim73 USING parquet OPTIONS (path '{nation}');
+CREATE TABLE result_q73s USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q73s
+SELECT dj.n_name, count(*) AS ev_cnt
+FROM ev_stream73,
+     (SELECT c_custkey, n_name
+      FROM customer_dim73, nation_dim73
+      WHERE c_nationkey = n_nationkey AND c_acctbal > 0) dj
+WHERE user_id = dj.c_custkey
+GROUP BY dj.n_name
+"""
+
+
+def test_q73_shape_derived_table_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        Q73_SHAPE_SCRIPT.format(
+            path=stream_dir,
+            dim=f"{sf_dir}/customer.parquet",
+            nation=f"{sf_dir}/nation.parquet",
+        )
+    )
+    q = sess.queries["result_q73s"]
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.n_name, r.ev_cnt) for r in spark.table("result_q73s").collect()}
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    nation = t(spark, sf_dir, "nation")
+    want = {
+        (r.n_name, r.ev_cnt)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("ev_cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
