@@ -1,0 +1,93 @@
+"""Randomized aggregation-plan differential test: hypothesis composes
+an ANSI-subset SQL query (filters x group keys x aggregates x optional
+join x optional HAVING), and the *same SQL text* runs on Spark and
+DuckDB; results must match value-for-value. Extends the randomized
+filter-tree suite (test_kv_filter_random.py) from predicate semantics
+to full aggregation-plan semantics, the way the reference's corpus
+exercises operator combinations rather than single features.
+
+The generated SQL follows the determinism conventions of
+operators/common.py (decimal casts before SUM, no engine-native double
+accumulation), so equality is exact and any mismatch is a real
+semantics divergence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from test_oracle_parity import assert_frames_match
+
+KEYS = {
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "order_year": "year(o_orderdate)",
+    "cust_bucket": "o_custkey % 7",
+}
+
+AGGS = {
+    "cnt": "COUNT(*)",
+    "sum_tp": "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)",
+    "min_tp": "MIN(o_totalprice)",
+    "max_tp": "MAX(o_totalprice)",
+    "nd_cust": "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
+}
+
+PREDS = [
+    "o_totalprice > 100000",
+    "o_totalprice <= 250000.5",
+    "o_orderstatus IN ('O', 'F')",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')",
+    "o_orderdate >= TIMESTAMP '1997-01-01'",
+    "o_orderdate < TIMESTAMP '2000-06-15'",
+    "o_custkey % 3 = 1",
+]
+
+_query = st.builds(
+    lambda keys, aggs, preds, conj, join, having: (
+        keys, aggs, preds, conj, join, having
+    ),
+    keys=st.lists(st.sampled_from(sorted(KEYS)), min_size=1, max_size=3, unique=True),
+    aggs=st.lists(st.sampled_from(sorted(AGGS)), min_size=1, max_size=4, unique=True),
+    preds=st.lists(st.sampled_from(PREDS), min_size=0, max_size=3, unique=True),
+    conj=st.sampled_from(["AND", "OR"]),
+    join=st.booleans(),
+    having=st.one_of(st.none(), st.integers(1, 20)),
+)
+
+
+def _build_sql(keys, aggs, preds, conj, join, having) -> str:
+    key_exprs = ", ".join(f"{KEYS[k]} AS {k}" for k in keys)
+    agg_exprs = ", ".join(f"{AGGS[a]} AS {a}" for a in aggs)
+    frm = "orders"
+    if join:
+        frm = "orders JOIN customer ON o_custkey = c_custkey"
+    where = f" WHERE {f' {conj} '.join(preds)}" if preds else ""
+    group = ", ".join(KEYS[k] for k in keys)
+    hav = f" HAVING COUNT(*) > {having}" if having is not None else ""
+    return (
+        f"SELECT {key_exprs}, {agg_exprs} FROM {frm}{where}"
+        f" GROUP BY {group}{hav}"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_query)
+def test_random_aggregation_sql_matches_duckdb(q, spark, oracle):
+    sql = _build_sql(*q)
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = oracle.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, sql)
