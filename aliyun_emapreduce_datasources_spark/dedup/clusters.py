@@ -87,15 +87,37 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for every document, edges = shingle-Jaccard
     near-dup pairs (dedup/ngram.py). ``is_kept`` marks the canonical
-    representative (minimum doc_id of its component)."""
+    representative (minimum doc_id of its component).
+
+    The label iteration runs only over edge-touched nodes — in a real
+    corpus the near-dup subgraph is orders of magnitude smaller than
+    the corpus, so the per-round joins stay small (often broadcast)
+    while the full document set is touched exactly once by the final
+    join-back; singletons never enter the loop.
+    """
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, pairs)
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
-    ).orderBy("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    touched = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(touched, pairs)
+    out = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+    pairs.unpersist(blocking=False)
+    return out
 
 
 QUERY = dedup_cluster_resolve
