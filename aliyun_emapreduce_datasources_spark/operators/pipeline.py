@@ -176,14 +176,85 @@ ORDER BY lang
 """
 
 
+# --- Binned range join ------------------------------------------------
+
+_BIN_S = 600  # bin width == interval width -> each probe hits 2 bins
+
+
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-view count per purchase over a *pure* time-range
+    predicate (no equality key): naive Spark executes
+    ``v.ts ∈ [b.ts-10min, b.ts)`` as a broadcast nested loop —
+    O(|views|·|buys|) comparisons. The scale composition bins both
+    sides by the interval width: every view lands in exactly one bin,
+    every purchase probes its own bin and the previous one, and the
+    bin equality turns the plan into a shuffled hash join with the
+    exact range re-checked after the match. Comparisons drop to pairs
+    sharing a bin — linear-ish for time-local data. Hot bins (load
+    spikes) are ordinary skew: AQE split or salting composes on top.
+    Bins come from the full-precision epoch (cast to double), so
+    fractional-second timestamps bin consistently with the predicate.
+    """
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"),
+        F.floor(F.col("ts").cast("double") / _BIN_S).alias("bin"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("b_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.col("ts").cast("double") / _BIN_S),
+                F.floor(F.col("ts").cast("double") / _BIN_S) - 1,
+            )
+        ).alias("bin"),
+    )
+    matched = (
+        buys.join(views, "bin")
+        .where(
+            (F.col("v_ts") >= F.col("b_ts") - F.expr(f"interval {_BIN_S} seconds"))
+            & (F.col("v_ts") < F.col("b_ts"))
+        )
+        .groupBy("buy_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_views"))
+    )
+    all_buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id")
+    )
+    return (
+        all_buys.join(matched, "buy_id", "left")
+        .select(
+            "buy_id",
+            F.coalesce("n_recent_views", F.lit(0)).cast("long").alias(
+                "n_recent_views"
+            ),
+        )
+        .orderBy("buy_id")
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT b.event_id AS buy_id,
+       CAST(COUNT(v.ts) AS BIGINT) AS n_recent_views
+FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.ts >= b.ts - INTERVAL {_BIN_S} SECOND AND v.ts < b.ts
+GROUP BY b.event_id
+ORDER BY buy_id
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
+    "range_join_binned": range_join_binned,
 }
 
 ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
+    "range_join_binned": ORACLE_RANGE_JOIN,
 }

@@ -68,3 +68,20 @@ def test_text_stats_prunes_to_two_columns(spark, sf_dir):
     read = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "doc_id" in read and "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned composition must plan as a hash/sort-merge join on
+    the bin key — never the nested-loop a bare range predicate gets."""
+    plan = plan_of(QUERIES["range_join_binned"](spark, sf_dir), mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "bin" in plan
+
+
+def test_asof_join_single_shuffle_window(spark, sf_dir):
+    """The as-of composition is union + one window — no join of the
+    event table against the orders table at all (and so no pair
+    blow-up); exactly one Window operator over user_id."""
+    plan = plan_of(QUERIES["asof_join_events"](spark, sf_dir), mode="simple")
+    assert plan.count("Window") >= 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
