@@ -310,7 +310,60 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hypertable-style time-hierarchy rollup ---------------------------
+
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy (the Druid/hypertable rollup
+    shape, S26): one scan of the event stream produces minute, hour,
+    day, and grand-total summaries via ROLLUP over truncated
+    timestamps. Spark's Expand feeds all four grouping levels into one
+    partial-aggregated shuffle — at 100 TB this is strictly cheaper
+    than four separate jobs and is exactly how a streaming
+    materialization would fold into coarser granularities. Grouping
+    indicators disambiguate levels (a NULL hour means day-level, not
+    missing data)."""
+    # group keys become formatted strings (NULL at rolled-up levels):
+    # engine-portable values for the driver's hash compare, unlike
+    # NULL-bearing timestamps whose pandas resolution differs
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("g_day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("g_hour"),
+        F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("g_minute"),
+        "value",
+    )
+    return (
+        ev.rollup("g_day", "g_hour", "g_minute")
+        .agg(
+            F.grouping("g_day").cast("long").alias("lvl_day"),
+            F.grouping("g_hour").cast("long").alias("lvl_hour"),
+            F.grouping("g_minute").cast("long").alias("lvl_minute"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+ORACLE_TIME_ROLLUP = f"""
+WITH e AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS g_day,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS g_hour,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS g_minute,
+           value
+    FROM events
+)
+SELECT g_day, g_hour, g_minute,
+       CAST(grouping(g_day) AS BIGINT) AS lvl_day,
+       CAST(grouping(g_hour) AS BIGINT) AS lvl_hour,
+       CAST(grouping(g_minute) AS BIGINT) AS lvl_minute,
+       COUNT(*) AS cnt,
+       {o_dsum(o_m('value'), 'sum_value')}
+FROM e
+GROUP BY ROLLUP(g_day, g_hour, g_minute)
+"""
+
+
 QUERIES = {
+    "rollup_time_hierarchy": rollup_time_hierarchy,
     "win_topk_per_group": win_topk_per_group,
     "win_running_total": win_running_total,
     "win_moving_avg": win_moving_avg,
@@ -325,6 +378,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_time_hierarchy": ORACLE_TIME_ROLLUP,
     "win_topk_per_group": ORACLE_TOPK,
     "win_running_total": ORACLE_RUNNING,
     "win_moving_avg": ORACLE_MOVAVG,

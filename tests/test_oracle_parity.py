@@ -22,7 +22,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # unify resolution: Spark hands back ns, DuckDB us — raw
+            # array comparison would otherwise fail on equal instants
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+            )
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: float(v) if hasattr(v, "as_tuple") else v)
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
