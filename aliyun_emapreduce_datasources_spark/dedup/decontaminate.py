@@ -1,0 +1,85 @@
+"""Train/eval decontamination by n-gram overlap.
+
+The standard pretraining hygiene pass: any training document that
+shares a k-token shingle with the held-out evaluation set is flagged
+(and typically dropped or scrubbed). Here the eval split is carved
+deterministically from the same corpus (``doc_id % 10 == 0`` — the
+stand-in for "the benchmark suite"), and the overlap unit is the
+3-token shingle, same as the near-dup operators.
+
+Scale shape (the part that matters at 100 TB):
+
+- Both sides explode to **distinct shingle hash postings** — shuffle
+  volume is O(total shingles), never O(train × eval) document pairs.
+- The eval side reduces to a distinct shingle set first; the join is a
+  plain shuffled hash join on the 64-bit shingle hash. (The eval set
+  of a real pipeline is benchmark-sized — a few MB of shingles — so
+  Spark/AQE will broadcast it and the train side never shuffles at
+  all; we don't force the hint so the plan also survives an eval side
+  that *isn't* small.)
+- Because the train side is distinct-per-document, the per-document
+  ``COUNT(*)`` after the join IS the distinct-shared-shingle count —
+  no count(distinct) pass needed.
+
+Output: one row per contaminated training document with the number of
+distinct eval shingles it shares. Clean documents produce no row (the
+anti-join complement is the "keep" set).
+
+Comparison is on xxhash64(shingle); a collision would flag one extra
+shingle pair per ~2⁻⁶⁴ — accepted, and absent in the testdata (the
+oracle compares raw shingle strings and matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["decontaminate", "QUERY", "ORACLE"]
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 distinct 3-shingle with the eval split
+    (doc_id % 10 == 0), with the distinct shared-shingle count."""
+    docs = t(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_eval"),
+        F.explode(
+            F.transform(
+                F.array_distinct(shingles(tokens("text"))),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    )
+    eval_sh = postings.where("is_eval").select("s").distinct()
+    train = postings.where(~F.col("is_eval"))
+    return (
+        train.join(eval_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+QUERY = decontaminate
+
+_O_SH = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
+)
+
+ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_eval, unnest({_O_SH}) AS s
+  FROM documents
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE is_eval
+)
+SELECT sh.doc_id, COUNT(*) AS n_shared
+FROM sh JOIN ev USING (s)
+WHERE NOT sh.is_eval
+GROUP BY sh.doc_id
+"""

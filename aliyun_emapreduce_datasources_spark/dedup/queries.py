@@ -2,10 +2,20 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.dedup import clusters, embedding, exact, minhash, ngram, simhash, winnow
+from aliyun_emapreduce_datasources_spark.dedup import (
+    clusters,
+    decontaminate,
+    embedding,
+    exact,
+    minhash,
+    ngram,
+    simhash,
+    winnow,
+)
 
 QUERIES = {
     "dedup_exact": exact.QUERY,
+    "dedup_decontaminate": decontaminate.QUERY,
     "dedup_cluster_resolve": clusters.QUERY,
     "dedup_ngram_jaccard": ngram.QUERY,
     "dedup_minhash_lsh": minhash.QUERY,
@@ -18,6 +28,7 @@ QUERIES = {
 # DuckDB cannot reproduce → rows-only checks for those.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
+    "dedup_decontaminate": decontaminate.ORACLE,
     "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,

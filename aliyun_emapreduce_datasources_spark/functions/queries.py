@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.functions import text
+from aliyun_emapreduce_datasources_spark.functions import text, vocab
 
-QUERIES = dict(text.QUERIES)
-ORACLES = dict(text.ORACLES)
+QUERIES = {**text.QUERIES, **vocab.QUERIES}
+ORACLES = {**text.ORACLES, **vocab.ORACLES}
