@@ -221,6 +221,97 @@ def test_q3_shape_stream_static_star_script(spark, sf_dir, stream_dir):
     assert len(got) > 0
 
 
+# --- q100-shape: HOPPING window declared via CTAS (q103 statement form)
+
+Q100_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream100 (event_id bigint, ts timestamp, user_id bigint,
+                           event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE result_q100 USING kafka OPTIONS (output.mode 'complete') AS
+SELECT window.start AS window_start, event_type, count(*) AS cnt
+FROM ev_stream100
+WHERE delay(ts) < '5 minutes'
+GROUP BY HOPPING(ts, interval 2 hours, interval 1 hour), event_type
+"""
+
+
+def test_q100_shape_hopping_ctas_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(Q100_SHAPE_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_q100"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.table("result_q100").collect()
+    }
+
+    ev = t(spark, sf_dir, "events")
+    want = {
+        (r.ws, r.event_type): r.cnt
+        for r in ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+# --- q71-shape: UNION ALL of two stream channels joined to a dim ------
+
+Q71_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_web71 (event_id bigint, ts timestamp, user_id bigint,
+                       event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE ev_store71 (event_id bigint, ts timestamp, user_id bigint,
+                         event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE customer_dim71 USING parquet OPTIONS (path '{dim}');
+CREATE TABLE result_q71 USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q71
+SELECT c_mktsegment, channel, count(*) AS cnt
+FROM (SELECT user_id, 'web' AS channel FROM ev_web71 WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, 'store' AS channel FROM ev_store71 WHERE event_type = 'purchase') u,
+     customer_dim71
+WHERE u.user_id = c_custkey
+GROUP BY c_mktsegment, channel
+"""
+
+
+def test_q71_shape_union_all_channels_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        Q71_SHAPE_SCRIPT.format(path=stream_dir, dim=f"{sf_dir}/customer.parquet")
+    )
+    q = sess.queries["result_q71"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.c_mktsegment, r.channel): r.cnt
+        for r in spark.table("result_q71").collect()
+    }
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    web = ev.where(F.col("event_type") == "view").select("user_id", F.lit("web").alias("channel"))
+    store = ev.where(F.col("event_type") == "purchase").select("user_id", F.lit("store").alias("channel"))
+    want = {
+        (r.c_mktsegment, r.channel): r.cnt
+        for r in web.unionAll(store)
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "channel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 # --- q73-shape: static derived table re-joined to the stream ----------
 
 Q73_SHAPE_SCRIPT = """
