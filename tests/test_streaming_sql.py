@@ -312,6 +312,57 @@ def test_q71_shape_union_all_channels_script(spark, sf_dir, stream_dir):
     assert len(got) > 0
 
 
+# --- q27-shape: GROUP BY ROLLUP + grouping() in complete mode ---------
+# (q18.sql:48, q22.sql:28-34, q27.sql:26-41 — public Spark supports
+# streaming rollup aggregation directly, so the front-end passes it
+# through untouched)
+
+Q27_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream27 (event_id bigint, ts timestamp, user_id bigint,
+                          event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE customer_dim27 USING parquet OPTIONS (path '{dim}');
+CREATE TABLE result_q27 USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q27
+SELECT c_mktsegment, event_type, grouping(event_type) AS g_et,
+       count(*) AS cnt, sum(value) AS total_value
+FROM ev_stream27, customer_dim27
+WHERE user_id = c_custkey
+GROUP BY ROLLUP(c_mktsegment, event_type)
+"""
+
+
+def test_q27_shape_streaming_rollup_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        Q27_SHAPE_SCRIPT.format(path=stream_dir, dim=f"{sf_dir}/customer.parquet")
+    )
+    q = sess.queries["result_q27"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.c_mktsegment, r.event_type, r.g_et): (r.cnt, round(r.total_value, 6))
+        for r in spark.table("result_q27").collect()
+    }
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    want = {
+        (r.c_mktsegment, r.event_type, r.g_et): (r.cnt, round(r.total_value, 6))
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .rollup("c_mktsegment", "event_type")
+        .agg(
+            F.grouping("event_type").alias("g_et"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 # --- q73-shape: static derived table re-joined to the stream ----------
 
 Q73_SHAPE_SCRIPT = """
