@@ -85,3 +85,37 @@ def test_asof_join_single_shuffle_window(spark, sf_dir):
     plan = plan_of(QUERIES["asof_join_events"](spark, sf_dir), mode="simple")
     assert plan.count("Window") >= 1
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffled_fact_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (SPARK-32268): when a fact-fact
+    join shuffles (no broadcast) and the build side carries a selective
+    filter, Catalyst injects `might_contain(bloom_filter_agg(...))` onto
+    the probe-side scan, so most fact rows die before the shuffle. At
+    production scale this fires on defaults (probe side > 10 GB scan);
+    the thresholds are lowered here only because sf-test inputs are
+    tiny. This is the scale path for every selective fact-fact join in
+    the catalog (q12/q18/q21 shapes)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "bloom filter not injected"
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -67,3 +67,58 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     assert n == want
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compaction_produces_target_file_count(spark, sf_dir, tmp_path):
+    """Many small files in → few right-sized files out; row set identical."""
+    from aliyun_emapreduce_datasources_spark.operators.storage import compact, input_bytes
+
+    src = str(tmp_path / "fragmented")
+    li = t(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(src)  # simulate micro-batch litter
+
+    dst = str(tmp_path / "compacted")
+    total_mb = max(1, input_bytes(spark, src) // (1024 * 1024))
+    n = compact(spark, src, dst, target_file_mb=max(1, total_mb // 2))
+    assert n <= 4  # 64 fragments → a handful of files
+
+    import glob
+
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_clustered_compaction_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """With sort_cols the rewrite range-partitions: every output file
+    owns a disjoint l_shipdate slice (parquet footer min/max), so any
+    engine skips whole files for a date-range predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aliyun_emapreduce_datasources_spark.operators.storage import compact
+
+    src = str(tmp_path / "scattered")
+    t(spark, sf_dir, "lineitem").repartition(16).write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "clustered")
+    compact(spark, src, dst, target_file_mb=0.05, sort_cols=["l_shipdate"])
+
+    ranges = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3, "expected multiple clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
