@@ -1,0 +1,158 @@
+"""Int8-quantized ANN: compressed scan + exact rescore.
+
+At 100 TB the dominant ANN cost is *reading the embeddings*: a
+float32 corpus is 4× the bytes of an int8 one, and the scan is
+I/O-bound. The standard production layout (FAISS SQ8, ScaNN,
+Milvus) stores per-vector symmetric int8 codes
+
+    scale = max|x| / 127,   code_i = round(x_i / scale)  ∈ [-127, 127]
+
+and searches in two phases:
+
+1. **Quantized scan**: score every code against the query
+   (dequantize per Arrow batch → one BLAS matmul), keep the top
+   ``k × rescore_factor`` candidates per query per batch. The scan
+   reads only the int8 table — 4× less I/O, same single-pass
+   constant-memory shape as the brute-force scan.
+2. **Exact rescore**: the surviving candidate ids (queries × k ×
+   factor rows — thousands, not billions) join back to the float
+   corpus; exact cosine (functions/vector.cosine, codegen) re-ranks
+   and the final window keeps top-k. Quantization error can only
+   cost recall if a true neighbor falls out of the oversampled
+   candidate set — with 4× oversampling on int8 error (~1e-2) that
+   is vanishingly rare (recall floor asserted in
+   tests/test_similarity.py).
+
+Both the quantization pass and the rescore join are pure built-in
+expressions; only the batch scoring runs in Arrow-batched Python,
+identical in shape to similarity/bruteforce.py.
+
+Approximate by construction (quantized first phase) → rows-only
+driver check; quality is gated by the recall test instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_emapreduce_datasources_spark.functions.vector import cosine
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.bruteforce import (
+    CAND_SCHEMA,
+    K,
+    N_QUERIES,
+    _normalize,
+)
+
+__all__ = ["quantize_corpus", "topk_cosine_int8", "QUERY"]
+
+RESCORE_FACTOR = 4
+
+
+def quantize_corpus(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding) → (vec_id, scale float, qvec array<tinyint>).
+
+    Pure built-in expressions (array_max/transform/round) — the
+    quantization rewrite is a linear scan-and-write, no shuffle."""
+    absmax = F.array_max(F.transform(F.col(vec_col), F.abs))
+    scale = (absmax / F.lit(127.0)).cast("float")
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("tinyint"),
+    )
+    return (
+        corpus.withColumn("scale", scale)
+        .withColumn("scale", F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale")))
+        .withColumn("qvec", qvec)
+    )
+
+
+def topk_cosine_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    rescore_factor: int = RESCORE_FACTOR,
+) -> DataFrame:
+    """Two-phase ANN: quantized candidate scan, exact cosine rescore.
+
+    corpus: (vec_id, embedding) float vectors; the quantized copy is
+    derived here (a real deployment reads the pre-materialized int8
+    table and never scans the floats in phase 1)."""
+    spark = corpus.sparkSession
+    qrows = queries.select("query_id", "q_embedding").collect()
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
+    kk_scan = k * rescore_factor
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.vstack(
+                pdf["qvec"].map(lambda a: np.asarray(a, dtype=np.int8)).to_numpy()
+            )
+            scales = pdf["scale"].to_numpy(dtype=np.float64)
+            approx = codes.astype(np.float64) * scales[:, None]  # dequantize
+            approx = _normalize(approx)
+            sims = qm @ approx.T
+            sims[ids[:, None] == c_ids[None, :]] = -np.inf
+            nk = min(kk_scan, sims.shape[1])
+            top = np.argpartition(-sims, nk - 1, axis=1)[:, :nk]
+            qi = np.repeat(ids, nk)
+            ni = c_ids[top.ravel()]
+            sv = np.take_along_axis(sims, top, axis=1).ravel()
+            keep = np.isfinite(sv)
+            yield pd.DataFrame(
+                {"query_id": qi[keep], "neighbor_id": ni[keep], "sim": sv[keep]}
+            )
+
+    qcorpus = quantize_corpus(corpus).select("vec_id", "scale", "qvec")
+    cands = qcorpus.mapInPandas(scan, CAND_SCHEMA)
+    # global candidate cut: top k×factor per query on the quantized score
+    w_scan = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cands.withColumn("r", F.row_number().over(w_scan))
+        .where(F.col("r") <= kk_scan)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore: tiny shortlist joins the float corpus + queries
+    qdf = queries.select(
+        F.col("query_id").alias("q_id"), F.col("q_embedding")
+    )
+    exact = (
+        shortlist.join(
+            corpus.select(F.col("vec_id"), F.col("embedding")),
+            shortlist.neighbor_id == F.col("vec_id"),
+        )
+        .join(F.broadcast(qdf), shortlist.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("embedding", "q_embedding").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return topk_cosine_int8(emb.select("vec_id", "embedding"), queries)

@@ -2,16 +2,17 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.similarity import bruteforce, ivf, lsh
+from aliyun_emapreduce_datasources_spark.similarity import bruteforce, ivf, lsh, quantize
 
 QUERIES = {
     "ann_bruteforce_topk": bruteforce.QUERY,
     "ann_lsh_topk": lsh.QUERY,
     "ann_ivf_topk": ivf.QUERY,
+    "ann_int8_topk": quantize.QUERY,
 }
 
-# The LSH/IVF variants are approximate by design → rows-only check;
-# recall vs the brute-force baseline is asserted in
+# The LSH/IVF/int8 variants are approximate by design → rows-only
+# check; recall vs the brute-force baseline is asserted in
 # tests/test_similarity.py.
 ORACLES = {
     "ann_bruteforce_topk": bruteforce.ORACLE,
