@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["PUT", "UPDATE", "DELETE", "ots_col_parser", "apply_cdc"]
+__all__ = ["PUT", "UPDATE", "DELETE", "ots_col_parser", "apply_cdc", "scd2_history"]
 
 PUT = "PUT"
 UPDATE = "UPDATE"
@@ -77,3 +77,34 @@ def apply_cdc(
             F.when(has_change, F.col(f"c.{col}")).otherwise(F.col(f"s.{col}")).alias(col)
         )
     return joined.where(~has_change | (F.col("c._op") != DELETE)).select(*out_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str,
+    seq_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing history from a change log: one row per
+    non-DELETE change with ``valid_from`` = its sequence value,
+    ``valid_to`` = the next change's (any op, so a DELETE closes the
+    interval it tombstones), ``is_current`` when no later change
+    exists. The type-2 complement of apply_cdc (which keeps only the
+    latest state); this is how a warehouse dimension retains history
+    while CDC replays over it.
+
+    Scale: exactly one shuffle — the key-partitioned window that
+    computes lead(seq). No join, no state beyond one partition's
+    sort; identical cost profile to any windowed dedup at 100 TB.
+    """
+    order = [F.col(seq_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .where(F.col(op_col) != DELETE)
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

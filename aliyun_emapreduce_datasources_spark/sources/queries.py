@@ -285,10 +285,50 @@ ORDER BY lang
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history over the events change log: each non-error event
+    opens a version of (user_id, value); any later event (errors act
+    as tombstones) closes it. Restricted to user_id < 200 to keep the
+    gate result bounded."""
+    from aliyun_emapreduce_datasources_spark.sources.cdc import scd2_history
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("op"),
+    )
+    hist = scd2_history(changes, ["user_id"], "op", "ts", tiebreak_col="event_id")
+    return hist.select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current", "value"
+    )
+
+
+ORACLE_SCD2 = """
+WITH ch AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op
+  FROM events WHERE user_id < 200
+), v AS (
+  SELECT user_id, event_id, ts AS valid_from, value, op,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch
+)
+SELECT user_id, event_id, valid_from, valid_to,
+       valid_to IS NULL AS is_current, value
+FROM v WHERE op != 'DELETE'
+"""
+
+
 QUERIES = {
     "kv_filter_pushdown": kv_filter_pushdown,
     "pyds_kv_scan": pyds_kv_scan,
     "cdc_merge_apply": cdc_merge_apply,
+    "cdc_scd2_history": cdc_scd2_history,
     "ots_col_parser": ots_col_parser_query,
     "dts_decode": dts_decode,
     "loghub_roundtrip": loghub_roundtrip,
@@ -299,6 +339,7 @@ ORACLES = {
     "kv_filter_pushdown": ORACLE_KV,
     "pyds_kv_scan": ORACLE_PYDS,
     "cdc_merge_apply": ORACLE_CDC_MERGE,
+    "cdc_scd2_history": ORACLE_SCD2,
     "ots_col_parser": ORACLE_OTS_PARSER,
     "dts_decode": ORACLE_DTS_DECODE,
     "loghub_roundtrip": ORACLE_LOGHUB,

@@ -363,6 +363,66 @@ def test_q27_shape_streaming_rollup_script(spark, sf_dir, stream_dir):
     assert len(got) > 0
 
 
+# --- q8-shape: static INTERSECT subquery + IN + HAVING over the stream
+
+Q8_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream8 (event_id bigint, ts timestamp, user_id bigint,
+                         event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE customer_dim8 USING parquet OPTIONS (path '{dim}');
+CREATE TABLE nation_dim8 USING parquet OPTIONS (path '{nation}');
+CREATE TABLE result_q8 USING kafka OPTIONS (output.mode 'complete');
+INSERT INTO result_q8
+SELECT c_mktsegment, count(*) AS cnt, sum(value) AS total_value
+FROM ev_stream8, customer_dim8
+WHERE user_id = c_custkey
+  AND c_nationkey IN (SELECT n_nationkey FROM nation_dim8 WHERE n_regionkey IN (0, 1, 2)
+                      INTERSECT
+                      SELECT c_nationkey FROM customer_dim8 WHERE c_acctbal > 5000)
+GROUP BY c_mktsegment
+HAVING count(*) > 10
+"""
+
+
+def test_q8_shape_intersect_having_script(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        Q8_SHAPE_SCRIPT.format(
+            path=stream_dir,
+            dim=f"{sf_dir}/customer.parquet",
+            nation=f"{sf_dir}/nation.parquet",
+        )
+    )
+    q = sess.queries["result_q8"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.c_mktsegment, r.cnt, round(r.total_value, 6))
+        for r in spark.table("result_q8").collect()
+    }
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    keys = (
+        nation.where(F.col("n_regionkey").isin(0, 1, 2))
+        .select(F.col("n_nationkey").alias("k"))
+        .intersect(cust.where(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("k")))
+    )
+    want = {
+        (r.c_mktsegment, r.cnt, round(r.total_value, 6))
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(keys, cust.c_nationkey == keys.k, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .where(F.col("cnt") > 10)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 # --- q73-shape: static derived table re-joined to the stream ----------
 
 Q73_SHAPE_SCRIPT = """
