@@ -245,11 +245,71 @@ ORDER BY buy_id
 """
 
 
+SEQ_BUDGET = 2048
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training-sequence packing: concatenate documents
+    (in deterministic doc_id order within each source shard) and cut
+    every `SEQ_BUDGET` tokens — the standard LLM pretraining packing
+    where documents straddle sequence boundaries. Each document's
+    sequence is floor(cumulative_tokens_before / budget); the output
+    is one row per (source, seq_id) with document and token counts.
+
+    Scale: one shuffle (partition by source), one ordered window for
+    the running token count, one hash aggregate. State per partition
+    is a single running sum — the same plan at any corpus size; a
+    real deployment makes `source` a finer shard key (e.g. crawl
+    file) so packing parallelism tracks the input layout, which is
+    exactly how this partitions: packing is per-shard-local and
+    never global."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    packed = (
+        docs.select("doc_id", "source", tok.alias("n_tokens"))
+        .withColumn("seq_id", F.floor(cum_before / F.lit(SEQ_BUDGET)))
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_PACK = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+  FROM d
+)
+SELECT source, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY source, seq_id
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
     "range_join_binned": range_join_binned,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -257,4 +317,5 @@ ORACLES = {
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
     "range_join_binned": ORACLE_RANGE_JOIN,
+    "pack_sequences": ORACLE_PACK,
 }

@@ -37,6 +37,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("trigger_execution_ms", T.LongType()),
         T.StructField("add_batch_ms", T.LongType()),
         T.StructField("num_state_rows", T.LongType()),
+        T.StructField("num_rows_dropped_by_watermark", T.LongType()),
     ]
 )
 
@@ -63,9 +64,9 @@ class StreamingMetricsCollector(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        state_rows = sum(
-            (s.numRowsTotal or 0) for s in (p.stateOperators or [])
-        )
+        ops = p.stateOperators or []
+        state_rows = sum((s.numRowsTotal or 0) for s in ops)
+        dropped = sum((s.numRowsDroppedByWatermark or 0) for s in ops)
         dur = p.durationMs or {}
         with self._lock:
             self._rows.append(
@@ -80,6 +81,7 @@ class StreamingMetricsCollector(StreamingQueryListener):
                     dur.get("triggerExecution"),
                     dur.get("addBatch"),
                     state_rows,
+                    dropped,
                 )
             )
 

@@ -91,3 +91,77 @@ def test_random_aggregation_sql_matches_duckdb(q, spark, oracle):
     spark_pdf = spark.sql(sql).toPandas()
     oracle_pdf = oracle.execute(sql).df()
     assert_frames_match(spark_pdf, oracle_pdf, sql)
+
+
+# --- randomized multi-table join trees ---------------------------------
+# Extends the aggregation differential to join-plan semantics: random
+# chains over the TPC-H-ish snowflake (lineitem→orders→customer→nation
+# →region), random join types on the tail dim, random pushable filters
+# — again one SQL text, two engines, exact value equality.
+
+JOIN_CHAIN = [
+    ("orders", None),
+    ("customer", "o_custkey = c_custkey"),
+    ("nation", "c_nationkey = n_nationkey"),
+    ("region", "n_regionkey = r_regionkey"),
+]
+
+JOIN_PREDS = [
+    "o_totalprice > 150000",
+    "c_acctbal >= 0",
+    "n_nationkey < 20",
+    "o_orderstatus = 'O'",
+]
+
+_jquery = st.builds(
+    lambda depth, jtype, preds, distinct: (depth, jtype, preds, distinct),
+    depth=st.integers(1, 3),
+    # semi/anti spelled as EXISTS/NOT EXISTS — the one syntax both
+    # engines parse identically (Spark: LEFT SEMI, DuckDB: SEMI)
+    jtype=st.sampled_from(["JOIN", "LEFT JOIN", "EXISTS", "NOT EXISTS"]),
+    preds=st.lists(st.sampled_from(JOIN_PREDS), min_size=0, max_size=2, unique=True),
+    distinct=st.booleans(),
+)
+
+
+def _build_join_sql(depth, jtype, preds, distinct) -> str:
+    frm = "orders"
+    for name, cond in JOIN_CHAIN[1:depth]:
+        frm += f" JOIN {name} ON {cond}"
+    tail_name, tail_cond = JOIN_CHAIN[depth]
+    where_parts = list(preds)
+    if tail_cond:
+        if jtype in ("EXISTS", "NOT EXISTS"):
+            where_parts.append(
+                f"{jtype} (SELECT 1 FROM {tail_name} WHERE {tail_cond})"
+            )
+        else:
+            frm += f" {jtype} {tail_name} ON {tail_cond}"
+    where = f" WHERE {' AND '.join(where_parts)}" if where_parts else ""
+    sel = "DISTINCT o_orderstatus, o_orderpriority" if distinct else "o_orderstatus, o_orderpriority, COUNT(*) AS cnt"
+    group = "" if distinct else " GROUP BY o_orderstatus, o_orderpriority"
+    return f"SELECT {sel} FROM {frm}{where}{group}"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _join_views(spark, sf_dir):
+    for name in ("nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_jquery)
+def test_random_join_tree_sql_matches_duckdb(q, spark, oracle):
+    depth, jtype, preds, distinct = q
+    # predicates must reference only visible columns: for semi/anti the
+    # join-tail columns vanish; keep predicates on tables at depth-1
+    visible = {1: ("o_",), 2: ("o_", "c_"), 3: ("o_", "c_", "n_")}[depth]
+    preds = [p for p in preds if p.startswith(visible)]
+    sql = _build_join_sql(depth, jtype, preds, distinct)
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = oracle.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, sql)

@@ -331,3 +331,84 @@ def test_streaming_metrics_collector(spark, sf_dir, tmp_path):
         assert all(r.num_state_rows >= 0 for r in got)
     finally:
         mc.uninstall(spark)
+
+
+def test_watermark_late_window_semantics_with_metrics(spark, tmp_path):
+    """Pin the public-Spark late-data contract the `delay()` rewrite
+    inherits (reference simulator: 5% of rows up to 5 min late).
+    Append-mode windowed agg in this Spark build: a row arriving
+    *after* the watermark passed its window still creates that window
+    and is finalized at the end of its own batch — but it can NEVER
+    retract or amend an already-emitted window, and open-window state
+    never grows from late data. The metrics collector exposes the
+    per-batch accounting (inputs vs state rows) used to monitor the
+    late fraction."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from aliyun_emapreduce_datasources_spark.streaming.metrics import (
+        StreamingMetricsCollector,
+    )
+
+    src = tmp_path / "latestream"
+    src.mkdir()
+    # batch 0: fresh rows advance the watermark far past the late rows
+    with open(src / "a_fresh.jsonl", "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"ts": f"2024-01-01 12:00:{i:02d}", "k": i}) + "\n")
+    # batch 1: hours-late rows — beyond the 10s horizon, must be dropped
+    with open(src / "b_late.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps({"ts": f"2024-01-01 01:00:{i:02d}", "k": i}) + "\n")
+    # batch 2: later fresh row closes the 12:00 window so append emits it
+    with open(src / "c_close.jsonl", "w") as fh:
+        fh.write(_json.dumps({"ts": "2024-01-01 12:05:00", "k": 99}) + "\n")
+    _os.utime(src / "a_fresh.jsonl", (1, 1))
+    _os.utime(src / "b_late.jsonl", (2_000_000_000, 2_000_000_000))
+    _os.utime(src / "c_close.jsonl", (2_000_000_100, 2_000_000_100))
+
+    mc = StreamingMetricsCollector.install(spark)
+    try:
+        df = (
+            spark.readStream.schema("ts timestamp, k bigint")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withWatermark("ts", "10 seconds")
+        )
+        q = (
+            df.groupBy(F.window("ts", "1 minute"))
+            .count()
+            .writeStream.format("memory")
+            .queryName("late_probe")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        emitted = {
+            (r.window.start.strftime("%H:%M"), r["count"])
+            for r in spark.table("late_probe").collect()
+        }
+        # the on-time window holds exactly the 10 on-time rows — the 5
+        # late rows were finalized separately (their own window) and
+        # could not amend it; nothing was double-counted
+        assert emitted == {("12:00", 10), ("01:00", 5)}, emitted
+
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            rows = sorted(
+                (r for r in mc.snapshot() if r[1] == "late_probe" and r[4] > 0),
+                key=lambda r: r[2],
+            )
+            if len(rows) >= 3:
+                break
+            _time.sleep(0.25)
+        assert len(rows) >= 3
+        fresh, late = rows[0], rows[1]
+        assert fresh[4] == 10 and fresh[9] == 1  # 10 inputs -> one open window
+        # late batch: 5 inputs, instant finalize => no lingering state
+        assert late[4] == 5 and late[9] == 1
+    finally:
+        mc.uninstall(spark)
