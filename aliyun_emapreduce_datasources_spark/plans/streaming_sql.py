@@ -135,13 +135,22 @@ class StreamingSqlSession:
         from pyspark.sql import types as T
 
         if fmt == "emrkv":
-            # sink table backed by the emrkv connector (the corpus'
-            # CREATE TABLE ... USING kafka sink-table declaration,
-            # q3.sql:11-21, pointed at our own DataSource instead)
             from aliyun_emapreduce_datasources_spark.sources.pyds import register_all
 
             register_all(self.spark)
-            self.sinks[name] = {**options, "format": "emrkv"}
+            if "output.mode" in options:
+                # sink table backed by the emrkv connector (the corpus'
+                # CREATE TABLE ... USING kafka sink-table declaration,
+                # q3.sql:11-21, pointed at our own DataSource instead)
+                self.sinks[name] = {**options, "format": "emrkv"}
+                return None
+            # batch source: pushdown-scanned KV relation (S1-S3); the
+            # JSON catalog option declares the subset schema, exactly
+            # the TableStore "catalog" option shape
+            reader = self.spark.read.format("emrkv").option("path", options["path"])
+            if "catalog" in options:
+                reader = reader.option("catalog", options["catalog"])
+            reader.load().createOrReplaceTempView(name)
             return None
         if fmt == "emrlog":
             from aliyun_emapreduce_datasources_spark.sources.pyds import register_all

@@ -471,3 +471,37 @@ def test_q73_shape_derived_table_script(spark, sf_dir, stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+# --- emrkv as a batch SOURCE table in the dialect (S1-S3 via SQL) -----
+
+KV_SOURCE_SCRIPT = """
+CREATE TABLE docs_kv USING emrkv OPTIONS (
+  path '{path}',
+  catalog '{{"columns": {{"doc_id": {{"type": "bigint"}}, "lang": {{"type": "string"}}, "n_chars": {{"type": "bigint"}}}}}}'
+);
+CREATE TABLE kv_summary AS
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM docs_kv WHERE n_chars > 100 GROUP BY lang
+"""
+
+
+def test_emrkv_batch_source_table_in_sql(spark, sf_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(KV_SOURCE_SCRIPT.format(path=f"{sf_dir}/documents.parquet"))
+    got = {
+        (r.lang, r.n_docs, r.total_chars)
+        for r in spark.table("kv_summary").collect()
+    }
+    docs = t(spark, sf_dir, "documents")
+    want = {
+        (r.lang, r.n_docs, r.total_chars)
+        for r in docs.where(F.col("n_chars") > 100)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the subset catalog must actually prune: the registered view has
+    # only the three declared columns
+    assert set(spark.table("docs_kv").columns) == {"doc_id", "lang", "n_chars"}
