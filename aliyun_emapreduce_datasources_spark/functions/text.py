@@ -257,8 +257,65 @@ FROM documents
 """
 
 
+# --- repetition filter (Gopher-style) ----------------------------------
+
+TOP_BIGRAM_MAX_FRAC = 0.18
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen: documents dominated by one
+    repeated bigram are boilerplate/spam (nav bars, keyword stuffing)
+    and are dropped from pretraining corpora. Per document: total and
+    distinct bigram counts, the modal bigram's share, and the keep
+    flag (share < 0.18, the published Gopher top-2-gram threshold).
+
+    Plan: explode bigrams → two hash aggregates (doc×bigram, then
+    doc). Map-side partial aggregation makes the shuffle carry
+    per-partition (doc, bigram) partials; everything stays in
+    codegen — scan-speed at corpus scale."""
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg"))
+    per = ex.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("max_bigram"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    )
+    frac = F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("max_bigram").cast("long").alias("max_bigram"),
+        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        frac.alias("top_bigram_frac"),
+        (frac < TOP_BIGRAM_MAX_FRAC).alias("keep"),
+    )
+
+
+_O_BG = (
+    "list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+)
+
+ORACLE_REPETITION = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_O_BG}) AS bg FROM documents
+), per AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS max_bigram,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) < {TOP_BIGRAM_MAX_FRAC} AS keep
+FROM per GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_repetition_filter": repetition_filter,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
@@ -268,6 +325,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_repetition_filter": ORACLE_REPETITION,
     "text_quality_score": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,

@@ -304,8 +304,53 @@ FROM packed GROUP BY source, seq_id
 """
 
 
+CAP_PER_SOURCE = 50
+
+
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap: keep at most
+    `CAP_PER_SOURCE` docs per source, chosen by the same portable
+    md5 priority as mix_sample_weighted (stable under repartition,
+    retries, and engines — `df.sample`/`rand()` is none of those).
+    The per-domain cap every crawl pipeline applies so one hub site
+    cannot dominate the corpus.
+
+    Plan: one shuffle on source + WindowGroupLimit (Spark pushes the
+    rank filter into a per-partition top-k before the shuffle), so
+    shuffle volume is O(sources × cap), not O(corpus)."""
+    docs = t(spark, sf_dir, "documents")
+    pri = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    w = Window.partitionBy("source").orderBy(F.col("pri"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+ORACLE_CAP = f"""
+WITH pri AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 AS pri
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM pri
+) WHERE rn <= {CAP_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
+    "per_source_cap": per_source_cap,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
     "range_join_binned": range_join_binned,
@@ -314,6 +359,7 @@ QUERIES = {
 
 ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
+    "per_source_cap": ORACLE_CAP,
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
     "range_join_binned": ORACLE_RANGE_JOIN,
