@@ -269,24 +269,39 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct bigram counts, the modal bigram's share, and the keep
     flag (share < 0.18, the published Gopher top-2-gram threshold).
 
-    Plan: explode bigrams → two hash aggregates (doc×bigram, then
-    doc). Map-side partial aggregation makes the shuffle carry
-    per-partition (doc, bigram) partials; everything stays in
-    codegen — scan-speed at corpus scale."""
-    docs = t(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg"))
-    per = ex.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    agg = per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.max("c").alias("max_bigram"),
-        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    Plan: ZERO shuffle. The statistic is per-document, so exploding
+    (doc, bigram) pairs into a corpus-wide hash aggregate (the naive
+    plan) ships every bigram string through the shuffle for no
+    cross-document reason. Instead the modal count is a fold over the
+    doc's own sorted bigram array (longest equal-run), computed by
+    built-in higher-order functions inside codegen — the whole
+    operator is a projection at scan speed, per-doc O(n log n). (The
+    repartition below exists only because the test file is a single
+    row group — a real corpus has thousands of files and the
+    projection parallelizes off the layout with no shuffle.)"""
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    frac = F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double")
-    return agg.select(
+    bg = F.array_sort(shingles(tokens("text"), 2))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
+        )
+
+    max_bigram = F.aggregate(bg, init, step, lambda acc: acc["mx"])
+    frac = max_bigram.cast("double") / F.size(bg).cast("double")
+    return docs.where(F.size(bg) > 0).select(
         "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.col("max_bigram").cast("long").alias("max_bigram"),
-        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        F.size(bg).cast("long").alias("n_bigrams"),
+        max_bigram.alias("max_bigram"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
         frac.alias("top_bigram_frac"),
         (frac < TOP_BIGRAM_MAX_FRAC).alias("keep"),
     )
