@@ -66,6 +66,46 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY = decontaminate
 
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-health matrix: for every ordered source pair
+    (a < b), how many distinct 3-shingles they share — the signal for
+    "these two crawls/dumps duplicate each other" that decides which
+    source to drop before paying for full cross-source dedup.
+
+    Scale shape: shingles reduce to DISTINCT (source, hash) postings
+    first — one aggregate, O(total shingles) shuffle — and the
+    pairwise join runs on the *postings*, so a shingle appearing in s
+    sources contributes s·(s-1)/2 pair rows where s = number of
+    sources (a handful), never document pairs. The final matrix is
+    sources² rows — trivially small at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.array_distinct(shingles(tokens("text"))),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 _O_SH = (
     "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
     "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
@@ -82,4 +122,15 @@ SELECT sh.doc_id, COUNT(*) AS n_shared
 FROM sh JOIN ev USING (s)
 WHERE NOT sh.is_eval
 GROUP BY sh.doc_id
+"""
+
+ORACLE_OVERLAP = f"""
+WITH postings AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source, unnest({_O_SH}) AS s FROM documents
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_shingles
+FROM postings a JOIN postings b ON a.s = b.s AND a.source < b.source
+GROUP BY a.source, b.source
 """

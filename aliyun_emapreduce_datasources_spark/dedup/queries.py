@@ -16,6 +16,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
 QUERIES = {
     "dedup_exact": exact.QUERY,
     "dedup_decontaminate": decontaminate.QUERY,
+    "dedup_source_overlap": decontaminate.source_overlap_matrix,
     "dedup_cluster_resolve": clusters.QUERY,
     "dedup_ngram_jaccard": ngram.QUERY,
     "dedup_minhash_lsh": minhash.QUERY,
@@ -29,6 +30,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": exact.ORACLE,
     "dedup_decontaminate": decontaminate.ORACLE,
+    "dedup_source_overlap": decontaminate.ORACLE_OVERLAP,
     "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,
