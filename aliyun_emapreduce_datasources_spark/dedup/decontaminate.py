@@ -73,37 +73,49 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "these two crawls/dumps duplicate each other" that decides which
     source to drop before paying for full cross-source dedup.
 
-    Scale shape: shingles reduce to DISTINCT (source, hash) postings
-    first — one aggregate, O(total shingles) shuffle — and the
-    pairwise join runs on the *postings*, so a shingle appearing in s
-    sources contributes s·(s-1)/2 pair rows where s = number of
-    sources (a handful), never document pairs. The final matrix is
-    sources² rows — trivially small at any corpus size."""
+    Scale shape: ONE wide shuffle. Shingle hashes group straight to
+    ``collect_set(source)`` — the partial aggregate dedups map-side, so
+    shuffle volume is O(distinct (shingle, source)) and the reduced row
+    is one sorted source-set per shingle (bounded by the source count,
+    a handful). Pair expansion then happens *inside the row* with array
+    combinators — a shingle in s sources emits s·(s-1)/2 pair structs,
+    never a self-join — and the final count lands on sources² rows. The
+    self-join formulation costs two extra shuffles of the full postings
+    set; this shape replaces them with in-row work."""
     docs = t(spark, sf_dir, "documents")
-    postings = (
-        docs.select(
-            "source",
-            F.explode(
+    postings = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.array_distinct(shingles(tokens("text"))),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    )
+    per_shingle = postings.groupBy("s").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = per_shingle.select(
+        F.explode(
+            F.flatten(
                 F.transform(
-                    F.array_distinct(shingles(tokens("text"))),
-                    lambda s: F.xxhash64(s),
+                    "srcs",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "srcs", i + F.lit(2), F.size("srcs")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
                 )
-            ).alias("s"),
-        )
-        .distinct()
+            )
+        ).alias("p")
     )
-    a, b = postings.alias("a"), postings.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-    )
+    return pairs.groupBy(
+        F.col("p.source_a").alias("source_a"),
+        F.col("p.source_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_shared_shingles"))
 
 
 _O_SH = (
