@@ -27,6 +27,7 @@ def _load() -> None:
     from aliyun_emapreduce_datasources_spark.operators import (
         analytic,
         corpus,
+        events,
         pipeline,
         skew,
         tpch,
@@ -37,6 +38,7 @@ def _load() -> None:
     _merge(tpch_extra)
     _merge(corpus)
     _merge(analytic)
+    _merge(events)
     _merge(skew)
     _merge(pipeline)
     for modname in (

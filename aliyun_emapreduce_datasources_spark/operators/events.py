@@ -1,0 +1,167 @@
+"""Event-stream analytics: funnel, transition matrix, retention cohorts.
+
+The reference's streaming corpus aggregates event streams by time
+window (q100-q103); a product-analytics user of the same engine asks
+three more questions of the identical event table — how far users get
+through an ordered funnel, what they do next (Markov transitions), and
+whether they come back (cohort retention). All three are pure
+DataFrame plans over the driver's ``events`` table.
+
+Scale notes (100 TB events):
+
+- Every plan shuffles on ``user_id`` (or the tiny transition/cohort
+  key) — never on event rows without a key. Funnel stage aggregates
+  are one row per user; the stage-to-stage joins are co-partitioned on
+  ``user_id`` so AQE plans them shuffle-reuse, and the final counts
+  are three scalars.
+- The transition matrix is one window shuffle (lag/lead cost profile
+  == groupBy on the partition key) followed by an aggregate onto
+  |event_types|² rows.
+- Retention folds each user's history to (first_day, distinct active
+  days) in ONE aggregate with map-side partial; the per-user array is
+  bounded by calendar days in range, not event count, so a 10⁹-event
+  user still reduces to ≤366 elements. The exploded cohort grid is
+  |cohort_days| × |offsets| — thousands of rows at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+# --- ordered funnel ----------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: a user converts a stage
+    only with an event strictly after their entry into the previous
+    stage (first qualifying timestamp, the standard product-analytics
+    definition). Output: one row per stage with converted-user count."""
+    ev = t(spark, sf_dir, "events")
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame, alias: str) -> DataFrame:
+        step = df.where(F.col("event_type") == etype)
+        if prev is not None:
+            prev_col = prev.columns[-1]
+            step = step.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return step.groupBy("user_id").agg(F.min("ts").alias(alias))
+
+    v = first_after(ev, "view", None, "t_view")
+    c = first_after(ev, "click", v, "t_click")
+    p = first_after(ev, "purchase", c, "t_purchase")
+    counts = [
+        df.agg(F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        for stage, df in (("1_view", v), ("2_click", c), ("3_purchase", p))
+    ]
+    out = counts[0]
+    for extra in counts[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
+# --- next-event transition matrix --------------------------------------
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: for each user's timestamp-ordered
+    event history, count (event_type → next event_type) pairs. Ties
+    broken by event_id so the ordering is total in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_TRANSITIONS = """
+SELECT from_type, to_type, COUNT(*) AS n
+FROM (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+# --- retention cohorts -------------------------------------------------
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users grouped by their first active day;
+    each cell counts how many of that cohort were active ``day_offset``
+    days later. One per-user aggregate (min day + distinct active
+    days), then an explode onto the tiny cohort × offset grid."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"), F.collect_set("d").alias("days"))
+    )
+    return (
+        per_user.select("cohort_day", F.explode("days").alias("d"))
+        .groupBy(
+            # ISO string, not DateType: the cross-engine compare is on
+            # values, and date⇄timestamp pandas conversion differs.
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS cohort_day,
+         list_distinct(list(CAST(ts AS DATE))) AS days
+  FROM events GROUP BY user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM (SELECT cohort_day, unnest(days) AS d FROM per_user)
+GROUP BY cohort_day, day_offset
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_transitions": events_transitions,
+    "events_retention": events_retention,
+}
+
+ORACLES = {
+    "events_funnel": ORACLE_FUNNEL,
+    "events_transitions": ORACLE_TRANSITIONS,
+    "events_retention": ORACLE_RETENTION,
+}
