@@ -10,6 +10,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
     minhash,
     ngram,
     simhash,
+    spans,
     winnow,
 )
 
@@ -19,6 +20,7 @@ QUERIES = {
     "dedup_source_overlap": decontaminate.source_overlap_matrix,
     "dedup_cluster_resolve": clusters.QUERY,
     "dedup_ngram_jaccard": ngram.QUERY,
+    "dedup_dup_spans": spans.QUERY,
     "dedup_minhash_lsh": minhash.QUERY,
     "dedup_simhash": simhash.QUERY,
     "dedup_embedding_cosine": embedding.QUERY,
@@ -33,5 +35,6 @@ ORACLES = {
     "dedup_source_overlap": decontaminate.ORACLE_OVERLAP,
     "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
+    "dedup_dup_spans": spans.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,
 }

@@ -2,13 +2,14 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.similarity import bruteforce, ivf, lsh, quantize
+from aliyun_emapreduce_datasources_spark.similarity import bruteforce, centroid, ivf, lsh, quantize
 
 QUERIES = {
     "ann_bruteforce_topk": bruteforce.QUERY,
     "ann_lsh_topk": lsh.QUERY,
     "ann_ivf_topk": ivf.QUERY,
     "ann_int8_topk": quantize.QUERY,
+    "emb_label_centroid": centroid.QUERY,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -16,4 +17,5 @@ QUERIES = {
 # tests/test_similarity.py.
 ORACLES = {
     "ann_bruteforce_topk": bruteforce.ORACLE,
+    "emb_label_centroid": centroid.ORACLE,
 }
