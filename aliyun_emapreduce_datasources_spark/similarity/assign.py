@@ -1,0 +1,108 @@
+"""Nearest-prototype assignment (cluster-balanced curation).
+
+Assigns every embedding to its nearest per-label centroid — the core
+of SemDeDup-style semantic clustering, classifier-free domain
+bucketing, and cluster-balanced sampling: compute prototypes (see
+``centroid.py``), then route every vector to the closest one.
+
+Scale shape: the prototype table is labels × dims — bytes, not data —
+so it rides along as an in-plan literal (a broadcast in spirit; no
+shuffle, no join). Each vector expands to exactly |labels| candidate
+rows whose distance is an in-row integer fold (`zip_with` +
+`aggregate`), and the arg-min is a per-vector window over those
+|labels| rows — shuffle volume is O(vectors × labels), with the
+vector payload dropped before the shuffle.
+
+Determinism: distances are computed in integer micro-units
+(floor(double(x) * 1e6); see centroid.py for why decimal casts are
+NOT cross-engine stable) — squared L2 in int64 is exact in both
+engines, so the arg-min (ties broken by label) is bit-reproducible.
+Micro-unit squared distances stay < 2⁵³ for unit-scale embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.centroid import label_centroids
+
+__all__ = ["assign_to_prototype", "QUERY", "ORACLE"]
+
+
+def _quant(col: Column) -> Column:
+    return F.floor(col.cast("double") * F.lit(1000000.0))
+
+
+def assign_to_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = (
+        label_centroids(spark, sf_dir)
+        .withColumn("qc", F.floor(F.col("centroid") * F.lit(1000000.0)))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "qc"))).alias("qs"))
+        .select("label", F.col("qs.qc").alias("qcent"))
+        .collect()
+    )  # labels × dims scalars — the one legitimate driver hop
+    protos = F.array(
+        *[
+            F.struct(
+                F.lit(r.label).cast("long").alias("label"),
+                F.array(*[F.lit(int(v)).cast("long") for v in r.qcent]).alias("qcent"),
+            )
+            for r in sorted(cents, key=lambda r: r.label)
+        ]
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qe = F.transform("embedding", lambda x: _quant(x))
+    cand = emb.select(
+        "vec_id",
+        F.explode(protos).alias("p"),
+        qe.alias("qe"),
+    ).select(
+        "vec_id",
+        F.col("p.label").alias("label"),
+        F.aggregate(
+            F.zip_with("qe", "p.qcent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist_sq_micro"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq_micro", "label")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "dist_sq_micro")
+    )
+
+
+QUERY = assign_to_prototype
+
+ORACLE = """
+WITH exploded AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS qe,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM (
+    SELECT vec_id, label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), cent AS (
+  SELECT CAST(label AS BIGINT) AS label, dim,
+         CAST(FLOOR(
+           CAST(CAST(SUM(qe) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000000.0) * 1000000.0
+         ) AS BIGINT) AS qc
+  FROM exploded GROUP BY label, dim
+), dist AS (
+  SELECT e.vec_id, c.label,
+         CAST(SUM((e.qe - c.qc) * (e.qe - c.qc)) AS BIGINT) AS dist_sq_micro
+  FROM exploded e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.label
+)
+SELECT vec_id, label, dist_sq_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq_micro, label) AS rn
+  FROM dist
+)
+WHERE rn = 1
+"""

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.similarity import bruteforce, centroid, ivf, lsh, quantize
+from aliyun_emapreduce_datasources_spark.similarity import assign, bruteforce, centroid, ivf, lsh, quantize
 
 QUERIES = {
     "ann_bruteforce_topk": bruteforce.QUERY,
@@ -10,6 +10,7 @@ QUERIES = {
     "ann_ivf_topk": ivf.QUERY,
     "ann_int8_topk": quantize.QUERY,
     "emb_label_centroid": centroid.QUERY,
+    "emb_assign_prototype": assign.QUERY,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -18,4 +19,5 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": bruteforce.ORACLE,
     "emb_label_centroid": centroid.ORACLE,
+    "emb_assign_prototype": assign.ORACLE,
 }
