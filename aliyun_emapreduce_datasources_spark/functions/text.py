@@ -328,8 +328,64 @@ FROM per GROUP BY doc_id
 """
 
 
+def rare_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (the KenLM-perplexity-filter
+    analog, kept transcendental-free): the share of a document's
+    bigram occurrences whose *corpus-wide* frequency is below the mean
+    bigram frequency. Gibberish and OCR noise are rare-bigram-heavy;
+    boilerplate sits far below the threshold. The "rare" test is the
+    integer cross-multiply ``cc · n_types < total`` — no division, no
+    logs, so the flag (and the final ratio, one IEEE division of exact
+    integer sums) is bit-identical across engines.
+
+    Scale shape: per-doc bigram counts reduce map-side before any
+    shuffle; the corpus frequency table is vocabulary²-bounded (heavy
+    tail, but aggregate rows, not corpus rows) and its join back to
+    the per-doc postings is broadcast-eligible — AQE decides, the plan
+    survives either way. The mean-frequency scalar is a 1-row
+    aggregate cross-joined in (a broadcast of bytes)."""
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(shingles(tokens("text"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = per.groupBy("b").agg(F.sum("c").alias("cc"))
+    scalar = corpus.agg(
+        F.sum("cc").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    flagged = per.join(corpus, "b").crossJoin(F.broadcast(scalar))
+    rare_c = F.when(F.col("cc") * F.col("n_types") < F.col("total"), F.col("c")).otherwise(F.lit(0))
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(rare_c).cast("long").alias("n_rare"),
+        (F.sum(rare_c).cast("double") / F.sum("c").cast("double")).alias("rare_ratio"),
+    )
+
+
+ORACLE_RARE_BIGRAM = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_O_BG}) AS b FROM documents
+), per AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), corpus AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM per GROUP BY b
+), scalar AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS total, COUNT(*) AS n_types FROM corpus
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN cc * n_types < total THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN cc * n_types < total THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS rare_ratio
+FROM per JOIN corpus USING (b) CROSS JOIN scalar
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_rare_bigram_ratio": rare_bigram_ratio,
     "text_repetition_filter": repetition_filter,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
@@ -340,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_rare_bigram_ratio": ORACLE_RARE_BIGRAM,
     "text_repetition_filter": ORACLE_REPETITION,
     "text_quality_score": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
