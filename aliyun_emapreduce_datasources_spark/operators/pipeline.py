@@ -348,8 +348,50 @@ SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
 """
 
 
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: every document
+    gets exactly one split by its md5-bucket (80/10/10), so the
+    assignment is disjoint, exhaustive, and stable under repartition,
+    retries, and engine choice — the property that makes a data card's
+    "we held out 10%" claim reproducible. Stratification is implicit:
+    the hash coin is uniform within every source/language stratum, no
+    per-stratum pass needed. Embarrassingly parallel scan → project;
+    the per-(source, split) count summary is the only (tiny) shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_SPLIT = """
+SELECT source, split, COUNT(*) AS n_docs
+FROM (
+  SELECT source,
+         CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+    FROM documents
+  )
+)
+GROUP BY source, split
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
+    "split_train_eval": split_train_eval,
     "per_source_cap": per_source_cap,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
@@ -359,6 +401,7 @@ QUERIES = {
 
 ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
+    "split_train_eval": ORACLE_SPLIT,
     "per_source_cap": ORACLE_CAP,
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
