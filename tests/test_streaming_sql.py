@@ -260,6 +260,53 @@ def test_q100_shape_hopping_ctas_script(spark, sf_dir, stream_dir):
     assert len(got) > 0
 
 
+# --- q102-shape: append-mode windowed agg finalized by delay() --------
+
+Q102_SHAPE_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_stream102 (event_id bigint, ts timestamp, user_id bigint,
+                           event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE result_q102 USING kafka OPTIONS (output.mode 'append');
+INSERT INTO result_q102
+SELECT window.start AS window_start, event_type, count(*) AS cnt
+FROM ev_stream102
+WHERE delay(ts) < '10 minutes'
+GROUP BY TUMBLING(ts, interval 1 hour), event_type
+"""
+
+
+def test_q102_shape_append_watermark_script(spark, sf_dir, stream_dir):
+    """q102.sql:16,33 — output mode append with a delay() watermark:
+    only windows the watermark has passed are emitted, each exactly
+    once with its final (batch-equal) count; the stream's still-open
+    tail window is withheld."""
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(Q102_SHAPE_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_q102"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.table("result_q102").collect()
+    }
+
+    ev = t(spark, sf_dir, "events")
+    want = {
+        (r.ws, r.event_type): r.cnt
+        for r in ev.groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(got) > 0
+    # every emitted (finalized) window carries its complete batch count
+    assert all(want[k] == v for k, v in got.items())
+    # the open tail window(s) are withheld until the watermark passes
+    assert len(got) < len(want)
+    max_ws = max(ws for ws, _ in want)
+    assert all(ws < max_ws for ws, _ in got)
+
+
 # --- q71-shape: UNION ALL of two stream channels joined to a dim ------
 
 Q71_SHAPE_SCRIPT = """
