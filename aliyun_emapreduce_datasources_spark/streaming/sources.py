@@ -21,6 +21,7 @@ rate limiting mirroring S9's maxOffsetsPerTrigger) are identical.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from dataclasses import dataclass, field
@@ -119,11 +120,26 @@ class StreamTable:
 
 
 def replay_to_json_dir(
-    df: DataFrame, out_dir: str, n_chunks: int = 4, order_col: str | None = None
+    df: DataFrame,
+    out_dir: str,
+    n_chunks: int = 4,
+    order_col: str | None = None,
+    late_fraction: float = 0.0,
+    late_chunk_shift: int = 1,
 ) -> list[str]:
     """Materialize a batch DataFrame as n_chunks JSON files so the file
     source replays it as micro-batches (the test-harness equivalent of
     the reference's Kafka replication simulator, Utils.toRdd).
+
+    ``late_fraction`` mirrors the simulator's late-data profile
+    (emr-baseline-testing Utils.toRdd: `rand1 < 5` marks ≤5% of rows
+    late, delivered up to 300 s behind): that share of rows keeps its
+    event time but is *delivered* ``late_chunk_shift`` micro-batches
+    after its event-time position — arriving behind the watermark the
+    on-time rows have advanced. Lateness is a deterministic md5 coin
+    on the row payload, so the same input always produces the same
+    late set (the simulator uses an RNG; a differential-test harness
+    cannot). Stragglers past the final chunk create trailing chunks.
 
     Timestamps are written as ISO strings readable by the JSON source.
     """
@@ -132,17 +148,25 @@ def replay_to_json_dir(
     if order_col is not None:
         rows = sorted(rows, key=lambda r: json.loads(r).get(order_col) or "")
     chunk = max(1, (len(rows) + n_chunks - 1) // n_chunks)
+    by_chunk: dict[int, list[str]] = {}
+    for pos, r in enumerate(rows):
+        ci = pos // chunk
+        if late_fraction > 0.0:
+            coin = int(hashlib.md5(r.encode()).hexdigest()[:8], 16) % 1000
+            if coin < late_fraction * 1000:
+                ci += late_chunk_shift
+        by_chunk.setdefault(ci, []).append(r)
     paths = []
     base_mtime = int(os.path.getmtime(out_dir))
-    for i in range(0, len(rows), chunk):
-        p = os.path.join(out_dir, f"chunk-{i // chunk:04d}.json")
+    for seq, ci in enumerate(sorted(by_chunk)):
+        p = os.path.join(out_dir, f"chunk-{ci:04d}.json")
         with open(p, "w") as fh:
-            fh.write("\n".join(rows[i : i + chunk]))
+            fh.write("\n".join(by_chunk[ci]))
         # FileStreamSource batches files by MODIFICATION TIME, not name:
         # strictly increasing mtimes make replay order = chunk order
         # (otherwise same-second writes replay in arbitrary order and
         # "earlier" chunks arrive behind the watermark).
-        mt = base_mtime + i // chunk
+        mt = base_mtime + seq
         os.utime(p, (mt, mt))
         paths.append(p)
     return paths

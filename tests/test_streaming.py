@@ -412,3 +412,37 @@ def test_watermark_late_window_semantics_with_metrics(spark, tmp_path):
         assert late[4] == 5 and late[9] == 1
     finally:
         mc.uninstall(spark)
+
+
+def test_late_data_replay_profile_converges(spark, sf_dir):
+    """Reference-simulator late-data profile (Utils.toRdd: ≤5% rows
+    late, bounded delay): the replay harness delivers a deterministic
+    ~5% of rows behind their event-time position; row totals are
+    conserved, stragglers form trailing chunks, and a complete-mode
+    windowed agg over the disordered stream still converges to the
+    batch answer."""
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="late-replay-")
+    try:
+        paths = replay_to_json_dir(
+            ev, d, n_chunks=4, order_col="ts", late_fraction=0.05, late_chunk_shift=2
+        )
+        n_rows = sum(1 for p in paths for line in open(p) if line.strip())
+        assert n_rows == ev.count()
+        # stragglers shifted past the last on-time chunk
+        assert any(int(p.split("chunk-")[1][:4]) >= 4 for p in paths)
+
+        st = StreamTable("events", EVENTS_SCHEMA, d, {"maxFilesPerTrigger": "1"})
+        agg = windowed_agg(
+            st.read_stream(spark), "ts", "1 hour", "event_type",
+            aggs=[F.count(F.lit(1)).alias("cnt")],
+        )
+        name = _run_to_memory(agg, "complete")
+        got = {(r.window_start, r.event_type): r.cnt for r in spark.table(name).collect()}
+        batch = windowed_agg(
+            ev, "ts", "1 hour", "event_type", aggs=[F.count(F.lit(1)).alias("cnt")]
+        )
+        want = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
