@@ -119,3 +119,43 @@ def test_runtime_bloom_filter_injects_on_shuffled_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_source_overlap_is_join_free(spark, sf_dir):
+    """The overlap matrix must be the one-wide-shuffle shape: pair
+    expansion happens inside the reduced row — no join operator of any
+    kind belongs in this plan."""
+    plan = plan_of(QUERIES["dedup_source_overlap"](spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "Generate" in plan  # the in-row pair explode
+
+
+def test_prototype_assignment_has_no_prototype_join(spark, sf_dir):
+    """Prototypes ride as an in-plan literal: the distance fold must
+    not introduce a join against a centroid table (the arg-min window
+    is the only shuffle after the explode)."""
+    plan = plan_of(QUERIES["emb_assign_prototype"](spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "Window" in plan
+
+
+def test_events_funnel_joins_are_hash_equi(spark, sf_dir):
+    """Funnel stage joins are equi-joins on user_id — a cartesian or
+    nested-loop here would be quadratic in users."""
+    plan = plan_of(QUERIES["events_funnel"](spark, sf_dir))
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "HashAggregate" in plan
+
+
+def test_rare_bigram_prunes_documents_scan(spark, sf_dir):
+    """The quality filter reads only (doc_id, text); the corpus
+    frequency aggregate must combine map-side before its shuffle."""
+    plan = plan_of(QUERIES["text_rare_bigram_ratio"](spark, sf_dir))
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    for col in ("source", "lang", "n_chars"):
+        assert col not in read, f"scan reads unused column {col}"
+    assert "partial_count" in plan or "partial_sum" in plan
