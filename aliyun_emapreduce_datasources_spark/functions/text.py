@@ -12,6 +12,7 @@ hash, the canonical "fingerprint then exact-dedup" step).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -383,9 +384,42 @@ GROUP BY doc_id
 """
 
 
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressibility quality signal (Gopher / RefinedWeb
+    heuristic): highly compressible text is repetitive boilerplate,
+    incompressible text is gibberish/binary-in-text; natural prose
+    sits in a band. zlib isn't expressible in SQL, so this is the
+    pattern SURVEY.md prescribes for such ops — an Arrow-batched
+    pandas UDF (one zlib call per row inside a vectorized batch,
+    never a row-at-a-time Python UDF) over a pruned two-column scan.
+    Embarrassingly parallel: scan → project, no shuffle. Rows-only
+    driver check; values are pinned against direct zlib calls in
+    tests/test_text_extra.py (zlib level fixed → bit-deterministic).
+    """
+    @F.pandas_udf("long")
+    def compressed_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(lambda s: len(zlib.compress(s.encode("utf-8"), 6)))
+
+    docs = t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length("text")
+    ratio = F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            n_bytes.cast("long").alias("n_bytes"),
+            compressed_len("text").alias("n_compressed"),
+        )
+        .withColumn("ratio", ratio)
+        .withColumn("keep", (F.col("ratio") > 0.1) & (F.col("ratio") < 0.6))
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_rare_bigram_ratio": rare_bigram_ratio,
+    "text_compression_ratio": compression_ratio,
     "text_repetition_filter": repetition_filter,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
