@@ -167,6 +167,13 @@ class StreamingSqlSession:
                 )
             reader.load().createOrReplaceTempView(name)
             return None
+        if fmt == "jdbc2":
+            # exactly-once JDBC streaming sink (S23, JdbcSourceProvider
+            # "jdbc2"): `USING jdbc2 OPTIONS (url 'jdbc:sqlite:<path>',
+            # dbtable '<t>', output.mode ...)`; the INSERT INTO routes
+            # through the two-phase batchId commit log.
+            self.sinks[name] = {**options, "format": "jdbc2"}
+            return None
         if "path" not in options:
             # sink-table declaration (the corpus' kafka_temp_table_qN:
             # no source path, carries output.mode etc. — q3.sql:11-21);
@@ -246,6 +253,22 @@ class StreamingSqlSession:
                     .outputMode(mode)
                     .start()
                 )
+            elif sink.get("format") == "jdbc2":
+                from aliyun_emapreduce_datasources_spark.streaming.sinks import (
+                    SQLiteExactlyOnceSink,
+                )
+
+                url = sink.get("url", "")
+                db_path = url.split("jdbc:sqlite:", 1)[-1] if url else sink["db"]
+                writer_sink = SQLiteExactlyOnceSink(
+                    db_path, sink.get("dbtable", target), df.columns
+                )
+                writer = df.writeStream.foreachBatch(writer_sink).outputMode(mode)
+                if "checkpointLocation" in sink:
+                    writer = writer.option(
+                        "checkpointLocation", sink["checkpointLocation"]
+                    )
+                q = writer.start()
             else:
                 q = (
                     df.writeStream.format("memory")

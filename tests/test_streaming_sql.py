@@ -552,3 +552,45 @@ def test_emrkv_batch_source_table_in_sql(spark, sf_dir):
     # the subset catalog must actually prune: the registered view has
     # only the three declared columns
     assert set(spark.table("docs_kv").columns) == {"doc_id", "lang", "n_chars"}
+
+
+# --- jdbc2 exactly-once sink declared in DDL (S23) --------------------
+
+JDBC2_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_jdbc (event_id bigint, ts timestamp, user_id bigint,
+                      event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE sink_jdbc USING jdbc2
+    OPTIONS (url 'jdbc:sqlite:{db}', dbtable 'purchases', output.mode 'append',
+             checkpointLocation '{ckpt}');
+INSERT INTO sink_jdbc
+SELECT event_id, event_type FROM ev_jdbc WHERE event_type = 'purchase'
+"""
+
+
+def test_jdbc2_sink_sql_script_exactly_once(spark, sf_dir, stream_dir, tmp_path):
+    """JdbcSourceProvider's `USING jdbc2` surface (JdbcSink.scala:50-70):
+    the DDL-declared sink routes through the two-phase batchId commit
+    log — all rows land exactly once."""
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(
+        JDBC2_SCRIPT.format(path=stream_dir, db=db, ckpt=str(tmp_path / "ckpt"))
+    )
+    q = sess.queries["sink_jdbc"]
+    q.processAllAvailable()
+    q.stop()
+
+    want = t(spark, sf_dir, "events").where("event_type = 'purchase'").count()
+    with sqlite3.connect(db) as con:
+        n, nd = con.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT event_id) FROM purchases"
+        ).fetchone()
+        statuses = {
+            s for (s,) in con.execute("SELECT status FROM purchases__stream_log")
+        }
+    assert n == nd == want  # every purchase exactly once
+    assert statuses == {"COMMITTED"}
