@@ -10,19 +10,24 @@ span, and each document is flagged with how many of its distinct
 shingles are duplicated elsewhere. Downstream either drops flagged
 docs (threshold on the ratio) or scrubs the spans.
 
-Scale shape: distinct per-doc shingle postings (explode, no shuffle)
-→ groupBy(hash) count with map-side partials — the one wide shuffle,
-O(distinct shingles) — → filter n_docs ≥ 2 → join back to the
-postings ON the hash. Both join children are partitioned by the hash
-(the aggregate's output retains it; the postings side shuffles once),
-so the join is co-partitioned; the final per-doc count shuffles only
-the flagged subset. No step is quadratic in documents and nothing
-lands on the driver.
+Scale shape: ONE corpus scan, one wide shuffle. The naive
+aggregate-then-join-back formulation re-reads and re-shingles the
+entire corpus for the probe side (Catalyst prunes the two branches to
+different column sets, so their exchanges never dedup into a
+ReusedExchange) — at 100 TB that second scan dominates everything.
+Instead the ≥2-docs test is a `count() OVER (PARTITION BY hash)`
+window on the postings: same shuffle the join would need, no second
+scan, and the per-doc count reduces only the flagged subset.
+Per-key buffering in the window is bounded by docs-per-shingle and
+spills to disk (ExternalAppendOnlyUnsafeRowArray) for pathological
+boilerplate shingles; a corpus with extreme shingle skew would first
+materialize the postings once (storage.compact) and run the join
+shape against the materialized table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
@@ -45,14 +50,10 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    dup = (
-        postings.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("s")
-    )
+    w = Window.partitionBy("s")
     return (
-        postings.join(dup, "s")
+        postings.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs") >= 2)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
     )

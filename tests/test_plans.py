@@ -159,3 +159,11 @@ def test_rare_bigram_prunes_documents_scan(spark, sf_dir):
     for col in ("source", "lang", "n_chars"):
         assert col not in read, f"scan reads unused column {col}"
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dup_spans_scans_corpus_once(spark, sf_dir):
+    """The duplicated-span flagger must not re-scan documents for a
+    join probe — one FileScan, the ≥2-docs test is a window."""
+    plan = plan_of(QUERIES["dedup_dup_spans"](spark, sf_dir), mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
