@@ -11,15 +11,18 @@ Scale shape (the part that matters at 100 TB):
 
 - Both sides explode to **distinct shingle hash postings** — shuffle
   volume is O(total shingles), never O(train × eval) document pairs.
-- The eval side reduces to a distinct shingle set first; the join is a
-  plain shuffled hash join on the 64-bit shingle hash. (The eval set
-  of a real pipeline is benchmark-sized — a few MB of shingles — so
-  Spark/AQE will broadcast it and the train side never shuffles at
-  all; we don't force the hint so the plan also survives an eval side
-  that *isn't* small.)
+- ONE corpus scan: the eval-membership test is
+  ``max(is_eval) OVER (PARTITION BY hash)`` on the postings. The
+  eval-distinct + join-back formulation re-reads and re-shingles the
+  whole corpus for the probe side (Catalyst prunes the two branches
+  to different columns, so their exchanges never dedup) — the second
+  100 TB scan costs more than the window's per-key buffering ever
+  can. When the eval set genuinely lives in a separate benchmark-
+  sized table, the join form with a broadcast eval side is the right
+  variant; this operator models eval carved from the corpus itself.
 - Because the train side is distinct-per-document, the per-document
-  ``COUNT(*)`` after the join IS the distinct-shared-shingle count —
-  no count(distinct) pass needed.
+  ``COUNT(*)`` of eval-flagged postings IS the distinct-shared-
+  shingle count — no count(distinct) pass needed.
 
 Output: one row per contaminated training document with the number of
 distinct eval shingles it shares. Clean documents produce no row (the
@@ -32,7 +35,7 @@ oracle compares raw shingle strings and matches).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
@@ -55,10 +58,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    eval_sh = postings.where("is_eval").select("s").distinct()
-    train = postings.where(~F.col("is_eval"))
+    w = Window.partitionBy("s")
     return (
-        train.join(eval_sh, "s")
+        postings.withColumn("has_eval", F.max(F.col("is_eval").cast("int")).over(w))
+        .where((F.col("has_eval") == 1) & ~F.col("is_eval"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
