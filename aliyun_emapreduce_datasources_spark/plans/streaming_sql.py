@@ -16,6 +16,10 @@ it supports, and what this front-end does with them on public Spark:
                                            -> window(c, 'd')
   SELECT ... GROUP BY HOPPING(c, interval d, interval s)
                                            -> window(c, 'd', 's')
+  SELECT ... GROUP BY SESSION(c, interval g)
+                                           -> session_window(c, 'g')
+                                              (extension beyond the
+                                              corpus dialect)
   WHERE delay(c) < 'd'                     -> withWatermark(c, 'd') on
                                               the source stream, predicate
                                               dropped from the WHERE
@@ -40,6 +44,9 @@ _TUMBLING = re.compile(r"TUMBLING\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^)
 _HOPPING = re.compile(
     r"HOPPING\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^,)]+?)\s*,\s*interval\s+([^)]+?)\s*\)",
     re.IGNORECASE,
+)
+_SESSION = re.compile(
+    r"SESSION\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^)]+?)\s*\)", re.IGNORECASE
 )
 # delay(col) < 'interval' — a watermark declaration, not a row predicate
 _DELAY = re.compile(r"delay\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*<\s*'([^']+)'", re.IGNORECASE)
@@ -70,6 +77,7 @@ def rewrite_streaming_sql(sql: str) -> tuple[str, list[tuple[str, str]]]:
     out = _DELAY.sub(_delay_sub, sql)
     out = _HOPPING.sub(lambda m: f"window({m.group(1)}, '{m.group(2).strip()}', '{m.group(3).strip()}')", out)
     out = _TUMBLING.sub(lambda m: f"window({m.group(1)}, '{m.group(2).strip()}')", out)
+    out = _SESSION.sub(lambda m: f"session_window({m.group(1)}, '{m.group(2).strip()}')", out)
     return out, watermarks
 
 

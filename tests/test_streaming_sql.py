@@ -594,3 +594,59 @@ def test_jdbc2_sink_sql_script_exactly_once(spark, sf_dir, stream_dir, tmp_path)
         }
     assert n == nd == want  # every purchase exactly once
     assert statuses == {"COMMITTED"}
+
+
+# --- SESSION window extension (session_window rewrite) ----------------
+
+SESSION_SCRIPT = """
+SET spark.sql.shuffle.partitions=8;
+CREATE TABLE ev_sess (event_id bigint, ts timestamp, user_id bigint,
+                      event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '1');
+CREATE TABLE result_sess USING kafka OPTIONS (output.mode 'append');
+INSERT INTO result_sess
+SELECT session_window.start AS sess_start, event_type, count(*) AS cnt
+FROM ev_sess
+WHERE delay(ts) < '10 minutes'
+GROUP BY SESSION(ts, interval 30 minutes), event_type
+"""
+
+
+def test_session_window_sql_extension(spark, sf_dir, stream_dir):
+    """SESSION(c, interval g) — the dialect extension beyond the
+    corpus' TUMBLING/HOPPING — rewrites to session_window(); finalized
+    sessions match the batch session_window answer."""
+    sql, _ = rewrite_streaming_sql("GROUP BY SESSION(ts, interval 30 minutes)")
+    assert "session_window(ts, '30 minutes')" in sql
+
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(SESSION_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_sess"]
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.sess_start, r.event_type): r.cnt
+        for r in spark.table("result_sess").collect()
+    }
+
+    # the JSON replay serializes timestamps at millisecond precision,
+    # and session bounds ARE event timestamps (unlike aligned tumbling
+    # windows) — truncate the batch twin to match the wire format
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_millis((F.unix_micros("ts") / 1000).cast("long"))
+    )
+    want = {
+        (r.ws, r.event_type): r.cnt
+        for r in ev.groupBy(
+            # group by the FULL session_window struct — grouping by its
+            # .start would skip session merging entirely
+            F.session_window("ts", "30 minutes").alias("sw"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("sw.start").alias("ws"), "event_type", "cnt")
+        .collect()
+    }
+    assert len(got) > 0
+    assert all(want.get(k) == v for k, v in got.items())
+    assert len(got) < len(want)  # open tail sessions withheld
