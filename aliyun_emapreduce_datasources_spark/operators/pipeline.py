@@ -389,9 +389,70 @@ GROUP BY source, split
 """
 
 
+def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan — quality
+    filter → exact dedup → stratified split → per-cell stats — the
+    shape a real pretraining data job ships, demonstrating that every
+    stage stays declarative and Catalyst plans the composition (filter
+    pushdown through the window, single scan, two shuffles total).
+
+    Stages: (1) quality gate: 20 ≤ token count ≤ 1000; (2) exact
+    dedup: keep the minimum doc_id per md5(text) group (portable hash,
+    so the oracle agrees; the window shuffles the 32-char digest + ids,
+    never the text); (3) hash-deterministic 80/10/10 split; (4) roll
+    up to (source, split) cells with doc and token totals."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    gated = docs.select(
+        "doc_id", "source", F.md5("text").alias("h"), n_tok.alias("n_tok")
+    ).where((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        deduped.select("source", split.alias("split"), "n_tok")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_CURATE = """
+WITH gated AS (
+  SELECT doc_id, source, md5(text) AS h, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM gated
+  ) WHERE rn = 1
+)
+SELECT source,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM (
+  SELECT source, n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+  FROM deduped
+)
+GROUP BY source, split
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
     "split_train_eval": split_train_eval,
+    "curate_end_to_end": curate_end_to_end,
     "per_source_cap": per_source_cap,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
@@ -402,6 +463,7 @@ QUERIES = {
 ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
     "split_train_eval": ORACLE_SPLIT,
+    "curate_end_to_end": ORACLE_CURATE,
     "per_source_cap": ORACLE_CAP,
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
