@@ -154,14 +154,71 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate anomaly flags: each hour's error share tested
+    against the trailing-24-hour baseline (ratio of sums, not mean of
+    ratios, so sparse hours don't distort the baseline). An hour is
+    anomalous when its share exceeds 2× the baseline — evaluated as
+    the integer cross-multiply ``n_err·trail_total > 2·trail_err·
+    n_total``, so the flag is exact in both engines with no float
+    division anywhere.
+
+    Scale shape: one aggregate onto hours (map-side partials reduce
+    each task to its hour count), then a ROWS-frame window over the
+    tiny hourly table — |hours| rows regardless of event volume."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    return (
+        hourly.withColumn("trail_total", F.sum("n_total").over(w))
+        .withColumn("trail_err", F.sum("n_err").over(w))
+        .where(F.col("trail_total").isNotNull())
+        .select(
+            F.col("h").cast("string").alias("hour"),
+            "n_total",
+            "n_err",
+            (
+                F.col("n_err") * F.col("trail_total")
+                > 2 * F.col("trail_err") * F.col("n_total")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+ORACLE_ERROR_ANOMALY = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM events GROUP BY h
+), trailed AS (
+  SELECT h, n_total, n_err,
+         CAST(SUM(n_total) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_total,
+         CAST(SUM(n_err) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_err
+  FROM hourly
+)
+SELECT CAST(h AS VARCHAR) AS hour, n_total, n_err,
+       n_err * trail_total > 2 * trail_err * n_total AS is_anomaly
+FROM trailed WHERE trail_total IS NOT NULL
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_error_anomaly": events_error_anomaly,
     "events_transitions": events_transitions,
     "events_retention": events_retention,
 }
 
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
+    "events_error_anomaly": ORACLE_ERROR_ANOMALY,
     "events_transitions": ORACLE_TRANSITIONS,
     "events_retention": ORACLE_RETENTION,
 }
