@@ -362,7 +362,58 @@ GROUP BY ROLLUP(g_day, g_hour, g_minute)
 """
 
 
+# --- data-quality audit: referential integrity -------------------------
+
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-count audit across the snowflake's foreign keys — the
+    data-quality gate a pipeline runs before trusting a new drop.
+    Each relationship is a LEFT ANTI join (fact side vs its dim) and
+    the audit emits one row per relationship with the orphan count
+    (zero rows are kept so the report is fixed-shape).
+
+    Scale: each anti-join shuffles only its key columns (Catalyst
+    prunes the rest); dims under the broadcast threshold skip the
+    shuffle entirely. The final union is |relationships| rows."""
+    pairs = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for rel, fact, fk, dim, pk in pairs:
+        orphans = (
+            t(spark, sf_dir, fact)
+            .select(F.col(fk).alias("k"))
+            .join(t(spark, sf_dir, dim).select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.lit(rel).alias("relationship"), F.count(F.lit(1)).alias("n_orphans"))
+        )
+        out = orphans if out is None else out.unionAll(orphans)
+    return out
+
+
+ORACLE_AUDIT = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+         (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+UNION ALL SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+         (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+UNION ALL SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+         (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+UNION ALL SELECT 'supplier.s_nationkey->nation',
+       (SELECT COUNT(*) FROM supplier WHERE NOT EXISTS
+         (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+UNION ALL SELECT 'nation.n_regionkey->region',
+       (SELECT COUNT(*) FROM nation WHERE NOT EXISTS
+         (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
+"""
+
+
 QUERIES = {
+    "audit_referential_integrity": audit_referential_integrity,
     "rollup_time_hierarchy": rollup_time_hierarchy,
     "win_topk_per_group": win_topk_per_group,
     "win_running_total": win_running_total,
@@ -378,6 +429,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audit_referential_integrity": ORACLE_AUDIT,
     "rollup_time_hierarchy": ORACLE_TIME_ROLLUP,
     "win_topk_per_group": ORACLE_TOPK,
     "win_running_total": ORACLE_RUNNING,
