@@ -209,9 +209,55 @@ FROM trailed WHERE trail_total IS NOT NULL
 """
 
 
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) per purchasing user — the
+    canonical customer-value rollup. Recency is whole days from the
+    user's last purchase to the stream's anchor (its max event time),
+    so the result is reproducible from the data alone; monetary uses
+    the decimal-exact sum convention.
+
+    Scale: ONE aggregate over purchases (map-side partials) plus a
+    1-row anchor aggregate broadcast in — no window, no second scan
+    of the full stream (the anchor scan reads only ``ts``)."""
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor_ts"))
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("anchor_ts"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+
+ORACLE_RFM = """
+WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events)
+SELECT user_id,
+       CAST(datediff('day', CAST(last_ts AS DATE), CAST(anchor_ts AS DATE)) AS BIGINT) AS recency_days,
+       frequency, monetary
+FROM (
+  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+) CROSS JOIN anchor
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_error_anomaly": events_error_anomaly,
+    "events_rfm": events_rfm,
     "events_transitions": events_transitions,
     "events_retention": events_retention,
 }
@@ -219,6 +265,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_error_anomaly": ORACLE_ERROR_ANOMALY,
+    "events_rfm": ORACLE_RFM,
     "events_transitions": ORACLE_TRANSITIONS,
     "events_retention": ORACLE_RETENTION,
 }
