@@ -412,8 +412,87 @@ UNION ALL SELECT 'nation.n_regionkey->region',
 """
 
 
+# --- histogram verb -----------------------------------------------------
+
+def hist_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem extended price — the generic
+    binning verb: bucket = floor(price / 5000), count + share per
+    bucket. Bin assignment is one IEEE division + floor (identical in
+    both engines), the share an exact-count division. One aggregate
+    with map-side partials onto |buckets| rows."""
+    li = t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
+        )
+    )
+
+
+ORACLE_HIST = """
+WITH total AS (SELECT COUNT(*) AS n_total FROM lineitem)
+SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM lineitem CROSS JOIN total
+GROUP BY bucket, n_total
+"""
+
+
+# --- order-insensitive table checksum -----------------------------------
+
+def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table fingerprint: row count + XOR-aggregate of a
+    portable per-row hash (first 60 bits of md5 over the key columns).
+    XOR is commutative/associative with no overflow, so the checksum
+    is order- and partitioning-insensitive and any engine (or a
+    post-migration copy) can recompute it — the cheap answer to "did
+    replication/ingest lose or mutate rows". One scan per table, the
+    aggregate reduces map-side to a single value."""
+    specs = [
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey || '-' || l_linenumber"),
+        ("customer", "c_custkey"),
+    ]
+    out = None
+    for name, keyexpr in specs:
+        h = F.conv(
+            F.substring(F.md5(F.expr(f"CAST({keyexpr} AS STRING)")), 1, 15), 16, 10
+        ).cast("long")
+        one = (
+            t(spark, sf_dir, name)
+            .agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(h).alias("checksum"),
+            )
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+ORACLE_CHECKSUM = """
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+       bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS checksum
+FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*),
+       bit_xor(CAST(('0x' || substr(md5(CAST(l_orderkey || '-' || l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT))
+FROM lineitem
+UNION ALL SELECT 'customer', COUNT(*),
+       bit_xor(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT))
+FROM customer
+"""
+
+
 QUERIES = {
     "audit_referential_integrity": audit_referential_integrity,
+    "audit_table_checksum": audit_table_checksum,
+    "hist_price": hist_price,
     "rollup_time_hierarchy": rollup_time_hierarchy,
     "win_topk_per_group": win_topk_per_group,
     "win_running_total": win_running_total,
@@ -430,6 +509,8 @@ QUERIES = {
 
 ORACLES = {
     "audit_referential_integrity": ORACLE_AUDIT,
+    "audit_table_checksum": ORACLE_CHECKSUM,
+    "hist_price": ORACLE_HIST,
     "rollup_time_hierarchy": ORACLE_TIME_ROLLUP,
     "win_topk_per_group": ORACLE_TOPK,
     "win_running_total": ORACLE_RUNNING,
