@@ -449,10 +449,45 @@ GROUP BY source, split
 """
 
 
+def stable_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense, contiguous global ids over (source, doc_id) order WITHOUT
+    a global sort. ``row_number() OVER (ORDER BY …)`` funnels 100 TB
+    through one task; the scale pattern is two-phase: rank within each
+    source (a normal partitioned window), compute each source's
+    starting offset from the sources-sized count table (its running
+    sum is a window over |sources| rows — bytes), and add. Same
+    result, no single-task stage; the offset table broadcasts.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    w_in = Window.partitionBy("source").orderBy("doc_id")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "source", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("offset") + F.col("rn")).cast("long").alias("global_id"),
+        )
+    )
+
+
+ORACLE_GLOBAL_IDS = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY source, doc_id) AS global_id
+FROM documents
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
     "split_train_eval": split_train_eval,
     "curate_end_to_end": curate_end_to_end,
+    "stable_global_ids": stable_global_ids,
     "per_source_cap": per_source_cap,
     "asof_join_events": asof_join_events,
     "doc_length_quantiles": doc_length_quantiles,
@@ -464,6 +499,7 @@ ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
     "split_train_eval": ORACLE_SPLIT,
     "curate_end_to_end": ORACLE_CURATE,
+    "stable_global_ids": ORACLE_GLOBAL_IDS,
     "per_source_cap": ORACLE_CAP,
     "asof_join_events": ORACLE_ASOF,
     "doc_length_quantiles": ORACLE_QUANTILES,
