@@ -165,3 +165,42 @@ def test_random_join_tree_sql_matches_duckdb(q, spark, oracle):
     spark_pdf = spark.sql(sql).toPandas()
     oracle_pdf = oracle.execute(sql).df()
     assert_frames_match(spark_pdf, oracle_pdf, sql)
+
+
+# --- randomized set-operation trees -------------------------------------
+# UNION ALL / UNION / INTERSECT / EXCEPT over compatible projections —
+# one SQL text, two engines. Branch filters are drawn independently so
+# the branches genuinely differ; DISTINCT-based set semantics must
+# agree exactly.
+
+SETOP_PREDS = [
+    "o_orderstatus = 'O'",
+    "o_totalprice > 120000",
+    "o_custkey % 2 = 0",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+]
+
+_squery = st.builds(
+    lambda op, p1, p2: (op, p1, p2),
+    op=st.sampled_from(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
+    p1=st.sampled_from(SETOP_PREDS),
+    p2=st.sampled_from(SETOP_PREDS),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_squery)
+def test_random_set_operation_matches_duckdb(q, spark, oracle):
+    op, p1, p2 = q
+    sql = (
+        f"SELECT o_orderstatus, o_custkey % 10 AS cb FROM orders WHERE {p1} "
+        f"{op} "
+        f"SELECT o_orderstatus, o_custkey % 10 AS cb FROM orders WHERE {p2}"
+    )
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = oracle.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, sql)
