@@ -204,3 +204,37 @@ def test_random_set_operation_matches_duckdb(q, spark, oracle):
     spark_pdf = spark.sql(sql).toPandas()
     oracle_pdf = oracle.execute(sql).df()
     assert_frames_match(spark_pdf, oracle_pdf, sql)
+
+
+# --- randomized scalar-expression semantics -----------------------------
+# The corpus leans on CASE WHEN, substr, concat (||), casts and date
+# arithmetic (SURVEY §2.2). Random combinations evaluated row-wise on
+# both engines pin their exact semantics (1-based substr, CASE
+# fall-through, string concat of casts, interval arithmetic).
+
+SCALARS = {
+    "sub3": "substr(o_orderpriority, 1, 3)",
+    "cat": "o_orderstatus || '-' || CAST(o_custkey % 100 AS STRING)",
+    "case2": "CASE WHEN o_totalprice > 200000 THEN 'hi' WHEN o_totalprice > 80000 THEN 'mid' ELSE 'lo' END",
+    "yr1": "year(o_orderdate) + 1",
+    "mon": "month(o_orderdate)",
+    "dplus": "o_orderdate + INTERVAL 30 DAY",
+    "lenp": "length(o_orderpriority)",
+    "lowc": "lower(o_orderstatus)",
+}
+
+_scq = st.lists(st.sampled_from(sorted(SCALARS)), min_size=2, max_size=4, unique=True)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=_scq)
+def test_random_scalar_expressions_match_duckdb(names, spark, oracle):
+    exprs = ", ".join(f"{SCALARS[n]} AS {n}" for n in names)
+    sql = f"SELECT o_orderkey, {exprs} FROM orders WHERE o_custkey % 11 = 3"
+    spark_pdf = spark.sql(sql).toPandas()
+    oracle_pdf = oracle.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, sql)
