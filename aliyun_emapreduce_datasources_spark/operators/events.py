@@ -254,10 +254,55 @@ FROM (
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths (sequence mining lite):
+    two lead()s over each user's total-ordered history form the path
+    string, one aggregate counts them, and the top-k is a global
+    TakeOrderedAndProject with a deterministic (count DESC, path)
+    tie-break. Shuffle: the lead window on user_id, then partial-
+    aggregated path counts — |event_types|³ distinct paths at most."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.concat_ws(
+                ">",
+                "event_type",
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.lead("event_type", 2).over(w).alias("_ok"),
+        )
+        .where(F.col("_ok").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PATHS = """
+SELECT path, COUNT(*) AS n
+FROM (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS ok
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE ok IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_error_anomaly": events_error_anomaly,
     "events_rfm": events_rfm,
+    "events_top_paths": events_top_paths,
     "events_transitions": events_transitions,
     "events_retention": events_retention,
 }
@@ -266,6 +311,7 @@ ORACLES = {
     "events_funnel": ORACLE_FUNNEL,
     "events_error_anomaly": ORACLE_ERROR_ANOMALY,
     "events_rfm": ORACLE_RFM,
+    "events_top_paths": ORACLE_TOP_PATHS,
     "events_transitions": ORACLE_TRANSITIONS,
     "events_retention": ORACLE_RETENTION,
 }
