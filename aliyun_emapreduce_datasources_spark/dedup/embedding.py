@@ -1,20 +1,34 @@
 """Embedding-cosine near-duplicate detection.
 
-All-pairs variant (oracle-checked): the corpus matrix is small per
-blocking group (here: the whole table), so broadcast it as a numpy
-array and let each mapInPandas task score its partition's rows against
-the matrix with one BLAS matmul — O(n²) flops but O(n) shuffle, no
-per-pair expression evaluation. 180× faster than per-pair
-interpreted higher-order-function cosine at sf0.1 (112 s → 0.6 s).
+Cataloged variant ``embedding_neardup_blocked`` (oracle-checked,
+exact): distributed block-matrix all-pairs. Vectors are assigned to
+NB hash blocks; each of the NB·(NB+1)/2 unordered block pairs becomes
+one cogroup-key, and a cogrouped ``applyInPandas`` task scores block A
+against block B with a single BLAS matmul. Exact same pair set as the
+naive O(n²) SQL join, but:
+
+- no driver-side collect, no full-table broadcast — each task holds
+  only 2/NB of the corpus;
+- shuffle volume is O(n · (NB+1)/2) vector copies (replication to the
+  block pairs), not O(n²) pairs;
+- flops are the unavoidable exact-all-pairs O(n²/2), spread evenly
+  over NB·(NB+1)/2 independent tasks. At 100 TB you raise NB so each
+  block fits an executor (task memory = 2·n·dim·8/NB bytes) and
+  parallelism = NB² /2 ≫ executor count.
+
+``embedding_neardup_pairs`` (kept as the oracle/recall reference and
+for small blocking groups) broadcasts the whole matrix and scores each
+partition against it — O(n) shuffle but O(corpus) driver memory, so it
+must never be the cataloged plan.
 
 Output is (vec_a, vec_b) integer pairs above the threshold; the
 similarity value itself is deliberately not exposed (BLAS vs
 sequential-fold accumulation differ in the last ulp — pair membership
 is stable, float bytes are not).
 
-Scale path at 10⁹+ vectors: block with the random-hyperplane
-signatures from similarity/lsh.py (``embedding_neardup_lsh``), then
-run the same matmul per bucket.
+True approximate scale path at 10⁹⁺ vectors (sub-quadratic, recall<1):
+block with the random-hyperplane signatures from similarity/lsh.py
+(``embedding_neardup_lsh``), then run the same matmul per bucket.
 """
 
 from __future__ import annotations
@@ -31,7 +45,13 @@ from aliyun_emapreduce_datasources_spark.functions.vector import cosine
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.lsh import hyperplane_signature
 
-__all__ = ["embedding_neardup_pairs", "embedding_neardup_lsh", "QUERY", "ORACLE"]
+__all__ = [
+    "embedding_neardup_pairs",
+    "embedding_neardup_blocked",
+    "embedding_neardup_lsh",
+    "QUERY",
+    "ORACLE",
+]
 
 COS_THRESHOLD = 0.4
 
@@ -65,6 +85,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(run, PAIRS_SCHEMA)
 
 
+N_BLOCKS = 8
+
+
+def embedding_neardup_blocked(
+    spark: SparkSession, sf_dir: str, n_blocks: int = N_BLOCKS
+) -> DataFrame:
+    """Exact all-pairs via distributed block-matrix cogroup (see
+    module docstring). Matches the O(n²) SQL oracle bit-for-bit on
+    pair membership with no driver-side data movement."""
+    def replicated(side: str) -> DataFrame:
+        # fresh scan per side: cogroup of two branches of one self-join
+        # lineage trips the ambiguous-attribute check; two scans carry
+        # identical pushed-down plans with distinct attribute ids
+        emb = (
+            t(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        )
+        block_pairs = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "blk_a int, blk_b int",
+        )
+        return emb.join(F.broadcast(block_pairs), emb.blk == block_pairs[side]).select(
+            "blk_a", "blk_b", "vec_id", "embedding"
+        )
+
+    left, right = replicated("blk_a"), replicated("blk_b")
+
+    def score(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ids_a = pa["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = pb["vec_id"].to_numpy(dtype=np.int64)
+        ma = np.vstack(pa["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+        mb = np.vstack(pb["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        i, j = np.nonzero(sims >= COS_THRESHOLD)
+        a, b = ids_a[i], ids_b[j]
+        # each unordered pair lands in exactly one block-pair group
+        # (blk(a) <= blk(b)). On the diagonal group both orders and
+        # self-pairs appear — keep the a<b half; off-diagonal every
+        # pair appears once (in either id order), keep all, normalize
+        # to (min, max)
+        keep = (a < b) if key[0] == key[1] else np.ones(len(a), dtype=bool)
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    return (
+        left.groupBy("blk_a", "blk_b")
+        .cogroup(right.groupBy("blk_a", "blk_b"))
+        .applyInPandas(score, PAIRS_SCHEMA)
+    )
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked variant: bucket-bounded pair join (no full-table
     broadcast); exact cosine verify inside each bucket."""
@@ -83,7 +159,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERY = embedding_neardup_pairs
+QUERY = embedding_neardup_blocked
 
 ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -49,6 +49,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Parquet timestamp[us] without a timezone flag arrives as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ. Normalize to
+    # the instant type (LTZ): with the UTC session TZ pinned above the
+    # wall-clock value is unchanged and matches DuckDB's naive read,
+    # while downstream epoch casts / interval arithmetic / windows keep
+    # the instant-based semantics the engine standardizes on.
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
