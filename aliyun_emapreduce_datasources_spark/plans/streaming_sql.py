@@ -34,11 +34,18 @@ from __future__ import annotations
 
 import os
 import re
+import tempfile
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["rewrite_streaming_sql", "split_statements", "StreamingSqlSession"]
+__all__ = [
+    "rewrite_streaming_sql",
+    "split_statements",
+    "StreamingSqlSession",
+    "MicroBatchRecomputeQuery",
+]
 
 _TUMBLING = re.compile(r"TUMBLING\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*interval\s+([^)]+?)\s*\)", re.IGNORECASE)
 _HOPPING = re.compile(
@@ -115,6 +122,7 @@ class StreamingSqlSession:
     spark: SparkSession
     queries: dict[str, object] = field(default_factory=dict)
     sinks: dict[str, dict[str, str]] = field(default_factory=dict)
+    stream_tables: list[str] = field(default_factory=list)
 
     def execute_script(self, script: str) -> list[object]:
         return [self.execute(stmt) for stmt in split_statements(script)]
@@ -197,6 +205,8 @@ class StreamingSqlSession:
                 reader = reader.option("maxFilesPerTrigger", options["maxFilesPerTrigger"])
             df = reader.json(options["path"])
             df.createOrReplaceTempView(name)
+            if name not in self.stream_tables:
+                self.stream_tables.append(name)
         elif fmt == "parquet":
             self.spark.read.parquet(options["path"]).createOrReplaceTempView(name)
         else:
@@ -243,7 +253,16 @@ class StreamingSqlSession:
 
     def _run_select(self, target: str, select_sql: str, options: dict[str, str]):
         sql, watermarks = rewrite_streaming_sql(select_sql)
-        df = self._apply_and_sql(sql, watermarks)
+        try:
+            df = self._apply_and_sql(sql, watermarks)
+        except AnalysisException:
+            # a streaming-invalid plan can already fail analysis (e.g.
+            # scalar subqueries against a streaming relation); if the
+            # statement touches registered stream tables, hand it to the
+            # micro-batch recompute path, which plans it as batch SQL.
+            if self._referenced_streams(sql):
+                return self._start_recompute(target, sql)
+            raise
         if df.isStreaming:
             sink = self.sinks.get(target, {})
             mode = options.get("output.mode") or sink.get("output.mode", "complete")
@@ -262,15 +281,28 @@ class StreamingSqlSession:
                     .start()
                 )
             elif sink.get("format") == "jdbc2":
+                import functools
+
                 from aliyun_emapreduce_datasources_spark.streaming.sinks import (
+                    ExecutorExactlyOnceSink,
                     SQLiteExactlyOnceSink,
+                    sqlite_connection,
                 )
 
                 url = sink.get("url", "")
                 db_path = url.split("jdbc:sqlite:", 1)[-1] if url else sink["db"]
-                writer_sink = SQLiteExactlyOnceSink(
-                    db_path, sink.get("dbtable", target), df.columns
-                )
+                if sink.get("writer") == "partition":
+                    # executor-side data path (foreachPartition, no
+                    # driver collect) — the scale variant of S23
+                    writer_sink = ExecutorExactlyOnceSink(
+                        functools.partial(sqlite_connection, db_path),
+                        sink.get("dbtable", target),
+                        df.columns,
+                    )
+                else:
+                    writer_sink = SQLiteExactlyOnceSink(
+                        db_path, sink.get("dbtable", target), df.columns
+                    )
                 writer = df.writeStream.foreachBatch(writer_sink).outputMode(mode)
                 if "checkpointLocation" in sink:
                     writer = writer.option(
@@ -278,13 +310,104 @@ class StreamingSqlSession:
                     )
                 q = writer.start()
             else:
-                q = (
-                    df.writeStream.format("memory")
-                    .queryName(target)
-                    .outputMode(mode)
-                    .start()
-                )
+                try:
+                    q = (
+                        df.writeStream.format("memory")
+                        .queryName(target)
+                        .outputMode(mode)
+                        .start()
+                    )
+                except AnalysisException:
+                    # Structured Streaming's UnsupportedOperationChecker
+                    # rejects the incremental plan (e.g. a join placed
+                    # after a streaming aggregation, the q34/q46/q68/q79
+                    # derived-table shape). The reference's closed-source
+                    # engine ran these complete-mode; the public-Spark
+                    # equivalent is micro-batch recompute.
+                    return self._start_recompute(target, sql)
             self.queries[target] = q
             return q
         df.createOrReplaceTempView(target)
         return df
+
+    # -- micro-batch recompute fallback -------------------------------
+
+    def _referenced_streams(self, sql: str) -> list[str]:
+        return [n for n in self.stream_tables if re.search(rf"\b{n}\b", sql)]
+
+    def _start_recompute(self, target: str, sql: str) -> "MicroBatchRecomputeQuery":
+        """Complete-mode execution of a statement Structured Streaming
+        cannot incrementalize (SURVEY §2.2: the corpus' agg-then-join
+        derived-table statements, q34/q46/q68/q79, and q6's scalar
+        subqueries — the closed-source EMR engine ran these natively).
+
+        Public-Spark design: each referenced stream table gets a raw
+        pass-through streaming query that (a) appends the micro-batch to
+        an accumulator parquet dir and (b) re-plans the FULL statement
+        as batch SQL over the accumulated snapshots, re-registering the
+        result under the sink-table name — i.e. per-trigger complete
+        recomputation, the textbook fallback when a plan falls outside
+        the incrementalization whitelist. Results after every trigger
+        equal the batch answer over data-so-far, which is exactly
+        complete-mode semantics.
+
+        Scale note: recompute cost is O(data-so-far) per trigger, so
+        this path is for the corpus' bounded complete-mode result
+        tables, not unbounded facts; the incremental path stays the
+        default and is used whenever the checker admits the plan.
+        """
+        names = self._referenced_streams(sql)
+        base = tempfile.mkdtemp(prefix=f"recompute-{target}-")
+        snapshot_sql = sql
+        for name in names:
+            accum = os.path.join(base, name)
+            schema = self.spark.table(name).schema
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(accum)
+            self.spark.read.parquet(accum).createOrReplaceTempView(f"{name}__snapshot")
+            snapshot_sql = re.sub(rf"\b{name}\b", f"{name}__snapshot", snapshot_sql)
+        # target view exists (empty) before the first trigger commits
+        self.spark.sql(snapshot_sql).createOrReplaceTempView(target)
+
+        spark = self.spark
+        handles = []
+        for name in names:
+            accum = os.path.join(base, name)
+
+            def on_batch(batch_df, batch_id, _name=name, _accum=accum):
+                batch_df.write.mode("append").parquet(_accum)
+                spark.read.parquet(_accum).createOrReplaceTempView(f"{_name}__snapshot")
+                spark.sql(snapshot_sql).createOrReplaceTempView(target)
+
+            handles.append(
+                self.spark.table(name)
+                .writeStream.foreachBatch(on_batch)
+                .outputMode("append")
+                .start()
+            )
+        wrapper = MicroBatchRecomputeQuery(handles)
+        self.queries[target] = wrapper
+        return wrapper
+
+
+class MicroBatchRecomputeQuery:
+    """Streaming-query-shaped handle over the recompute fallback's
+    per-stream accumulator queries."""
+
+    def __init__(self, handles: list):
+        self.handles = handles
+
+    def processAllAvailable(self) -> None:
+        for q in self.handles:
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self.handles:
+            q.stop()
+
+    def awaitTermination(self, timeout: float | None = None) -> None:
+        for q in self.handles:
+            q.awaitTermination(timeout)
+
+    @property
+    def isActive(self) -> bool:
+        return any(q.isActive for q in self.handles)

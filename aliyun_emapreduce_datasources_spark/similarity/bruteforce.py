@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
 
 __all__ = ["topk_cosine", "QUERY", "ORACLE"]
 
@@ -54,7 +55,7 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = K) -> DataFrame:
     Deterministic tie-break on neighbor id.
     """
     spark = corpus.sparkSession
-    qrows = queries.select("query_id", "q_embedding").collect()
+    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     b_q = spark.sparkContext.broadcast((q_ids, q_mat))

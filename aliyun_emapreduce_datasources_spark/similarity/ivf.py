@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
 
 __all__ = ["train_centroids", "assign_clusters", "ann_ivf_topk", "QUERY"]
 
@@ -127,7 +128,7 @@ def ann_ivf_topk(
     C = train_centroids(corpus, k=n_clusters)
     assigned = assign_clusters(corpus, C)
 
-    qrows = queries.select("query_id", "q_embedding").collect()
+    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     probes = np.argsort(-(q_mat @ C.T), axis=1)[:, :nprobe]

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
 
 __all__ = ["hyperplane_signature", "signature_tables", "ann_lsh_topk", "QUERY"]
 
@@ -158,7 +159,7 @@ def ann_lsh_topk(
     small by contract (collected for probe-key generation + scoring).
     """
     spark = corpus.sparkSession
-    qrows = queries.select("query_id", "q_embedding").collect()
+    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.q_embedding for r in qrows], dtype=np.float64)
     P = _plane_matrix(n_planes, n_tables, DIM)

@@ -224,13 +224,23 @@ def _decode_value(buf: io.BytesIO, ft: object) -> object:
 
 def encode_avro(df: DataFrame, avro_json: str) -> DataFrame:
     """DataFrame → single ``value: binary`` column of Avro records
-    (the Kafka wire payload shape, S31)."""
+    (the Kafka wire payload shape, S31).
+
+    mapInPandas delivers timestamps tz-NAIVE in the *session* timezone,
+    while Avro timestamp-millis is an instant (epoch millis). Localize
+    to the session TZ before taking epoch values, so the wire payload
+    carries true instants under any session TZ (not just UTC)."""
     rec = json.loads(avro_json)
     field_types = [(f["name"], f["type"]) for f in rec["fields"]]
     out_schema = T.StructType([T.StructField("value", T.BinaryType())])
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            for c in ts_cols:
+                if pdf[c].dt.tz is None:
+                    pdf[c] = pdf[c].dt.tz_localize(session_tz)
             vals = []
             for row in pdf.itertuples(index=False):
                 buf = io.BytesIO()
@@ -245,10 +255,17 @@ def encode_avro(df: DataFrame, avro_json: str) -> DataFrame:
 
 def decode_avro(df: DataFrame, avro_json: str, value_col: str = "value") -> DataFrame:
     """``value: binary`` Avro payloads → typed columns per the schema
-    (the from_avro equivalent)."""
+    (the from_avro equivalent).
+
+    Inverse TZ handling of :func:`encode_avro`: decoded epoch millis
+    are rendered as session-TZ wall-clock naive timestamps, which is
+    what Spark expects back from mapInPandas — so decode(encode(x)) is
+    the identity on instants under any session TZ."""
     rec = json.loads(avro_json)
     field_types = [(f["name"], f["type"]) for f in rec["fields"]]
     out_schema = spark_schema_for(avro_json)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    ts_fields = {f.name for f in out_schema.fields if isinstance(f.dataType, T.TimestampType)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -258,6 +275,12 @@ def decode_avro(df: DataFrame, avro_json: str, value_col: str = "value") -> Data
                 for name, ft in field_types:
                     rows[name].append(_decode_value(buf, ft))
             out = pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in rows.items()})
+            for c in ts_fields & set(out.columns):
+                out[c] = (
+                    pd.to_datetime(out[c], utc=True)
+                    .dt.tz_convert(session_tz)
+                    .dt.tz_localize(None)
+                )
             yield out
 
     return df.select(value_col).mapInPandas(run, out_schema)

@@ -21,7 +21,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["IdempotentBatchSink", "SQLiteExactlyOnceSink"]
+__all__ = [
+    "IdempotentBatchSink",
+    "SQLiteExactlyOnceSink",
+    "ExecutorExactlyOnceSink",
+    "sqlite_connection",
+]
 
 
 class IdempotentBatchSink:
@@ -99,3 +104,108 @@ class SQLiteExactlyOnceSink:
             return con.execute(
                 f"SELECT {', '.join(self.columns)} FROM {self.table} ORDER BY _batch_id"
             ).fetchall()
+
+
+def sqlite_connection(db_path: str):
+    """Picklable DB-API connection factory for a file-backed SQLite
+    target (the test stand-in for a JDBC pool). The 60 s busy timeout
+    serializes concurrent partition writers — a real JDBC target takes
+    them in parallel."""
+    os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+    return sqlite3.connect(db_path, timeout=60)
+
+
+class ExecutorExactlyOnceSink:
+    """Executor-side two-phase exactly-once sink (S23 at scale).
+
+    Same `$_STREAM_LOG` protocol as :class:`SQLiteExactlyOnceSink`
+    (JDBCSinkLog.scala:25-110: batchId UNCOMMITTED → data write →
+    COMMITTED; an UNCOMMITTED batch found on replay is purged and
+    rewritten) — but the DATA path never touches the driver:
+
+    - the driver connection only reads/writes the tiny log table;
+    - each partition opens its own connection via a **picklable**
+      ``connection_factory`` and `executemany`s its rows tagged with
+      the batch id (`df.foreachPartition`, the public-Spark shape of
+      JdbcUtils.savePartition);
+    - the COMMITTED flip happens on the driver only after every
+      partition task has succeeded, so a mid-write crash leaves the
+      batch UNCOMMITTED and the replay purges the partial rows.
+
+    At 1000 executors the write throughput is the JDBC target's ingest
+    limit, not the driver's — the fix for the driver-bound
+    `SQLiteExactlyOnceSink.collect()` path, which stays as the
+    single-connection protocol demo.
+    """
+
+    PENDING = "UNCOMMITTED"
+    COMMITTED = "COMMITTED"
+
+    def __init__(self, connection_factory: Callable[[], object], table: str, columns: list[str]):
+        self.connect = connection_factory
+        self.table = table
+        self.columns = columns
+        self.log_table = f"{table}__stream_log"
+        con = self.connect()
+        try:
+            cols = ", ".join(f"{c} TEXT" for c in columns)
+            con.execute(f"CREATE TABLE IF NOT EXISTS {table} (_batch_id INTEGER, {cols})")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.log_table} (batch_id INTEGER PRIMARY KEY, status TEXT)"
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        con = self.connect()
+        try:
+            status = con.execute(
+                f"SELECT status FROM {self.log_table} WHERE batch_id = ?", (batch_id,)
+            ).fetchone()
+            if status and status[0] == self.COMMITTED:
+                return  # replayed batch, already durable
+            if status and status[0] == self.PENDING:
+                con.execute(f"DELETE FROM {self.table} WHERE _batch_id = ?", (batch_id,))
+                con.execute(f"DELETE FROM {self.log_table} WHERE batch_id = ?", (batch_id,))
+            con.execute(f"INSERT INTO {self.log_table} VALUES (?, ?)", (batch_id, self.PENDING))
+            con.commit()
+        finally:
+            con.close()
+
+        # executor-side data path: no driver collect. Locals only in the
+        # closure — `self` must not be captured (not picklable cheaply).
+        connect, table, columns, bid = self.connect, self.table, self.columns, batch_id
+        placeholders = ", ".join(["?"] * (1 + len(columns)))
+
+        def write_partition(rows) -> None:
+            buf = [(bid, *[str(v) for v in r]) for r in rows]
+            if not buf:
+                return
+            pcon = connect()
+            try:
+                pcon.executemany(f"INSERT INTO {table} VALUES ({placeholders})", buf)
+                pcon.commit()
+            finally:
+                pcon.close()
+
+        batch_df.select(*columns).foreachPartition(write_partition)
+
+        con = self.connect()
+        try:
+            con.execute(
+                f"UPDATE {self.log_table} SET status = ? WHERE batch_id = ?",
+                (self.COMMITTED, batch_id),
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    def read_all(self) -> list[tuple]:
+        con = self.connect()
+        try:
+            return con.execute(
+                f"SELECT {', '.join(self.columns)} FROM {self.table} ORDER BY _batch_id"
+            ).fetchall()
+        finally:
+            con.close()

@@ -98,6 +98,7 @@ def sessionize_stream(
             return
 
         closed: list[tuple[int, int, int]] = []
+        late: list[tuple[int, int, int]] = []
         cur = state.get if state.exists else None
         for pdf in pdfs:
             if pdf.empty:
@@ -116,9 +117,26 @@ def sessionize_stream(
                     closed.append(cur)
                     cur = (t_us, t_us, 1)
                 else:
-                    # entirely before the open session: a distinct,
-                    # already-gap-separated earlier session
-                    closed.append((t_us, t_us, 1))
+                    # entirely before the open session: an earlier,
+                    # gap-separated session. Merge consecutive late
+                    # events among themselves (interval merge against
+                    # every candidate, coalescing chains) so two late
+                    # events within gap yield ONE session — the batch
+                    # lag-gap semantics (win_sessionize).
+                    merged = (t_us, t_us, 1)
+                    keep: list[tuple[int, int, int]] = []
+                    for s in late:
+                        if s[0] - gap_us <= merged[1] and merged[0] <= s[1] + gap_us:
+                            merged = (
+                                min(s[0], merged[0]),
+                                max(s[1], merged[1]),
+                                s[2] + merged[2],
+                            )
+                        else:
+                            keep.append(s)
+                    keep.append(merged)
+                    late = keep
+        closed.extend(late)
         if cur is not None:
             deadline_ms = cur[1] // 1000 + gap_us // 1000
             if deadline_ms <= state.getCurrentWatermarkMs():

@@ -181,3 +181,32 @@ def test_subset_validation_rejects():
             T.StructType([T.StructField("o_totalprice", T.DecimalType(18, 2), False)]),
             registered,
         )
+
+
+def test_timestamp_millis_is_instant_under_non_utc_session_tz(spark):
+    """The wire payload's timestamp-millis must be true epoch millis
+    under ANY session timezone (the reference Avro schemas define an
+    instant), and decode must round-trip the instant."""
+    import io
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from aliyun_emapreduce_datasources_spark.streaming.avro_codec import _read_varint
+
+    epoch_s = 1_704_110_400  # 2024-01-01T12:00:00Z
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    avro = avro_schema_for(schema, "TsRec")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.range(1).select(F.timestamp_seconds(F.lit(epoch_s)).alias("ts"))
+        raw = encode_avro(df, avro).collect()[0].value
+        # field is a nullable union: branch varint then the millis
+        buf = io.BytesIO(bytes(raw))
+        _read_varint(buf)  # union branch
+        assert _read_varint(buf) == epoch_s * 1000, "wire value is not epoch millis"
+        back = decode_avro(encode_avro(df, avro), avro).collect()[0].ts
+        assert int(back.timestamp()) == epoch_s
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

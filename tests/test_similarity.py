@@ -56,3 +56,22 @@ def test_int8_recall_vs_bruteforce(spark, sf_dir):
     # int8 error ~1e-2 with 4x candidate oversampling + exact rescore:
     # near-lossless in practice
     assert recall >= 0.9, f"int8+rescore recall@5 collapsed: {recall:.2f}"
+
+
+def test_ann_query_batch_cap_fires(spark):
+    """The driver-side query collect refuses batches above the cap with
+    a clear remediation, and never materializes more than cap+1 rows
+    (the limit is in-plan)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+
+    q = spark.range(50).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("q_embedding"),
+    )
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        collect_query_batch(q, ["query_id", "q_embedding"], cap=10)
+    # under the cap: passes rows through untouched
+    assert len(collect_query_batch(q, ["query_id", "q_embedding"], cap=100)) == 50

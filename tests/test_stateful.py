@@ -74,3 +74,51 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir, stream_d
     # per-user trailing session may remain open)
     n_users = len({u for u, *_ in want})
     assert len(got) >= len(want) - n_users
+
+
+def test_late_events_merge_into_one_session(spark, tmp_path):
+    """Two late events within gap of each other (both arriving more
+    than gap before the open session, ahead of the watermark) must
+    close as ONE merged session — the batch lag-gap answer — not two
+    singletons."""
+    import json
+    import os
+
+    d = str(tmp_path / "late-stream")
+    os.makedirs(d)
+
+    def write_chunk(idx: int, rows: list[dict]) -> None:
+        p = os.path.join(d, f"c{idx:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    def ev(eid: int, ts: str) -> dict:
+        return {
+            "event_id": eid,
+            "ts": ts,
+            "user_id": 7,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # chunk 0 opens a session at 12:00; chunk 1 delivers two late
+    # events 10:30/10:40 — within gap (30 min) of each other, > gap
+    # before the open session, ahead of the 2 h watermark
+    write_chunk(0, [ev(1, "2024-01-01T12:00:00.000Z")])
+    write_chunk(1, [ev(2, "2024-01-01T10:30:00.000Z"), ev(3, "2024-01-01T10:40:00.000Z")])
+
+    st = StreamTable("events", EVENTS_SCHEMA, d, {"maxFilesPerTrigger": "1"})
+    sessions = sessionize_stream(st.read_stream(spark), gap=GAP, watermark_delay="2 hours")
+    name = f"latesess_{uuid.uuid4().hex[:8]}"
+    q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(name).collect()
+    }
+    assert got == {(7, "2024-01-01 10:30:00", "2024-01-01 10:40:00", 2)}, got

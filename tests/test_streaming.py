@@ -258,6 +258,80 @@ def test_sqlite_exactly_once_sink_replay_and_partial(spark, tmp_path):
     assert ("999",) not in rows
 
 
+def test_executor_exactly_once_sink_restart_and_partial(spark, sf_dir, tmp_path):
+    """Crash-replay of the executor-side two-phase sink: the data path
+    is foreachPartition (no driver collect); a kill-and-restart from
+    checkpoint with new data in between delivers every row exactly
+    once, and a simulated mid-batch crash (UNCOMMITTED log + partial
+    rows) is purged on replay."""
+    import functools
+    import json
+    import os
+    import sqlite3
+
+    from aliyun_emapreduce_datasources_spark.operators.common import t as load
+    from aliyun_emapreduce_datasources_spark.streaming.sinks import (
+        ExecutorExactlyOnceSink,
+        sqlite_connection,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id").limit(200)
+    rows = [r.event_id for r in ev.collect()]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def write_chunk(idx: int, ids: list[int]) -> None:
+        p = os.path.join(d, f"c{idx:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps({"event_id": i}) for i in ids))
+        os.utime(p, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    write_chunk(0, rows[:50])
+    write_chunk(1, rows[50:100])
+
+    cp = str(tmp_path / "ckpt")
+    db = str(tmp_path / "sink.db")
+    sink = ExecutorExactlyOnceSink(
+        functools.partial(sqlite_connection, db), "out", ["event_id"]
+    )
+
+    def start():
+        return (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(sink.read_all()) == 100
+
+    # new data lands while the query is down; restart from checkpoint
+    write_chunk(2, rows[100:150])
+    write_chunk(3, rows[150:200])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = [int(v[0]) for v in sink.read_all()]
+    assert len(got) == 200, "restart must not duplicate or drop batches"
+    assert sorted(got) == sorted(rows)
+
+    # simulated mid-batch crash: UNCOMMITTED log entry + partial rows
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO out__stream_log VALUES (99, 'UNCOMMITTED')")
+    con.execute("INSERT INTO out VALUES (99, '999999')")
+    con.commit()
+    con.close()
+    sink(spark.range(3).select(F.col("id").alias("event_id")), 99)
+    all_rows = sink.read_all()
+    assert len(all_rows) == 203
+    assert ("999999",) not in all_rows
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir, events_stream_dir):
     """Streaming twin of exact dedup: duplicate events arriving within
     the watermark horizon are dropped by key (state expires past the
