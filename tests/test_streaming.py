@@ -520,3 +520,41 @@ def test_late_data_replay_profile_converges(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_continuous_trigger_rate_source_map_only(spark, tmp_path):
+    """S10 conformance: the continuous trigger executes a map-only plan
+    (rate source -> filter/projection -> sink) with epoch-based
+    checkpointing; rows flow with no micro-batch boundary."""
+    import time
+    import uuid
+
+    from aliyun_emapreduce_datasources_spark.streaming.continuous import start_continuous
+
+    # continuous mode pins one LONG-RUNNING task per source partition;
+    # keep numPartitions small so the validation job still gets cores
+    # (at 32 partitions on local[32] the count() below would starve)
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .option("numPartitions", "2")
+        .load()
+        .where(F.col("value") % 2 == 0)
+        .select((F.col("value") * 2).alias("doubled"))
+    )
+    name = f"cont_{uuid.uuid4().hex[:8]}"
+    q = start_continuous(
+        src,
+        queryName=name,
+        checkpointLocation=str(tmp_path / "cont-ckpt"),
+        interval="1 second",
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert rows, "continuous query produced no rows in 30 s"
+        assert all(r.doubled % 4 == 0 for r in rows)
+    finally:
+        q.stop()
