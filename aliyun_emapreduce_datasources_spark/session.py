@@ -47,6 +47,12 @@ def get_session(app_name: str = "emr-datasources-spark", master: str | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default for TIMESTAMP_LTZ) carries no
+        # parquet min/max statistics, so row-group/file skipping on
+        # event-time predicates silently dies — at 100 TB that is the
+        # difference between pruning a day and scanning a decade.
+        # INT64 micros is the modern interoperable encoding.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
