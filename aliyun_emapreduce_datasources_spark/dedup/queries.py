@@ -9,6 +9,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
     exact,
     minhash,
     ngram,
+    semantic,
     simhash,
     spans,
     winnow,
@@ -25,6 +26,7 @@ QUERIES = {
     "dedup_simhash": simhash.QUERY,
     "dedup_embedding_cosine": embedding.QUERY,
     "dedup_winnow_fingerprint": winnow.QUERY,
+    "dedup_semantic": semantic.QUERY,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that
@@ -37,4 +39,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,
+    "dedup_semantic": semantic.ORACLE,
 }

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.functions import text, vocab
+from aliyun_emapreduce_datasources_spark.functions import lm, text, vocab
 
-QUERIES = {**text.QUERIES, **vocab.QUERIES}
-ORACLES = {**text.ORACLES, **vocab.ORACLES}
+QUERIES = {**text.QUERIES, **vocab.QUERIES, **lm.QUERIES}
+ORACLES = {**text.ORACLES, **vocab.ORACLES, **lm.ORACLES}

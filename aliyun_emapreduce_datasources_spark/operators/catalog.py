@@ -90,6 +90,7 @@ def _load() -> None:
 
     from aliyun_emapreduce_datasources_spark.operators import (
         analytic,
+        chunking,
         corpus,
         events,
         pipeline,
@@ -105,6 +106,7 @@ def _load() -> None:
     _merge(events)
     _merge(skew)
     _merge(pipeline)
+    _merge(chunking)
     for modname in (
         "dedup.queries",
         "similarity.queries",

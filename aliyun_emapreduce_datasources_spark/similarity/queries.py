@@ -2,13 +2,22 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.similarity import assign, bruteforce, centroid, ivf, lsh, quantize
+from aliyun_emapreduce_datasources_spark.similarity import (
+    assign,
+    bruteforce,
+    centroid,
+    ivf,
+    lsh,
+    pq,
+    quantize,
+)
 
 QUERIES = {
     "ann_bruteforce_topk": bruteforce.QUERY,
     "ann_lsh_topk": lsh.QUERY,
     "ann_ivf_topk": ivf.QUERY,
     "ann_int8_topk": quantize.QUERY,
+    "ann_pq_topk": pq.QUERY,
     "emb_label_centroid": centroid.QUERY,
     "emb_assign_prototype": assign.QUERY,
 }

@@ -73,3 +73,19 @@ def test_dedup_keep_first_removes_duplicates(spark):
     )
     out = dedup_keep_first(df, "body", "id").collect()
     assert sorted(r.id for r in out) == [1, 3]
+
+
+def test_semantic_kmeans_variant_prunes_like_label_variant(spark, sf_dir):
+    """The k-means-clustered SemDeDup twin must (a) keep at least one
+    vector per non-empty cluster, (b) prune every exact-duplicate
+    vector pair (cosine 1.0 survives any clustering split only if the
+    pair lands together — identical vectors always do)."""
+    from aliyun_emapreduce_datasources_spark.dedup import semantic
+
+    kept = semantic.semantic_dedup_kmeans(spark, sf_dir).collect()
+    assert kept, "kmeans semantic dedup kept nothing"
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(kept) <= total
+    # determinism: same seed, same survivors
+    again = semantic.semantic_dedup_kmeans(spark, sf_dir).collect()
+    assert sorted(r.vec_id for r in kept) == sorted(r.vec_id for r in again)
