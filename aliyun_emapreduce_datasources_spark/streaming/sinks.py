@@ -25,8 +25,81 @@ __all__ = [
     "IdempotentBatchSink",
     "SQLiteExactlyOnceSink",
     "ExecutorExactlyOnceSink",
+    "AsyncBufferedProducer",
     "sqlite_connection",
 ]
+
+
+class AsyncBufferedProducer:
+    """Per-partition async buffered producer (S20: the reference's
+    DatahubAsyncDataWriter shape — DatahubAsyncDataWriter.scala:
+    buffer records, flush asynchronously, bound the number of
+    in-flight requests, drain on commit).
+
+    Use as ``df.foreachPartition(producer)`` (batch) or inside a
+    ``foreachBatch`` callback (streaming). Per partition task:
+
+    - rows accumulate into chunks of ``buffer_rows``;
+    - each full chunk is handed to a small thread pool (network I/O
+      releases the GIL, so flush overlaps iteration), with at most
+      ``max_inflight`` chunks outstanding — bounded memory, natural
+      backpressure when the service is slower than the scan;
+    - on partition end every in-flight flush is drained and the first
+      failure re-raised, so a lost chunk fails the TASK (Spark retries
+      it) instead of being silently dropped — the at-least-once
+      contract the reference's async writer documents; pair with the
+      idempotent/exactly-once sinks below for end-to-end semantics.
+
+    ``send_fn(chunk: list[tuple], ctx: dict)`` must be picklable
+    (module-level function); ctx carries partition id + flush ordinal
+    so the target can de-duplicate or shard.
+    """
+
+    def __init__(self, send_fn, buffer_rows: int = 1000, max_inflight: int = 4):
+        self.send_fn = send_fn
+        self.buffer_rows = buffer_rows
+        self.max_inflight = max_inflight
+
+    def __call__(self, rows) -> None:
+        import threading
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        send, cap = self.send_fn, self.buffer_rows
+        pending: set = set()
+        errors: list[BaseException] = []
+        lock = threading.Lock()
+
+        def flush(pool, buf, ordinal):
+            fut = pool.submit(send, buf, {"partition": pid, "flush": ordinal})
+
+            def done(f):
+                exc = f.exception()
+                if exc is not None:
+                    with lock:
+                        errors.append(exc)
+
+            fut.add_done_callback(done)
+            return fut
+
+        with ThreadPoolExecutor(max_workers=self.max_inflight) as pool:
+            buf: list[tuple] = []
+            ordinal = 0
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= cap:
+                    while len(pending) >= self.max_inflight:
+                        done_set, pending = wait(pending, return_when=FIRST_COMPLETED)
+                    pending.add(flush(pool, buf, ordinal))
+                    buf, ordinal = [], ordinal + 1
+            if buf:
+                pending.add(flush(pool, buf, ordinal))
+            wait(pending)
+        if errors:
+            raise errors[0]
 
 
 class IdempotentBatchSink:

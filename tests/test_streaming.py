@@ -558,3 +558,41 @@ def test_continuous_trigger_rate_source_map_only(spark, tmp_path):
         assert all(r.doubled % 4 == 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_async_buffered_producer_delivers_all_rows(spark, sf_dir, tmp_path):
+    """S20 async-writer shape: bounded-buffer async flushes must
+    deliver every row exactly once across partitions, and a failing
+    flush must fail the task (at-least-once, never silent loss)."""
+    import glob
+    import json
+
+    import pytest as _pytest
+
+    from aliyun_emapreduce_datasources_spark.streaming.sinks import AsyncBufferedProducer
+
+    out_dir = str(tmp_path)
+
+    def send_chunk(chunk, ctx):
+        # closure: cloudpickle ships it by value to the workers
+        path = f"{out_dir}/p{ctx['partition']:03d}_f{ctx['flush']:04d}.json"
+        with open(path, "w") as f:
+            json.dump([list(r) for r in chunk], f)
+
+    df = spark.range(0, 5000).selectExpr("id", "id * 2 AS v").repartition(4)
+    df.foreachPartition(AsyncBufferedProducer(send_chunk, buffer_rows=256, max_inflight=2))
+
+    rows = []
+    for f in glob.glob(f"{out_dir}/p*_f*.json"):
+        rows.extend(tuple(r) for r in json.load(open(f)))
+    assert sorted(rows) == [(i, 2 * i) for i in range(5000)]
+    # chunking actually happened (not one monolithic flush)
+    assert len(glob.glob(f"{out_dir}/p*_f*.json")) >= 5000 // 256
+
+    def send_fail(chunk, ctx):
+        raise RuntimeError("service down")
+
+    with _pytest.raises(Exception, match="service down"):
+        spark.range(0, 10).foreachPartition(
+            AsyncBufferedProducer(send_fail, buffer_rows=4)
+        )
