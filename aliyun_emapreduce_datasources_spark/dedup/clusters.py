@@ -74,7 +74,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                     "cluster_id", F.coalesce("neigh_min", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            # non-eager: materialized by the convergence agg below, so
+            # each round is ONE job (checkpoint + sum), not two
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur == prev_sum:

@@ -122,3 +122,79 @@ def test_late_events_merge_into_one_session(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == {(7, "2024-01-01 10:30:00", "2024-01-01 10:40:00", 2)}, got
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs google.protobuf "
+    "(not in this container); the API-shape is still import-checked below",
+)
+def test_transform_with_state_running_totals_matches_batch(spark, sf_dir, stream_dir):
+    """Spark 4.x transformWithStateInPandas: the final per-user
+    running totals after the whole stream must equal the batch
+    groupBy aggregate (integer micro-units, so exact)."""
+    from aliyun_emapreduce_datasources_spark.streaming.tws import running_user_totals
+
+    # transformWithState requires the RocksDB state store (SPARK-46815)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    st = StreamTable("events", EVENTS_SCHEMA, stream_dir, {"maxFilesPerTrigger": "2"})
+    totals = running_user_totals(st.read_stream(spark))
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update mode: the LAST emitted row per user is the running total
+    got_df = spark.table(name).toPandas()
+    got = {}
+    for _, r in got_df.iterrows():  # rows arrive in emission order
+        got[int(r.user_id)] = (int(r.n_events), int(r.total_micro))
+    exp = {
+        int(r.user_id): (int(r.n), int(r.tm))
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 1000000) as long)")).alias("tm"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_transform_with_state_plan_builds_without_protobuf(spark, sf_dir, stream_dir):
+    """Even without the protobuf runtime the operator must construct:
+    processor wiring, output schema, and the unresolved streaming plan
+    (catches API drift against pyspark upgrades)."""
+    from aliyun_emapreduce_datasources_spark.streaming.tws import (
+        OUTPUT_SCHEMA,
+        running_user_totals,
+    )
+
+    st = StreamTable("events", EVENTS_SCHEMA, stream_dir, {"maxFilesPerTrigger": "2"})
+    totals = running_user_totals(st.read_stream(spark))
+    assert totals.isStreaming
+    assert totals.schema == OUTPUT_SCHEMA
