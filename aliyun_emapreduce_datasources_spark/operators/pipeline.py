@@ -483,8 +483,87 @@ FROM documents
 """
 
 
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner: given per-source token counts (one
+    aggregate over the corpus) and target mix weights, compute each
+    source's token share of a fixed training budget and how many
+    epochs (repeats, in milli-epochs) of that source the budget
+    implies — the standard "how many passes over source X does my mix
+    force" table planned before launching a run (cf. the data-mixture
+    accounting in LLM data-curation pipelines).
+
+    Weights here derive from the same source-number cycle as
+    ``mix_sample_weighted`` (1/2/3 parts); the budget is a fixed
+    multiple of the corpus total so the testdata exercises both the
+    <1-epoch and >1-epoch branches. All arithmetic is BIGINT
+    (milli-units, floor division) — order-free and engine-exact.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus into
+    |sources| rows, then per-row arithmetic on the driver-sized result
+    (still a DataFrame — nothing is collected). At 100 TB this is the
+    cheapest query in the catalog: a scan with a 2-column projection.
+    """
+    docs = t(spark, sf_dir, "documents")
+    # token count per doc: whitespace tokens (n_chars is also available
+    # but tokens match the rest of the text family)
+    src_num = F.substring("source", 4, 10).cast("int")
+    per_source = (
+        docs.select(
+            "source",
+            (src_num % 3 + 1).alias("weight_parts"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "weight_parts")
+        .agg(F.sum("n_tok").alias("source_tokens"))
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("corpus_tokens"),
+        F.sum("weight_parts").alias("total_parts"),
+    )
+    # fixed 2x-corpus budget; all divisions are BIGINT floor (`div`) —
+    # double-division-then-cast truncates in Spark but rounds in DuckDB
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("weight_parts").cast("long").alias("weight_parts"),
+            F.col("source_tokens").cast("long").alias("source_tokens"),
+            F.expr("(corpus_tokens * 2 * weight_parts) div total_parts")
+            .cast("long")
+            .alias("budget_tokens"),
+            F.expr(
+                "(corpus_tokens * 2 * weight_parts * 1000) div (total_parts * source_tokens)"
+            )
+            .cast("long")
+            .alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_EPOCH_PLAN = """
+WITH per_source AS (
+  SELECT source,
+         CAST(substr(source, 4) AS INT) % 3 + 1 AS weight_parts,
+         SUM(len(string_split(text, ' '))) AS source_tokens
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT SUM(source_tokens) AS corpus_tokens, SUM(weight_parts) AS total_parts
+  FROM per_source
+)
+SELECT source,
+       CAST(weight_parts AS BIGINT) AS weight_parts,
+       CAST(source_tokens AS BIGINT) AS source_tokens,
+       CAST((corpus_tokens * 2 * weight_parts) // total_parts AS BIGINT) AS budget_tokens,
+       CAST((corpus_tokens * 2 * weight_parts * 1000) // (total_parts * source_tokens) AS BIGINT) AS epochs_milli
+FROM per_source CROSS JOIN totals
+ORDER BY source
+"""
+
+
 QUERIES = {
     "mix_sample_weighted": mix_sample_weighted,
+    "mix_epoch_plan": mix_epoch_plan,
     "split_train_eval": split_train_eval,
     "curate_end_to_end": curate_end_to_end,
     "stable_global_ids": stable_global_ids,
@@ -497,6 +576,7 @@ QUERIES = {
 
 ORACLES = {
     "mix_sample_weighted": ORACLE_MIX,
+    "mix_epoch_plan": ORACLE_EPOCH_PLAN,
     "split_train_eval": ORACLE_SPLIT,
     "curate_end_to_end": ORACLE_CURATE,
     "stable_global_ids": ORACLE_GLOBAL_IDS,
