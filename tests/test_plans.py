@@ -167,3 +167,41 @@ def test_dup_spans_scans_corpus_once(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_dup_spans"](spark, sf_dir), mode="simple")
     assert plan.count("FileScan parquet") == 1
     assert "Window" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_documents (pre-orderBy) must be a narrow expression tree:
+    split → sequence → posexplode, zero Exchange."""
+    from aliyun_emapreduce_datasources_spark.operators.chunking import chunk_documents
+
+    import re
+
+    df = chunk_documents(spark, sf_dir)
+    plan = plan_of(df)
+    # exactly the one Exchange the final orderBy needs — nothing from
+    # the chunking logic itself
+    assert len(re.findall(r"Exchange (?:range|hash|Single)", plan)) <= 1, plan
+
+
+def test_dsir_stats_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["dsir_importance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
+    """Per-cluster prune: one hash Exchange on the cluster key feeding
+    FlatMapGroupsInPandas (applyInPandas), plus only the final sort."""
+    import re
+
+    plan = plan_of(QUERIES["dedup_semantic"](spark, sf_dir), mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
+
+
+def test_epoch_plan_aggregate_is_partial(spark, sf_dir):
+    """mix_epoch_plan: map-side partial aggregation before its one
+    shuffle; totals ride a broadcast."""
+    plan = plan_of(QUERIES["mix_epoch_plan"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
