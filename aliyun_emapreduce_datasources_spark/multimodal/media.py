@@ -29,6 +29,7 @@ __all__ = [
     "attach_fake_media",
     "decode_features",
     "frame_sample",
+    "resize_media",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -122,6 +123,45 @@ def decode_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
                     start, cum = i + 1, 0
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Payload→payload resize (decode → nearest-neighbor downsample →
+    re-encode), preserving the binary-plus-metadata contract so the
+    output is itself a media table the other verbs accept.
+
+    The decode/encode pair is the same stub as decode_features
+    (STUB NOTE at module top); the nearest-neighbor index sampling is
+    real numpy and survives a real codec swap unchanged. Blob bytes
+    stay executor-side end to end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                img = _decode_image_stub(row["payload"], meta["width"], meta["height"])
+                yi = np.linspace(0, img.shape[0] - 1, target_h).round().astype(int)
+                xi = np.linspace(0, img.shape[1] - 1, target_w).round().astype(int)
+                resized = img[np.ix_(yi, xi)]
+                payload = resized.tobytes()  # stub "encoder"
+                out["media_id"].append(row["media_id"])
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {
+                        "modality": meta["modality"],
+                        "format": meta["format"],
+                        "width": target_w,
+                        "height": target_h,
+                        "duration_ms": meta["duration_ms"],
+                        "n_bytes": len(payload),
+                        "digest": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
 FRAMES_SCHEMA = T.StructType(

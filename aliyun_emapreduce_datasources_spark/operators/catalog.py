@@ -21,6 +21,13 @@ ORACLES: dict[str, str] = {}
 # events, sources, similarity, pipeline, skew) plus 4 representative
 # round-1-green entries, so every family holds an official green row.
 # Rotate this list each round so the window sweeps the whole catalog.
+#
+# ROUND 3 ROTATION NOTE: after round 2, the only oracle-backed entries
+# with no official driver row are the round-2 additions —
+# dedup_semantic, dsir_importance, lm_bigram_surprise, chunk_documents,
+# mix_epoch_plan (ann_pq_topk is rows-only by design). Lead round 3's
+# window with those five, then rotate back through the r1-checked
+# tpch/corpus families to re-confirm them on the current code.
 _FRONT_OF_WINDOW: tuple[str, ...] = (
     # never driver-checked in round 1 (46)
     "events_funnel",

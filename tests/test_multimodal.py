@@ -63,3 +63,23 @@ def test_frame_sample_explodes(spark, sf_dir):
     d1 = {(r.media_id, r.frame_idx): r.frame_digest for r in frames.collect()}
     d2 = {(r.media_id, r.frame_idx): r.frame_digest for r in frame_sample(media).collect()}
     assert d1 == d2
+
+
+def test_resize_media_round_trips_contract(spark, sf_dir):
+    """resize output must be a valid media table: target dims in meta,
+    payload = w*h stub pixels, digest consistent, and decodable again
+    by the downstream verbs (chained decode_features)."""
+    from aliyun_emapreduce_datasources_spark.multimodal.media import resize_media
+
+    media = _media(spark, sf_dir)
+    small = resize_media(media, target_w=8, target_h=6)
+    rows = small.collect()
+    assert rows and all(r.meta.width == 8 and r.meta.height == 6 for r in rows)
+    assert all(len(r.payload) == 8 * 6 == r.meta.n_bytes for r in rows)
+    # chained: the resized table feeds decode_features unchanged
+    feats = {r.media_id: r.n_pixels for r in decode_features(small).collect()}
+    assert set(feats.values()) == {48}
+    # deterministic
+    d1 = {r.media_id: r.meta.digest for r in rows}
+    d2 = {r.media_id: r.meta.digest for r in resize_media(media, 8, 6).collect()}
+    assert d1 == d2
