@@ -28,10 +28,12 @@ per SURVEY.md §"Optimize for scale" (partition sizing lever).
 from __future__ import annotations
 
 import math
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["input_bytes", "compact"]
+__all__ = ["input_bytes", "compact", "zorder_key", "compact_zorder"]
 
 
 def input_bytes(spark: SparkSession, path: str) -> int:
@@ -67,5 +69,69 @@ def compact(
         out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> tuple[DataFrame, Column]:
+    """Morton (Z-order) key over numeric columns, all JVM expressions.
+
+    Linear sort clusters only its leading column; a range predicate on
+    any OTHER column still reads every file. Interleaving the bits of
+    min/max-normalized per-column bucket numbers gives every listed
+    column locality in the SAME ordering, so
+    parquet min/max footer stats prune files for predicates on any of
+    them (the multi-dim analog of CLUSTER BY; what table formats call
+    ZORDER BY).
+
+    Buckets come from a single 1-row min/max aggregate (broadcast back
+    — bytes), so the pass stays two scans total at any scale: one
+    metadata-light stats pass, one shuffle+write. Bit interleave is a
+    folded shift/or expression tree — whole-stage codegen, no UDF.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        buckets.append(F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)))
+    ncols = len(cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * ncols + (ncols - 1 - i)
+        )
+        for i, b in enumerate(buckets)
+        for bit in range(bits)
+    ]
+    key = reduce(lambda a, t: a.bitwiseOR(t), terms, F.lit(0).cast("long"))
+    return with_stats, key
+
+
+def compact_zorder(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cols: list[str],
+    target_file_mb: float = 512,
+    bits: int = 8,
+) -> int:
+    """Rewrite ``src`` Z-ordered on ``cols``: each output file owns a
+    compact Morton-curve segment, so footer stats prune on EVERY
+    listed column, not just a leading one."""
+    df = spark.read.parquet(src)
+    n = max(1, math.ceil(input_bytes(spark, src) / (target_file_mb * 1024 * 1024)))
+    with_stats, key = zorder_key(df, cols, bits=bits)
+    out = (
+        with_stats.withColumn("__zkey", key)
+        .repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    )
     out.write.mode("overwrite").parquet(dst)
     return n

@@ -122,3 +122,60 @@ def test_clustered_compaction_gives_disjoint_file_ranges(spark, sf_dir, tmp_path
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_zorder_localizes_every_listed_column(spark, sf_dir, tmp_path):
+    """Z-order on (l_partkey, l_suppkey): most output files must cover
+    a narrow slice of BOTH columns (footer-stat prunable on either),
+    whereas a linear sort on l_partkey leaves l_suppkey full-range in
+    every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aliyun_emapreduce_datasources_spark.operators.storage import (
+        compact,
+        compact_zorder,
+    )
+
+    src = str(tmp_path / "src")
+    t(spark, sf_dir, "lineitem").repartition(8).write.mode("overwrite").parquet(src)
+
+    def file_spans(d, col):
+        spans = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+        return spans
+
+    zdir = str(tmp_path / "z")
+    n = compact_zorder(spark, src, zdir, ["l_partkey", "l_suppkey"], target_file_mb=0.008)
+    assert n >= 12, "want enough z-ordered files for quadrant-level locality"
+
+    ldir = str(tmp_path / "linear")
+    compact(spark, src, ldir, target_file_mb=0.008, sort_cols=["l_partkey"])
+
+    import duckdb
+
+    glob_rng = {
+        c: duckdb.sql(
+            f"SELECT max({c}) - min({c}) FROM '{src}/*.parquet'"
+        ).fetchone()[0]
+        for c in ("l_partkey", "l_suppkey")
+    }
+    # z-order: BOTH columns localized in the median file
+    for col in ("l_partkey", "l_suppkey"):
+        spans = sorted(file_spans(zdir, col))
+        med = spans[len(spans) // 2]
+        assert med <= glob_rng[col] * 0.6, f"z-order failed to localize {col}: {med} vs {glob_rng[col]}"
+    # linear sort: trailing column NOT localized (sanity of the metric)
+    lin_spans = sorted(file_spans(ldir, "l_suppkey"))
+    assert lin_spans[len(lin_spans) // 2] > glob_rng["l_suppkey"] * 0.6
