@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from aliyun_emapreduce_datasources_spark.dedup import (
+    bloom,
     clusters,
     decontaminate,
     embedding,
@@ -27,6 +28,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding.QUERY,
     "dedup_winnow_fingerprint": winnow.QUERY,
     "dedup_semantic": semantic.QUERY,
+    "dedup_bloom_decontaminate": bloom.QUERY,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that

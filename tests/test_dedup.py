@@ -89,3 +89,45 @@ def test_semantic_kmeans_variant_prunes_like_label_variant(spark, sf_dir):
     # determinism: same seed, same survivors
     again = semantic.semantic_dedup_kmeans(spark, sf_dir).collect()
     assert sorted(r.vec_id for r in kept) == sorted(r.vec_id for r in again)
+
+
+def test_bloom_decontaminate_supersets_exact(spark, sf_dir):
+    """Bloom-filter decontamination must flag EVERY document the exact
+    postings-window operator flags (no false negatives), with the
+    per-doc flagged count >= the exact distinct shared-shingle count;
+    and the false-positive overhead must stay near the configured
+    rate."""
+    from aliyun_emapreduce_datasources_spark.dedup import bloom, decontaminate
+
+    exact = {
+        r.doc_id: r.n_shared for r in decontaminate.QUERY(spark, sf_dir).collect()
+    }
+    flagged = {r.doc_id: r.n_flagged for r in bloom.QUERY(spark, sf_dir).collect()}
+    missing = set(exact) - set(flagged)
+    assert not missing, f"bloom false negatives: {sorted(missing)[:5]}"
+    low = {d for d in exact if flagged[d] < exact[d]}
+    assert not low, f"bloom under-counted shared shingles: {sorted(low)[:5]}"
+    # fp overhead: extra flagged docs are possible but must be rare
+    n_train = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id % 10 != 0"
+    ).count()
+    extras = len(set(flagged) - set(exact))
+    assert extras <= max(3, 0.05 * n_train), f"too many bloom false positives: {extras}"
+
+
+def test_bloom_eval_guard_fires(spark):
+    from aliyun_emapreduce_datasources_spark.dedup import bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    old = bloom.MAX_EVAL_SHINGLES
+    bloom.MAX_EVAL_SHINGLES = 10
+    try:
+        with _pytest.raises(ValueError, match="benchmark-sized"):
+            bloom.bloom_decontaminate(docs, docs)
+    finally:
+        bloom.MAX_EVAL_SHINGLES = old
