@@ -586,3 +586,145 @@ ORACLES = {
     "range_join_binned": ORACLE_RANGE_JOIN,
     "pack_sequences": ORACLE_PACK,
 }
+
+
+def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 flagship composition: the full modern curation chain as
+    ONE declarative plan — quality gate → exact dedup → DSIR-style
+    importance selection → hash split → context-window chunk
+    accounting — i.e. functions/lm.py's scoring and
+    operators/chunking.py's window math composed INSIDE the pipeline
+    rather than run as separate jobs. Catalyst fuses it: one corpus
+    scan feeds both the md5-dedup window and the bigram postings, the
+    bucket-stats join is a broadcast, and the final rollup is the only
+    wide shuffle over document-count-sized rows.
+
+    Selection rule: keep docs whose mean hashed-bigram importance is
+    at least parity with the corpus (importance ≥ SCALE·n_feat — the
+    integer cross-multiply form of "average target/raw ratio ≥ 1"),
+    i.e. docs that look at least as target-language-like as the
+    average. All stages integer/md5-deterministic ⇒ byte-exact oracle.
+    """
+    from aliyun_emapreduce_datasources_spark.functions.lm import (
+        N_BUCKETS as DSIR_NB,
+        SCALE as DSIR_SCALE,
+        TARGET_LANG,
+    )
+    from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
+    from aliyun_emapreduce_datasources_spark.operators.chunking import STRIDE, WINDOW
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    gated = docs.select(
+        "doc_id", "lang", "text", n_tok.alias("n_tok")
+    ).where((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    per = (
+        deduped.select(
+            "doc_id", "lang", F.explode(shingles(tokens("text"), 2)).alias("b")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("b")), 1, 8), 16, 10).cast("long")
+                % DSIR_NB
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = per.groupBy("bucket").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, F.col("c")).otherwise(F.lit(0))
+        ).alias("target_c"),
+    )
+    imp = (
+        per.join(F.broadcast(bstats), "bucket")
+        .withColumn("w", F.expr(f"({DSIR_SCALE} * (target_c + 1)) div (raw_c + 1)"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("importance"),
+            F.sum("c").alias("n_feat"),
+        )
+        .where(F.col("importance") >= DSIR_SCALE * F.col("n_feat"))
+        .select("doc_id")
+    )
+    kept = deduped.join(imp, "doc_id")
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    n_chunks = F.expr(
+        f"(greatest(n_tok - {WINDOW}, 0) + {STRIDE} - 1) div {STRIDE} + 1"
+    )
+    return (
+        kept.select(split.alias("split"), "n_tok", n_chunks.alias("n_chunks"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_CURATE_V2 = """
+WITH gated AS (
+  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), per AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(b), 1, 8)) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS c
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           )) AS b
+    FROM deduped
+  )
+  GROUP BY 1, 2, 3
+), bstats AS (
+  SELECT bucket, SUM(c) AS raw_c,
+         SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS target_c
+  FROM per GROUP BY 1
+), imp AS (
+  SELECT doc_id
+  FROM per JOIN bstats USING (bucket)
+  GROUP BY doc_id
+  HAVING SUM(c * ((1000000 * (target_c + 1)) // (raw_c + 1))) >= 1000000 * SUM(c)
+), kept AS (
+  SELECT d.* FROM deduped d JOIN imp USING (doc_id)
+)
+SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM((greatest(n_tok - 64, 0) + 48 - 1) // 48 + 1) AS BIGINT) AS n_chunks
+FROM (
+  SELECT n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+  FROM kept
+)
+GROUP BY 1
+ORDER BY split
+"""
+
+QUERIES["curate_v2"] = curate_v2
+ORACLES["curate_v2"] = ORACLE_CURATE_V2
