@@ -141,3 +141,37 @@ SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
 FROM reach GROUP BY node
 ORDER BY doc_id
 """
+
+
+def minhash_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic end-to-end near-dup resolution: LSH-bucketed
+    MinHash candidate pairs (dedup/minhash.py — O(docs×bands) shuffle,
+    never all-pairs) fed through the same min-label propagation. This
+    is the composition a 100 TB corpus actually runs; the ngram-pairs
+    variant above stays the oracle-checked reference. Rows-only in the
+    catalog (MinHash is engine-hashed); the containment property vs
+    the exact high-Jaccard clusters is pinned in tests/test_dedup.py.
+    """
+    from aliyun_emapreduce_datasources_spark.dedup.minhash import minhash_dedup_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_dedup_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).persist()
+    touched = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(touched, pairs)
+    out = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+    pairs.unpersist(blocking=False)
+    return out

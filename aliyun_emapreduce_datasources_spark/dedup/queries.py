@@ -29,6 +29,7 @@ QUERIES = {
     "dedup_winnow_fingerprint": winnow.QUERY,
     "dedup_semantic": semantic.QUERY,
     "dedup_bloom_decontaminate": bloom.QUERY,
+    "dedup_minhash_clusters": clusters.minhash_cluster_resolve,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that

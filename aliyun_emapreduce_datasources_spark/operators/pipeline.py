@@ -728,3 +728,30 @@ ORDER BY split
 
 QUERIES["curate_v2"] = curate_v2
 ORACLES["curate_v2"] = ORACLE_CURATE_V2
+
+
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ``doc_length_quantiles``: single-pass
+    ``approx_percentile`` (KLL-style bounded-memory sketch per group)
+    instead of exact percentile's full sort. Same plan shape and
+    column names, so callers swap by name only. Approximate by design
+    → rows-only catalog check; the rank-error bound vs the exact twin
+    is pinned in tests/test_pipeline.py."""
+    docs = t(spark, sf_dir, "documents")
+    q = F.expr(
+        "approx_percentile(cast(n_chars as double), array(0.5, 0.9, 0.99), 1000)"
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q.getItem(0).alias("p50_chars"),
+            q.getItem(1).alias("p90_chars"),
+            q.getItem(2).alias("p99_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["doc_length_quantiles_approx"] = doc_length_quantiles_approx

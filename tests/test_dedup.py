@@ -131,3 +131,21 @@ def test_bloom_eval_guard_fires(spark):
             bloom.bloom_decontaminate(docs, docs)
     finally:
         bloom.MAX_EVAL_SHINGLES = old
+
+
+def test_minhash_clusters_contain_exact_jaccard_clusters(spark, sf_dir):
+    """Every high-Jaccard (>= 0.6) exact pair must land in the same
+    MinHash-LSH cluster (follows from LSH recall + label propagation
+    transitivity), and representatives must be cluster minima."""
+    from aliyun_emapreduce_datasources_spark.dedup.clusters import (
+        minhash_cluster_resolve,
+    )
+
+    assign = {r.doc_id: r.cluster_id for r in minhash_cluster_resolve(spark, sf_dir).collect()}
+    for r in ngram.ngram_jaccard_pairs(spark, sf_dir).collect():
+        if r.jaccard >= 0.6:
+            assert assign[r.doc_a] == assign[r.doc_b], (r.doc_a, r.doc_b)
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in assign.items():
+        by_cluster.setdefault(c, []).append(d)
+    assert all(min(m) == c for c, m in by_cluster.items())

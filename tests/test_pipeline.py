@@ -79,3 +79,25 @@ def test_asof_join_tie_and_null(spark, sf_dir, tmp_path):
         for r in asof_join_events(spark, str(tmp_path)).collect()
     }
     assert got == {1: 101, 2: 100, 3: None, 4: 103}
+
+
+def test_approx_quantiles_track_exact(spark, sf_dir):
+    """approx_percentile(accuracy=1000) must land within the
+    neighboring-rank window of the exact percentiles per language."""
+    from aliyun_emapreduce_datasources_spark.operators.pipeline import (
+        doc_length_quantiles,
+        doc_length_quantiles_approx,
+    )
+
+    exact = {r.lang: r for r in doc_length_quantiles(spark, sf_dir).collect()}
+    approx = {r.lang: r for r in doc_length_quantiles_approx(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs and a.mean_chars == e.mean_chars
+        for col in ("p50_chars", "p90_chars", "p99_chars"):
+            ev, av = getattr(e, col), getattr(a, col)
+            # rank error <= n/accuracy; with n << accuracy it must sit
+            # inside the value range spanned by the exact neighbors —
+            # generous 10% relative window
+            assert abs(av - ev) <= max(0.1 * ev, 2.0), (lang, col, av, ev)
