@@ -1,0 +1,47 @@
+"""Zero-row robustness: every operator family must return an empty
+(or well-defined) result on an empty corpus instead of crashing —
+np.vstack([]), argpartition on empty, divide-by-zero in ratios, and
+first-row assumptions all die here if unguarded. At 100 TB an empty
+PARTITION (not table) hits the same code paths via mapInPandas."""
+
+from __future__ import annotations
+
+import pytest
+
+EMPTY_SAFE = [
+    # representative per family — expression-tree, window, applyInPandas,
+    # mapInPandas, cogroup, iterative, sketch, retrieval
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_resolve",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "chunk_documents",
+    "dsir_importance",
+    "lm_bigram_surprise",
+    "sketch_cms_topk",
+    "bm25_topk",
+    "mix_epoch_plan",
+    "curate_v2",
+    "text_token_stats",
+    "text_quality_score",
+    "emb_label_centroid",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("empty-sf")
+    for name in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_operator_survives_empty_corpus(spark, empty_sf_dir, name):
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+    assert QUERIES[name](spark, empty_sf_dir).count() == 0
