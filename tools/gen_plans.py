@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the headline
+queries with the scale-property commentary the audit checks."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES  # noqa: E402
+from aliyun_emapreduce_datasources_spark.session import get_session  # noqa: E402
+
+COMMENT = {
+    "q3_star_revenue": "Star join: both dimension sides BroadcastExchange; the lineitem fact scan never shuffles for the join — one Exchange total, for the final aggregate.",
+    "q6_forecast_revenue": "All three predicates in PushedFilters at the parquet scan; ReadSchema is the 3-column projection; single partial+final HashAggregate.",
+    "dedup_embedding_cosine": "Block-matrix all-pairs: block-pair table broadcast to both replicated scans, one hashpartitioning Exchange into the cogrouped FlatMapCoGroupsInPandas — no driver collect anywhere in the plan.",
+    "dedup_minhash_lsh": "OPH signatures in ArrowEvalPython/FlatMapGroupsInPandas; band-bucket self-join is a shuffled hash join on (band, bucket) — shuffle volume O(docs×bands); the exact-verify join touches only candidate pairs.",
+    "dsir_importance": "Bigram postings reduce map-side (partial HashAggregate before their Exchange); the 256-row bucket-stats side is BroadcastExchange; one doc_id shuffle for the final rollup.",
+    "text_rare_bigram_ratio": "Double aggregation over bigrams with map-side partials; corpus frequency table joined back broadcast-eligible; the 1-row scalar rides a BroadcastNestedLoopJoin of bytes.",
+    "chunk_documents": "Pure narrow plan: Scan → Project(split/sequence/transform) → Generate(posexplode) → Project, inside one WholeStageCodegen span; the only Exchange is the catalog's deterministic final sort.",
+    "bm25_topk": "Postings filtered to the query terms BEFORE aggregation; df and corpus stats are BroadcastExchange; TakeOrderedAndProject implements the top-k (per-partition heaps, no global sort).",
+    "curate_v2": "One documents scan feeds both the md5-dedup window and the bigram postings branch; bucket stats broadcast; the only wide shuffles are the dedup window partitioning and the final per-split rollup.",
+    "asof_join_events": "Union of tagged timelines → ONE hashpartitioning Exchange on user_id → running last(ignorenulls) window; no range-join nested loop appears.",
+}
+
+HEADER = """# PLANS — physical-plan audit of headline queries
+
+Captured with `df.explain("formatted")` at sf0.01 (plan shape is
+SF-independent; AQE may further coalesce at runtime). One entry per
+operator family; the commentary states the property the plan must
+keep — the same properties `tests/test_plans.py` asserts
+mechanically. Regenerate with `python tools/gen_plans.py`.
+
+"""
+
+
+def main() -> None:
+    spark = get_session("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(out_path, "w") as f:
+        f.write(HEADER)
+        for name, comment in COMMENT.items():
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                QUERIES[name](spark, sf).explain(mode="formatted")
+            tree = buf.getvalue().split("\n\n")[0]
+            f.write(f"## {name}\n\n{comment}\n\n```\n{tree.strip()}\n```\n\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
