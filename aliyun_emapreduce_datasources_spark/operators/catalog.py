@@ -22,12 +22,13 @@ ORACLES: dict[str, str] = {}
 # round-1-green entries, so every family holds an official green row.
 # Rotate this list each round so the window sweeps the whole catalog.
 #
-# ROUND 3 ROTATION NOTE: after round 2, the only oracle-backed entries
-# with no official driver row are the round-2 additions —
-# dedup_semantic, dsir_importance, lm_bigram_surprise, chunk_documents,
-# mix_epoch_plan (ann_pq_topk is rows-only by design). Lead round 3's
-# window with those five, then rotate back through the r1-checked
-# tpch/corpus families to re-confirm them on the current code.
+# ROUND 3 ROTATION NOTE: if the driver's round-2 window stopped at 50,
+# the oracle-backed entries still without an official row are the
+# round-2 additions placed at positions 51+ below (lm_bigram_surprise,
+# chunk_documents, mix_epoch_plan, sketch_cms_topk, bm25_topk,
+# curate_v2; bloom/minhash-clusters/pq/approx-quantiles are rows-only
+# by design). Lead round 3's window with those, then rotate back
+# through the r1-checked tpch/corpus families to re-confirm them.
 _FRONT_OF_WINDOW: tuple[str, ...] = (
     # never driver-checked in round 1 (46)
     "events_funnel",
@@ -76,9 +77,25 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "loghub_roundtrip",
     "lr_scoring",
     "media_pipeline",
-    # representative round-1-green entries (4) → 50 total
+    # never-driver-checked round-2 additions (2) + representative
+    # round-1-green entries (2) → 50 total
+    "dedup_semantic",
+    "dsir_importance",
     "q1_pricing_summary",
     "q3_star_revenue",
+    # positions 51+: the remaining round-2 additions — checked first
+    # if the driver's window is wider than 50, rotated to the front in
+    # round 3 otherwise (see ROUND 3 ROTATION NOTE above)
+    "lm_bigram_surprise",
+    "chunk_documents",
+    "mix_epoch_plan",
+    "sketch_cms_topk",
+    "bm25_topk",
+    "curate_v2",
+    "dedup_bloom_decontaminate",
+    "dedup_minhash_clusters",
+    "ann_pq_topk",
+    "doc_length_quantiles_approx",
     "rollup_grouping",
     "tumbling_window",
 )
