@@ -10,6 +10,7 @@ from aliyun_emapreduce_datasources_spark.similarity import (
     lsh,
     pq,
     quantize,
+    triplets,
 )
 
 QUERIES = {
@@ -20,6 +21,7 @@ QUERIES = {
     "ann_pq_topk": pq.QUERY,
     "emb_label_centroid": centroid.QUERY,
     "emb_assign_prototype": assign.QUERY,
+    "emb_contrastive_triplets": triplets.QUERY,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -29,4 +31,5 @@ ORACLES = {
     "ann_bruteforce_topk": bruteforce.ORACLE,
     "emb_label_centroid": centroid.ORACLE,
     "emb_assign_prototype": assign.ORACLE,
+    "emb_contrastive_triplets": triplets.ORACLE,
 }

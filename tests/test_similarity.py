@@ -88,3 +88,22 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     # quantization are re-ranked exactly — recall well above the
     # no-rescore ADC ceiling.
     assert recall >= 0.5, f"PQ recall@5 collapsed: {recall:.2f}"
+
+
+def test_contrastive_triplets_semantics(spark, sf_dir):
+    """Positives share the anchor's label, negatives never do, one
+    triplet per eligible anchor, and no degenerate pairs."""
+    from aliyun_emapreduce_datasources_spark.similarity.triplets import (
+        contrastive_triplets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    label_of = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = contrastive_triplets(spark, sf_dir).collect()
+    assert rows
+    anchors = [r.anchor_id for r in rows]
+    assert len(anchors) == len(set(anchors))
+    for r in rows:
+        assert label_of[r.pos_id] == label_of[r.anchor_id]
+        assert label_of[r.neg_id] != label_of[r.anchor_id]
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
