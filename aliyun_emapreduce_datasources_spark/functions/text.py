@@ -32,6 +32,16 @@ def tokens(col: str | Column) -> Column:
     return F.split(c, " ")
 
 
+
+def normalize_ws(col: str | Column) -> Column:
+    """Whitespace normalization: lowercase, collapse every whitespace
+    run to a single space, trim — the canonical form `tokens()`
+    assumes for raw text. Pure expression (codegen), portable to the
+    oracle's regexp_replace(..., 'g')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
 def shingles(tok: Column, k: int = 3) -> Column:
     """k-token shingles (contiguous n-grams) as strings; the unit of
     near-dup comparison for MinHash/Jaccard (w-shingling)."""
@@ -416,6 +426,34 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass (the step upstream of every tokenizer):
+    lowercase + whitespace collapse + trim, with before/after length
+    and token accounting so the pipeline can report shrinkage.
+    Scan-only, zero shuffle (the catalog orderBy aside)."""
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_ws("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(tokens(norm)).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+       CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_rare_bigram_ratio": rare_bigram_ratio,
@@ -426,6 +464,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_bpe_stats": bpe_token_stats,
     "text_pii_redact": pii_redact,
+    "text_normalize": text_normalize,
 }
 
 ORACLES = {
@@ -437,4 +476,5 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_bpe_stats": ORACLE_BPE,
     "text_pii_redact": ORACLE_PII,
+    "text_normalize": ORACLE_NORMALIZE,
 }

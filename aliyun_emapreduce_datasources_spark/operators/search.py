@@ -24,6 +24,7 @@ The bucket count NB trades pruning factor against file count: at
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,8 +85,7 @@ def bm25_lookup(
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     buckets = sorted(
         {
-            int.from_bytes(__import__("hashlib").md5(t.encode()).digest()[:4], "big")
-            % N_BUCKETS
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big") % N_BUCKETS
             for t in terms
         }
     )
