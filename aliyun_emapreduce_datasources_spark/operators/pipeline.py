@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import m, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -755,3 +755,115 @@ def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_length_quantiles_approx"] = doc_length_quantiles_approx
+
+
+def pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving identity handling: replace user ids with a
+    keyed-hash pseudonym (md5(salt‖id) — deterministic per run-key,
+    unlinkable without it) in BOTH the fact and dimension tables, and
+    prove referential integrity survives: the pseudonym join produces
+    exactly the per-user rollup the raw-id join would. The salt would
+    come from a secret store at deployment; it is fixed here so the
+    oracle can reproduce the pseudonyms.
+
+    Scale shape: pseudonymization is a per-row expression (no
+    shuffle); the join keys change but the join plan does not — same
+    hash/broadcast strategy, same shuffle volume (32-hex keys instead
+    of longs; at 100 TB substring to 16 hex for half the bytes).
+    """
+    salt = "run-key-2024"
+    events = t(spark, sf_dir, "events")
+    customer = t(spark, sf_dir, "customer")
+    p_ev = events.select(
+        F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))).alias("p_uid"),
+        "value",
+    )
+    p_cust = customer.select(
+        F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))).alias("p_uid"),
+        "c_acctbal",
+    )
+    return (
+        p_ev.groupBy("p_uid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(m("value")).cast("double").alias("total_value"),
+        )
+        .join(p_cust, "p_uid")
+        .select("p_uid", "n_events", "total_value", m("c_acctbal").cast("double").alias("acctbal"))
+        .orderBy("p_uid")
+    )
+
+
+ORACLE_PSEUDO = """
+WITH p_ev AS (
+  SELECT md5('run-key-2024' || CAST(user_id AS VARCHAR)) AS p_uid, value
+  FROM events
+), p_cust AS (
+  SELECT md5('run-key-2024' || CAST(c_custkey AS VARCHAR)) AS p_uid, c_acctbal
+  FROM customer
+)
+SELECT p_uid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(CAST(ANY_VALUE(c_acctbal) AS DECIMAL(18,6)) AS DOUBLE) AS acctbal
+FROM p_ev JOIN p_cust USING (p_uid)
+GROUP BY p_uid
+ORDER BY p_uid
+"""
+
+
+def batch_plan_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference/serving prep: group documents into length buckets
+    (padding waste is quadratic in length spread) and assign
+    contiguous batch ids of ``BATCH`` docs within each bucket —
+    deterministic by doc_id order. Output is the batch manifest
+    (bucket, batch_id, n_docs, max/min tokens) the serving job
+    consumes.
+
+    Scale shape: one window per bucket partition (row_number div
+    batch) — a single shuffle on the bucket key; the manifest rollup
+    reuses the same partitioning. No global ordering anywhere.
+    """
+    BATCH = 16
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.least(F.floor(F.log2(n_tok)).cast("int"), F.lit(12))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    assigned = (
+        docs.select("doc_id", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .withColumn("batch_id", ((F.row_number().over(w) - 1) / BATCH).cast("long"))
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tok"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+ORACLE_BATCH_PLAN = """
+WITH assigned AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         least(CAST(floor(log2(len(string_split(text, ' ')))) AS INT), 12) AS bucket
+  FROM documents
+), numbered AS (
+  SELECT *, CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16 AS BIGINT) AS batch_id
+  FROM assigned
+)
+SELECT bucket, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM numbered
+GROUP BY 1, 2
+ORDER BY bucket, batch_id
+"""
+
+QUERIES["pseudonymize_join"] = pseudonymize_join
+ORACLES["pseudonymize_join"] = ORACLE_PSEUDO
+QUERIES["batch_plan_length_bucketed"] = batch_plan_length_bucketed
+ORACLES["batch_plan_length_bucketed"] = ORACLE_BATCH_PLAN
