@@ -205,3 +205,26 @@ def test_epoch_plan_aggregate_is_partial(spark, sf_dir):
     plan = plan_of(QUERIES["mix_epoch_plan"](spark, sf_dir))
     assert "HashAggregate" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_triplets_single_label_shuffle_and_broadcasts(spark, sf_dir):
+    """Triplet generation: windows shuffle on label; the sizes/labels
+    side tables ride broadcasts; no pair-explosion join appears."""
+    plan = plan_of(QUERIES["emb_contrastive_triplets"](spark, sf_dir), mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pseudonymize_join_stays_hash_or_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["pseudonymize_join"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_batch_plan_single_bucket_shuffle(spark, sf_dir):
+    """Length-bucketed batch planning: the window and the rollup share
+    the bucket partitioning — exactly one hash Exchange plus the final
+    sort."""
+    import re
+
+    plan = plan_of(QUERIES["batch_plan_length_bucketed"](spark, sf_dir), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

@@ -25,6 +25,9 @@ COMMENT = {
     "bm25_topk": "Postings filtered to the query terms BEFORE aggregation; df and corpus stats are BroadcastExchange; TakeOrderedAndProject implements the top-k (per-partition heaps, no global sort).",
     "curate_v2": "One documents scan feeds both the md5-dedup window and the bigram postings branch; bucket stats broadcast; the only wide shuffles are the dedup window partitioning and the final per-split rollup.",
     "asof_join_events": "Union of tagged timelines → ONE hashpartitioning Exchange on user_id → running last(ignorenulls) window; no range-join nested loop appears.",
+    "emb_contrastive_triplets": "Label-window passes share one label shuffle; sizes/label-rank side tables are BroadcastExchange; output is one row per anchor — no pair-explosion join.",
+    "pseudonymize_join": "Pseudonymization is a per-row md5 projection on both sides; the join keeps its hash/broadcast strategy — key type widens, plan shape does not.",
+    "batch_plan_length_bucketed": "One hashpartitioning Exchange on the length bucket serves both the batch-id window and the manifest rollup.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
