@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import normalize_ws
 
-__all__ = ["CurationIngest"]
+__all__ = ["CurationIngest", "EmbeddingIngest"]
 
 
 class CurationIngest:
@@ -110,3 +110,82 @@ class CurationIngest:
         digests = spark.read.parquet(self.digest_dir).select("digest")
         docs = spark.read.parquet(self.docs_dir).select("digest")
         return digests.join(docs, "digest", "left_anti").count()
+
+
+class EmbeddingIngest:
+    """Streaming semantic dedup-on-ingest: the embedding analog of
+    :class:`CurationIngest`. Each micro-batch of (vec_id, embedding)
+    is LSH-bucketed (similarity/lsh.py hyperplane signature), compared
+    by exact cosine ONLY against accepted history sharing a bucket
+    (plus earlier same-bucket rows of its own batch), and the
+    survivors append to the history store.
+
+    Scale shape per batch: the candidate join is bucket-equality — the
+    batch side is micro-batch-sized and the history side is pruned by
+    the signature join key, so comparisons stay O(batch × per-bucket
+    history), never O(batch × history). Cosine runs as the zip_with/
+    aggregate expression (codegen, no Python). History holds
+    (vec_id, sig, embedding); at 10⁹ vectors you'd partition the
+    store by sig prefix so the join prunes files too (the same
+    derivable-key layout as operators/search.py).
+
+    Same LSH caveat as the batch operator: near-dups straddling a
+    bucket boundary can slip through (recall < 1); raise n_tables/
+    multiprobe for tighter recall.
+    """
+
+    def __init__(self, out_dir: str, tau: float = 0.95):
+        self.store = os.path.join(out_dir, "accepted")
+        self.tau = tau
+        self.seen_batches: set[int] = set()
+
+    def _history(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.store)
+        except Exception:
+            return None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.seen_batches:
+            return
+        from aliyun_emapreduce_datasources_spark.functions.vector import cosine
+        from aliyun_emapreduce_datasources_spark.similarity.lsh import (
+            hyperplane_signature,
+        )
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            "vec_id", "embedding", hyperplane_signature("embedding").alias("sig")
+        ).localCheckpoint(eager=True)  # stable ids across the two uses
+
+        history = self._history(spark)
+        near_history = None
+        if history is not None:
+            near_history = (
+                batch.alias("b")
+                .join(history.alias("h"), F.col("b.sig") == F.col("h.sig"))
+                .where(cosine("b.embedding", "h.embedding") >= self.tau)
+                .select(F.col("b.vec_id").alias("vec_id"))
+                .distinct()
+            )
+        # within-batch: earlier (lower vec_id) same-bucket near-dup wins
+        near_self = (
+            batch.alias("a")
+            .join(
+                batch.alias("c"),
+                (F.col("a.sig") == F.col("c.sig"))
+                & (F.col("c.vec_id") < F.col("a.vec_id")),
+            )
+            .where(cosine("a.embedding", "c.embedding") >= self.tau)
+            .select(F.col("a.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        rejected = near_self if near_history is None else near_self.unionByName(near_history).distinct()
+        accepted = batch.join(rejected, "vec_id", "left_anti").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        accepted.write.mode("append").parquet(self.store)
+        self.seen_batches.add(batch_id)
+
+    def accepted(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.store)

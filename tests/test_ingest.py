@@ -82,3 +82,38 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     sink(spark.createDataFrame([(99, "ALPHA beta gamma delta epsilon")], DOCS_SCHEMA), 7)
     assert sink.curated(spark).count() == 4
     assert sink.reconcile(spark) == 0
+
+
+def test_embedding_ingest_rejects_near_dups_across_batches(spark, tmp_path):
+    """Semantic dedup-on-ingest: exact/near duplicates of accepted
+    history (and of earlier same-batch rows) are rejected; novel
+    directions are accepted; replays are no-ops."""
+    import numpy as np
+
+    from aliyun_emapreduce_datasources_spark.streaming.ingest import EmbeddingIngest
+
+    rng = np.random.default_rng(7)
+
+    def vec(seed_vec, jitter=0.0):
+        v = seed_vec + jitter * rng.standard_normal(64)
+        return [float(x) for x in v]
+
+    a = rng.standard_normal(64)
+    b = rng.standard_normal(64)
+    c = rng.standard_normal(64)
+
+    schema = "vec_id long, embedding array<float>"
+    sink = EmbeddingIngest(str(tmp_path / "emb"), tau=0.95)
+    # batch 0: a, near-dup of a (same batch), b
+    sink(spark.createDataFrame(
+        [(1, vec(a)), (2, vec(a, 0.01)), (3, vec(b))], schema), 0)
+    # batch 1: near-dup of a (history), exact b (history), novel c
+    sink(spark.createDataFrame(
+        [(10, vec(a, 0.005)), (11, vec(b)), (12, vec(c))], schema), 1)
+
+    got = sorted(r.vec_id for r in sink.accepted(spark).collect())
+    assert got == [1, 3, 12], got
+
+    # replay of batch 1 is a no-op
+    sink(spark.createDataFrame([(99, vec(c))], schema), 1)
+    assert sorted(r.vec_id for r in sink.accepted(spark).collect()) == [1, 3, 12]
