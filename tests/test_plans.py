@@ -228,3 +228,20 @@ def test_batch_plan_single_bucket_shuffle(spark, sf_dir):
 
     plan = plan_of(QUERIES["batch_plan_length_bucketed"](spark, sf_dir), mode="simple")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """The spill/partition-sizing story: with AQE on, a shuffle whose
+    configured partition count (64 locally) far exceeds the data
+    produces far fewer ACTUAL post-shuffle partitions — the runtime
+    right-sizing that replaces hand-tuned spark.sql.shuffle.partitions
+    at every scale."""
+    df = (
+        QUERIES["q1_pricing_summary"](spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+    )
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_actual = df.rdd.getNumPartitions()
+    assert n_actual < n_conf, (n_actual, n_conf)
