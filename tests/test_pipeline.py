@@ -26,13 +26,44 @@ def test_connected_components_chain_and_singleton(spark):
 
 def test_connected_components_long_chain_converges(spark):
     # a 12-hop path exercises multi-round propagation + checkpointing
+    # (small_graph_edges=0 forces the distributed loop past the
+    # union-find escape hatch)
     n = 13
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
-    got = connected_components(nodes, edges)
+    got = connected_components(nodes, edges, small_graph_edges=0)
     assert got.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_connected_components_paths_agree(spark):
+    # driver union-find (small-graph path) and distributed min-label
+    # propagation must reach the identical fixpoint on a mixed graph:
+    # two chains, a clique, shared nodes, singletons
+    edges_py = (
+        [(i, i + 1) for i in range(0, 6)]          # 0..6 chain
+        + [(10, 12), (12, 14), (10, 14)]           # triangle
+        + [(20, 21)]                               # pair
+    )
+    node_ids = sorted({x for e in edges_py for x in e} | {30, 31})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+    edges = spark.createDataFrame(edges_py, ["doc_a", "doc_b"])
+    uf = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            nodes, edges, small_graph_edges=0
+        ).collect()
+    }
+    # distributed path labels only edge-touched nodes; callers
+    # coalesce untouched nodes to their own id — mirror that here
+    dist = {d: dist.get(d, d) for d in node_ids}
+    assert uf == dist
+    assert uf[30] == 30 and uf[31] == 31 and uf[6] == 0 and uf[14] == 10
 
 
 def test_asof_join_tie_and_null(spark, sf_dir, tmp_path):
