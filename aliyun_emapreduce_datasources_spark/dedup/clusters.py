@@ -52,11 +52,12 @@ SMALL_GRAPH_EDGES = 1_000_000
 
 
 def _unionfind_components(
-    spark: SparkSession, edges: DataFrame
+    spark: SparkSession, edge_rows: list
 ) -> DataFrame:
-    """Driver union-find over a bounded edge list (< SMALL_GRAPH_EDGES
-    rows, enforced by the caller). Returns (doc_id, cluster_id) for
-    edge-touched nodes only, cluster_id = component min doc_id."""
+    """Driver union-find over a bounded, already-collected edge list
+    (< SMALL_GRAPH_EDGES rows, enforced by the caller). Returns
+    (doc_id, cluster_id) for edge-touched nodes only, cluster_id =
+    component min doc_id."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -67,7 +68,7 @@ def _unionfind_components(
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("doc_a", "doc_b").toLocalIterator():
+    for a, b in edge_rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -94,9 +95,16 @@ def connected_components(
     """
     spark = edges.sparkSession
     if small_graph_edges > 0:
-        head = edges.limit(small_graph_edges + 1).count()
-        if head <= small_graph_edges:
-            labels = _unionfind_components(spark, edges)
+        # single job: collecting limit(n+1) both tests the threshold
+        # and delivers the edges (a separate count would pay a second
+        # pass over the pair computation)
+        head = (
+            edges.select("doc_a", "doc_b")
+            .limit(small_graph_edges + 1)
+            .collect()
+        )
+        if len(head) <= small_graph_edges:
+            labels = _unionfind_components(spark, head)
             # nodes not touched by any edge keep their own id
             return nodes.join(labels, "doc_id", "left").select(
                 "doc_id",

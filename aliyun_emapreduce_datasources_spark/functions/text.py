@@ -254,10 +254,16 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget estimate): regex piece count, distinct pieces, and the
     per-class split — all JVM-side regexp_extract_all, no UDF."""
     docs = t(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    # materialize the extraction once: a projection alias referenced
+    # many times is evaluated once (CollapseProject refuses to inline
+    # non-cheap expressions), while repeating the regexp_extract_all
+    # expression inline would re-run the regex per reference
+    pieces = F.col("pieces")
     alpha = F.size(F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$")))
     num = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
-    return docs.select(
+    return docs.withColumn(
+        "pieces", F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    ).select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
@@ -307,7 +313,11 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    bg = F.array_sort(shingles(tokens("text"), 2))
+    # tokenize+shingle+sort materialized once as a column — the select
+    # below references it six times, and inlining the expression would
+    # re-evaluate the whole chain per reference
+    docs = docs.withColumn("bg", F.array_sort(shingles(tokens("text"), 2)))
+    bg = F.col("bg")
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
