@@ -132,3 +132,67 @@ def test_approx_quantiles_track_exact(spark, sf_dir):
             # inside the value range spanned by the exact neighbors —
             # generous 10% relative window
             assert abs(av - ev) <= max(0.1 * ev, 2.0), (lang, col, av, ev)
+
+
+def test_connected_components_random_differential(spark):
+    """Randomized differential: arbitrary edge sets -> the hybrid's
+    union-find path, the distributed min-label loop, and a pure-Python
+    BFS reference must agree on every component assignment."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges_py=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=24),
+                st.integers(min_value=0, max_value=24),
+            ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    def check(edges_py):
+        node_ids = sorted({x for e in edges_py for x in e})
+        # pure-Python BFS reference
+        adj: dict[int, set[int]] = {n: set() for n in node_ids}
+        for a, b in edges_py:
+            adj[a].add(b)
+            adj[b].add(a)
+        expect: dict[int, int] = {}
+        for start in node_ids:
+            if start in expect:
+                continue
+            comp, stack = [], [start]
+            seen = {start}
+            while stack:
+                x = stack.pop()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            root = min(comp)
+            for x in comp:
+                expect[x] = root
+        nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+        edges = spark.createDataFrame(list(edges_py), ["doc_a", "doc_b"])
+        uf = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, edges, small_graph_edges=0
+            ).collect()
+        }
+        assert uf == expect, (edges_py, uf, expect)
+        assert dist == expect, (edges_py, dist, expect)
+
+    check()

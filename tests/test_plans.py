@@ -245,3 +245,52 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_actual = df.rdd.getNumPartitions()
     assert n_actual < n_conf, (n_actual, n_conf)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The AQE skew-join remedy (the runtime complement to the manual
+    salting in operators/skew.py): a join where one key holds almost
+    all rows must show ``skew=true`` on the SortMergeJoin after
+    adaptive execution splits the hot partition into parallel
+    sub-tasks. Thresholds are lowered so the testdata-sized hot key
+    trips the same code path a production hot key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # collapse ~98% of rows onto one join key -> one hot partition
+        # (synthesized with range: the hot side must dwarf the lowered
+        # threshold regardless of testdata scale). The right side is a
+        # plain unique-key table: OptimizeSkewedJoin pattern-matches
+        # SMJ(Sort(shuffle stage), Sort(shuffle stage)) — an aggregate
+        # between shuffle and join would defeat it.
+        skewed = spark.range(400_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        right = spark.range(400_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        joined = skewed.join(right, "k").agg(F.sum("v").alias("s"))
+        # drive the Dataset's OWN QueryExecution (a write would spawn a
+        # fresh execution and leave this one un-finalized)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
