@@ -2,7 +2,28 @@
 
 from __future__ import annotations
 
-from aliyun_emapreduce_datasources_spark.functions import bm25, lm, sketch, text, vocab
+from aliyun_emapreduce_datasources_spark.functions import (
+    bm25,
+    hybrid,
+    lm,
+    sketch,
+    text,
+    vocab,
+)
 
-QUERIES = {**text.QUERIES, **vocab.QUERIES, **lm.QUERIES, **sketch.QUERIES, **bm25.QUERIES}
-ORACLES = {**text.ORACLES, **vocab.ORACLES, **lm.ORACLES, **sketch.ORACLES, **bm25.ORACLES}
+QUERIES = {
+    **text.QUERIES,
+    **vocab.QUERIES,
+    **lm.QUERIES,
+    **sketch.QUERIES,
+    **bm25.QUERIES,
+    **hybrid.QUERIES,
+}
+ORACLES = {
+    **text.ORACLES,
+    **vocab.ORACLES,
+    **lm.ORACLES,
+    **sketch.ORACLES,
+    **bm25.ORACLES,
+    **hybrid.ORACLES,
+}

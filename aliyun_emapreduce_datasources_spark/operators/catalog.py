@@ -96,6 +96,7 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "dedup_minhash_clusters",
     "ann_pq_topk",
     "doc_length_quantiles_approx",
+    "hybrid_search_rrf",
     "rollup_grouping",
     "tumbling_window",
 )
