@@ -8,6 +8,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
     decontaminate,
     embedding,
     exact,
+    incremental,
     minhash,
     ngram,
     semantic,
@@ -30,6 +31,7 @@ QUERIES = {
     "dedup_semantic": semantic.QUERY,
     "dedup_bloom_decontaminate": bloom.QUERY,
     "dedup_minhash_clusters": clusters.minhash_cluster_resolve,
+    "dedup_incremental": incremental.QUERY,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that
@@ -42,5 +44,6 @@ ORACLES = {
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE,
+    "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
 }

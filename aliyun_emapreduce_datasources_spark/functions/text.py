@@ -13,7 +13,7 @@ hash, the canonical "fingerprint then exact-dedup" step).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
@@ -478,6 +478,67 @@ ORDER BY doc_id
 """
 
 
+def quality_stratified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified quality cut: keep each language's top
+    90% of documents by quality score. A single global threshold
+    over-prunes whichever language the heuristics score lower (the
+    classic multilingual-curation failure); ranking within the
+    language stratum equalizes retention. Keep rule is integer-exact:
+    ``10·rank ≤ 9·n_lang`` (floor(0.9·n) per language).
+
+    Scale shape: one shuffle on ``lang`` serves both the rank window
+    and the per-language count — language cardinality is tiny but the
+    window is partitioned, so no single-partition sort appears at any
+    corpus size. The float score is the same IEEE arithmetic tree as
+    ``quality_score`` (oracle-identical), with doc_id tie-breaks."""
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n = F.size(tok).cast("double")
+    length_c = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    divers_c = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_c = F.least(_stopword_count(tok).cast("double") / n * F.lit(10.0), F.lit(1.0))
+    score = length_c * F.lit(0.4) + divers_c * F.lit(0.3) + stop_c * F.lit(0.3)
+    w = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id", "lang", score.alias("quality")
+    ).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.col("quality").desc(), "doc_id"))
+        .cast("long")
+        .alias("lang_rank"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_lang"),
+    )
+    return ranked.where(
+        F.col("lang_rank") * 10 <= F.col("n_lang") * 9
+    ).orderBy("doc_id")
+
+
+ORACLE_STRATIFIED = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         (least(CAST(len({_O_TOK}) AS DOUBLE), 100.0) / 100.0) * 0.4
+         + (CAST(len(list_distinct({_O_TOK})) AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE)) * 0.3
+         + least(CAST({_O_STOPCNT} AS DOUBLE) / CAST(len({_O_TOK}) AS DOUBLE) * 10.0, 1.0) * 0.3
+         AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, quality,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id
+         ) AS BIGINT) AS lang_rank,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM scored
+)
+SELECT doc_id, lang, quality, lang_rank, n_lang
+FROM ranked
+WHERE lang_rank * 10 <= n_lang * 9
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_rare_bigram_ratio": rare_bigram_ratio,
@@ -489,9 +550,11 @@ QUERIES = {
     "text_bpe_stats": bpe_token_stats,
     "text_pii_redact": pii_redact,
     "text_normalize": text_normalize,
+    "text_stratified_filter": quality_stratified_filter,
 }
 
 ORACLES = {
+    "text_stratified_filter": ORACLE_STRATIFIED,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_rare_bigram_ratio": ORACLE_RARE_BIGRAM,
     "text_repetition_filter": ORACLE_REPETITION,

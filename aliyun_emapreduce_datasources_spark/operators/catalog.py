@@ -97,6 +97,8 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "ann_pq_topk",
     "doc_length_quantiles_approx",
     "hybrid_search_rrf",
+    "dedup_incremental",
+    "text_stratified_filter",
     "rollup_grouping",
     "tumbling_window",
 )

@@ -294,3 +294,17 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_broadcasts_new_side(spark, sf_dir):
+    """Cross-snapshot dedup geometry: the incoming batch's postings
+    must be the broadcast build side, the base-corpus scan keeps its
+    source filter in PushedFilters (never shuffled on shingle keys),
+    and the per-new-doc argmax uses WindowGroupLimit (partial top-1
+    before the shuffle)."""
+    plan = plan_of(QUERIES["dedup_incremental"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan, plan
+    assert "Not(EqualTo(source,src19))" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the broadcast join must be the ONLY join (no shuffled postings join)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
