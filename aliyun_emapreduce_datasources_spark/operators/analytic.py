@@ -489,9 +489,77 @@ FROM customer
 """
 
 
+def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning audit between two
+    table versions: every doc classified added / removed / changed /
+    unchanged, reported as per-status counts with deterministic
+    boundary ids. The "previous snapshot" is carved from the same
+    table (docs with ``doc_id % 17 == 3`` didn't exist yet; docs with
+    ``doc_id % 13 == 5`` had different text, simulated by uppercasing;
+    the current snapshot lacks ``doc_id % 19 == 7`` — those were
+    removed). In production both sides are real table versions.
+
+    Scale shape: content equality compares md5 **hashes computed at
+    the scan**, so the doc_id-keyed full-outer join shuffles 16-byte
+    digests, never document text; output is status-cardinality rows.
+    """
+    docs = t(spark, sf_dir, "documents")
+    prev = docs.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 13 == 5, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h_prev"),
+    )
+    cur = docs.where(F.col("doc_id") % 19 != 7).select(
+        "doc_id", F.md5("text").alias("h_cur")
+    )
+    status = (
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        .when(F.col("h_prev") != F.col("h_cur"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        prev.join(cur, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 5 THEN upper(text) ELSE text END) AS h_prev
+  FROM documents WHERE doc_id % 17 <> 3
+), cur AS (
+  SELECT doc_id, md5(text) AS h_cur
+  FROM documents WHERE doc_id % 19 <> 7
+), classified AS (
+  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN p.h_prev <> c.h_cur THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+)
+SELECT status, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM classified GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "audit_referential_integrity": audit_referential_integrity,
     "audit_table_checksum": audit_table_checksum,
+    "audit_snapshot_diff": audit_snapshot_diff,
     "hist_price": hist_price,
     "rollup_time_hierarchy": rollup_time_hierarchy,
     "win_topk_per_group": win_topk_per_group,
@@ -510,6 +578,7 @@ QUERIES = {
 ORACLES = {
     "audit_referential_integrity": ORACLE_AUDIT,
     "audit_table_checksum": ORACLE_CHECKSUM,
+    "audit_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "hist_price": ORACLE_HIST,
     "rollup_time_hierarchy": ORACLE_TIME_ROLLUP,
     "win_topk_per_group": ORACLE_TOPK,

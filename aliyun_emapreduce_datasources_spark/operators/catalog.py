@@ -26,8 +26,10 @@ ORACLES: dict[str, str] = {}
 # the oracle-backed entries still without an official row are the
 # round-2 additions placed at positions 51+ below (lm_bigram_surprise,
 # chunk_documents, mix_epoch_plan, sketch_cms_topk, bm25_topk,
-# curate_v2; bloom/minhash-clusters/pq/approx-quantiles are rows-only
-# by design). Lead round 3's window with those, then rotate back
+# curate_v2, hybrid_search_rrf, dedup_incremental,
+# text_stratified_filter, audit_snapshot_diff;
+# bloom/minhash-clusters/pq/approx-quantiles are rows-only by
+# design). Lead round 3's window with those, then rotate back
 # through the r1-checked tpch/corpus families to re-confirm them.
 _FRONT_OF_WINDOW: tuple[str, ...] = (
     # never driver-checked in round 1 (46)
@@ -99,6 +101,7 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "hybrid_search_rrf",
     "dedup_incremental",
     "text_stratified_filter",
+    "audit_snapshot_diff",
     "rollup_grouping",
     "tumbling_window",
 )
