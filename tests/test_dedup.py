@@ -149,3 +149,38 @@ def test_minhash_clusters_contain_exact_jaccard_clusters(spark, sf_dir):
     for d, c in assign.items():
         by_cluster.setdefault(c, []).append(d)
     assert all(min(m) == c for c, m in by_cluster.items())
+
+
+def test_incremental_dedup_finds_planted_cross_snapshot_dup(spark, tmp_path):
+    """Plant a near-identical document pair across the batch/base
+    boundary: the incoming copy must be flagged with its base match,
+    while a distinct incoming doc stays unflagged. (Oracle agreement
+    is checked separately; this pins the semantics on a constructed
+    case with a known answer.)"""
+    from pyspark.sql import functions as F
+
+    from aliyun_emapreduce_datasources_spark.dedup.incremental import (
+        NEW_SOURCE,
+        incremental_dedup,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    near_copy = base_text + " tail"          # high Jaccard vs base_text
+    distinct = "completely unrelated content about spark adaptive execution plans"
+    rows = [
+        (1, base_text, "en", "src0", len(base_text)),
+        (2, "another base document with its own words entirely", "en", "src1", 49),
+        (3, near_copy, "en", NEW_SOURCE, len(near_copy)),
+        (4, distinct, "en", NEW_SOURCE, len(distinct)),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["match_id"], r["jacc_micro"])
+        for r in incremental_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3}, got
+    match_id, jacc = got[3]
+    assert match_id == 1
+    assert jacc >= 500_000
