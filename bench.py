@@ -53,6 +53,12 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        # entries that persist() intermediates (signature tables, pair
+        # lists) would otherwise accumulate in the executor heap across
+        # the sweep — later entries then measure the earlier entries'
+        # GC pressure, not their own plan (r01->r02 diffs showed ±4s
+        # noise on untouched queries from exactly this)
+        spark.catalog.clearCache()
 
     detail = {
         "metric": "catalog_total",
