@@ -556,10 +556,108 @@ FROM classified GROUP BY status ORDER BY status
 """
 
 
+MIN_COOCCUR = 3
+BASKET_TOP = 20
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association analysis over order baskets: for part pairs bought
+    together in ≥ MIN_COOCCUR orders, the lift
+    ``P(a,b) / (P(a)·P(b))`` in integer milli-units, top-20.
+
+    Scale shape (the source_overlap_matrix rule — never self-join the
+    postings): baskets reduce to one sorted item array per order with
+    map-side-combined collect_set, pair expansion happens *inside the
+    row* (s·(s-1)/2 structs for an s-item basket, baskets are
+    bounded), so the only wide shuffle carries pair structs. The
+    part-frequency table is |parts| rows (broadcast) and the order
+    count is a 1-row broadcast scalar. Lift is the exact rational
+    ``(1e3·c·N) div (n_a·n_b)`` — BIGINT-safe out to ~sf10, widen to
+    decimal beyond."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    scalar = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + F.lit(2), F.size("items")),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    counts = (
+        pairs.groupBy(
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_COOCCUR)
+    )
+    enriched = (
+        counts.join(
+            F.broadcast(freq.withColumnsRenamed({"p": "part_a", "n_p": "n_a"})),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.withColumnsRenamed({"p": "part_b", "n_p": "n_b"})),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(scalar))
+        .withColumn(
+            "lift_milli", F.expr("(1000 * n_ab * n_orders) div (n_a * n_b)")
+        )
+    )
+    return (
+        enriched.select("part_a", "part_b", "n_ab", "lift_milli")
+        .orderBy(F.col("lift_milli").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+
+
+ORACLE_BASKET = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), baskets AS (
+  SELECT l_orderkey, COUNT(*) AS sz FROM items GROUP BY 1
+), scalar AS (
+  SELECT COUNT(*) AS n_orders FROM baskets
+), freq AS (
+  SELECT l_partkey AS p, COUNT(*) AS n_p FROM items GROUP BY 1
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COOCCUR}
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST((1000 * n_ab * n_orders) // (fa.n_p * fb.n_p) AS BIGINT) AS lift_milli
+FROM pair_counts
+JOIN freq fa ON fa.p = part_a
+JOIN freq fb ON fb.p = part_b
+CROSS JOIN scalar
+ORDER BY lift_milli DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""
+
+
 QUERIES = {
     "audit_referential_integrity": audit_referential_integrity,
     "audit_table_checksum": audit_table_checksum,
     "audit_snapshot_diff": audit_snapshot_diff,
+    "market_basket_lift": market_basket_lift,
     "hist_price": hist_price,
     "rollup_time_hierarchy": rollup_time_hierarchy,
     "win_topk_per_group": win_topk_per_group,
@@ -579,6 +677,7 @@ ORACLES = {
     "audit_referential_integrity": ORACLE_AUDIT,
     "audit_table_checksum": ORACLE_CHECKSUM,
     "audit_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "market_basket_lift": ORACLE_BASKET,
     "hist_price": ORACLE_HIST,
     "rollup_time_hierarchy": ORACLE_TIME_ROLLUP,
     "win_topk_per_group": ORACLE_TOPK,

@@ -102,6 +102,7 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "text_stratified_filter",
     "audit_snapshot_diff",
+    "market_basket_lift",
     "rollup_grouping",
     "tumbling_window",
 )
