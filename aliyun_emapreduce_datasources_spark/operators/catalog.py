@@ -103,6 +103,7 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "text_stratified_filter",
     "audit_snapshot_diff",
     "market_basket_lift",
+    "events_attribution",
     "rollup_grouping",
     "tumbling_window",
 )

@@ -298,7 +298,69 @@ LIMIT 10
 """
 
 
+ATTRIB_LOOKBACK_S = 3 * 86_400  # touch lookback window
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase credited to the FIRST
+    and LAST touch event (view/click) of the same user within a 3-day
+    lookback — the two canonical attribution models, emitted together.
+
+    Scale shape: single scan, ONE user_id shuffle — both models are
+    first/last(ignorenulls) over a RANGE frame keyed on epoch-micros,
+    so no self-join of purchases against touches exists in the plan
+    (the range-join formulation costs a second events scan plus a
+    pair-explosion). Determinism: (user_id, ts) is unique in the
+    testdata (asserted by the oracle gate); with duplicate timestamps
+    the frame boundary rows would need an event_id micro-key folded
+    into the RANGE ordering."""
+    ev = t(spark, sf_dir, "events")
+    k = F.unix_micros("ts")
+    tid = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_id")
+    )
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value", k.alias("k"), tid.alias("tid")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rangeBetween(-ATTRIB_LOOKBACK_S * 1_000_000, 0)
+    )
+    return (
+        base.withColumn("first_touch", F.first("tid", ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last("tid", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "first_touch",
+            "last_touch",
+            "value",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+SELECT user_id, event_id AS purchase_id, first_touch, last_touch, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         first_value(CASE WHEN event_type IN ('view','click') THEN event_id END IGNORE NULLS)
+           OVER w AS first_touch,
+         last_value(CASE WHEN event_type IN ('view','click') THEN event_id END IGNORE NULLS)
+           OVER w AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {ATTRIB_LOOKBACK_S * 1_000_000} PRECEDING AND CURRENT ROW)
+)
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
+    "events_attribution": events_attribution,
     "events_funnel": events_funnel,
     "events_error_anomaly": events_error_anomaly,
     "events_rfm": events_rfm,
@@ -308,6 +370,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_attribution": ORACLE_ATTRIBUTION,
     "events_funnel": ORACLE_FUNNEL,
     "events_error_anomaly": ORACLE_ERROR_ANOMALY,
     "events_rfm": ORACLE_RFM,
