@@ -132,7 +132,10 @@ def bloom_decontaminate(
                 continue
             ids, counts = [], []
             for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
-                if len(hs) == 0:
+                # hs is None when the source text is NULL (tokens →
+                # shingles → transform all propagate null) — treat as
+                # an empty shingle set, don't crash the task
+                if hs is None or len(hs) == 0:
                     continue
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 pos = _probe_positions(h, m_b, k_b)

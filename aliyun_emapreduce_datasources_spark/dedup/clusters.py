@@ -116,7 +116,11 @@ def connected_components(
 def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Distributed min-label propagation to fixpoint — the 100 TB path.
     Each round is one shuffle join of the label table against the
-    symmetrized edge list; rounds = graph diameter."""
+    symmetrized edge list; rounds = graph diameter. The loop runs only
+    over EDGE-TOUCHED nodes (the near-dup subgraph — orders of
+    magnitude smaller than the corpus); untouched nodes take their own
+    id in the final join-back and never enter a round."""
+    edges = edges.select("doc_a", "doc_b").persist()
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -124,7 +128,8 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum = None
     for _ in range(MAX_ROUNDS):
         # neighbor minimum, then elementwise min with own label
@@ -149,8 +154,15 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         if cur == prev_sum:
             break
         prev_sum = cur
+    # the final labels are materialized (every round's localCheckpoint
+    # is realized by its convergence agg), so the edge caches can be
+    # dropped before returning without forcing a recompute
     sym.unpersist()
-    return labels
+    edges.unpersist()
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
 
 
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,35 +170,22 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs (dedup/ngram.py). ``is_kept`` marks the canonical
     representative (minimum doc_id of its component).
 
-    The label iteration runs only over edge-touched nodes — in a real
-    corpus the near-dup subgraph is orders of magnitude smaller than
-    the corpus, so the per-round joins stay small (often broadcast)
-    while the full document set is touched exactly once by the final
-    join-back; singletons never enter the loop.
+    Cache lifecycle note: the union-find path touches the pair
+    computation exactly once (one bounded collect), and the propagate
+    path manages its own edge cache internally — so the caller holds
+    no persist whose unpersist could race the (lazy) returned plan.
+    An earlier version persisted pairs here and unpersisted before
+    returning, which silently recomputed the whole pair pipeline when
+    the caller finally executed the result.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
-    touched = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    labels = connected_components(touched, pairs)
-    out = (
-        docs.join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        )
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
-        )
-        .orderBy("doc_id")
-    )
-    pairs.unpersist(blocking=False)
-    return out
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    ).orderBy("doc_id")
 
 
 QUERY = dedup_cluster_resolve
@@ -224,21 +223,9 @@ def minhash_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_dedup_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_a", "doc_b"
-    ).persist()
-    touched = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
     )
-    labels = connected_components(touched, pairs)
-    out = (
-        docs.join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        )
-        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
+    labels = connected_components(docs, pairs)
+    return (
+        labels.withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
-    pairs.unpersist(blocking=False)
-    return out

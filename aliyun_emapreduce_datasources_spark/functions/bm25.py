@@ -41,7 +41,11 @@ S = 1000
 TOP_N = 15
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micro, n_terms_hit) for every document hitting
+    ≥1 query term — the un-truncated scoring used by composers
+    (hybrid retrieval ranks this to its own candidate depth);
+    ``bm25_topk`` is this plus the ordered top-N cut."""
     docs = t(spark, sf_dir, "documents")
     tok = tokens("text")
     base = docs.select("doc_id", F.explode(tok).alias("term"), F.size(tok).alias("dl"))
@@ -69,12 +73,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("term_micro").cast("long").alias("score_micro"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-        )
+        bm25_scores(spark, sf_dir)
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(TOP_N)
     )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from aliyun_emapreduce_datasources_spark.functions.bm25 import (
     QUERY_TERMS,
     S,
-    bm25_topk,
+    bm25_scores,
 )
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
@@ -81,15 +81,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each arm prunes with orderBy+limit FIRST (TakeOrderedAndProject:
     # per-partition heaps, no global sort of the corpus); the rank
     # window then runs over <= ARM_K rows, so the only global window
-    # in the plan is broadcast-sized
-    lex = bm25_topk(spark, sf_dir)  # already top-15, integer-exact
-    lex_rank = lex.select(
+    # in the plan is broadcast-sized. The lexical arm ranks the FULL
+    # bm25 score table to its own ARM_K depth — reusing bm25_topk
+    # would silently cap it at that entry's top-15
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(ARM_K)
+    )
+    lex_rank = lex_top.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
         .cast("long")
         .alias("r_lex"),
-    ).where(F.col("r_lex") <= ARM_K)
+    )
     vec_top = (
         _quantized_dots(spark, sf_dir)
         .orderBy(F.col("dot").desc(), "doc_id")
@@ -149,7 +155,6 @@ WITH base AS (
 ), lex AS (
   SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
   FROM scored GROUP BY doc_id
-  ORDER BY score_micro DESC, doc_id LIMIT 15
 ), lex_rank AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex

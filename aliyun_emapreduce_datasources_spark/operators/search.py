@@ -37,21 +37,23 @@ __all__ = ["build_inverted_index", "lookup_term", "bm25_lookup"]
 N_BUCKETS = 16
 
 
-def _bucket(col: F.Column) -> F.Column:
+def _bucket(col: F.Column, n_buckets: int = N_BUCKETS) -> F.Column:
     return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % N_BUCKETS
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
     ).cast("int")
 
 
 def build_inverted_index(docs: DataFrame, dst: str, n_buckets: int = N_BUCKETS) -> None:
-    """docs: (doc_id, text). Writes postings/ (bucketed by term hash),
-    stats/ (1-row corpus stats), dl/ (per-doc lengths)."""
+    """docs: (doc_id, text). Writes postings/ (bucketed by term hash —
+    honoring ``n_buckets``; readers must pass the same value) and
+    stats/ (1-row corpus stats). Per-doc lengths ride on every
+    postings row (``dl``), so no separate lengths table is needed."""
     tok = tokens("text")
     base = docs.select("doc_id", F.explode(tok).alias("term"), F.size(tok).alias("dl"))
     postings = (
         base.groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("bucket", _bucket(F.col("term")))
+        .withColumn("bucket", _bucket(F.col("term"), n_buckets))
     )
     (
         postings.repartition("bucket")
@@ -65,19 +67,26 @@ def build_inverted_index(docs: DataFrame, dst: str, n_buckets: int = N_BUCKETS) 
     ).write.mode("overwrite").parquet(os.path.join(dst, "stats"))
 
 
-def lookup_term(spark: SparkSession, index_dir: str, term: str) -> DataFrame:
+def lookup_term(
+    spark: SparkSession, index_dir: str, term: str, n_buckets: int = N_BUCKETS
+) -> DataFrame:
     """(doc_id, tf, dl) for one term — partition-pruned to the term's
     bucket (assert `PartitionFilters` in the plan), then row-group
-    pruned by the term sort."""
+    pruned by the term sort. ``n_buckets`` must match the build."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    b = F.conv(F.substring(F.md5(F.lit(term)), 1, 8), 16, 10).cast("long") % N_BUCKETS
+    b = F.conv(F.substring(F.md5(F.lit(term)), 1, 8), 16, 10).cast("long") % n_buckets
     return postings.where(
         (F.col("bucket") == b.cast("int")) & (F.col("term") == term)
     ).select("doc_id", "tf", "dl")
 
 
 def bm25_lookup(
-    spark: SparkSession, index_dir: str, terms: list[str], top_n: int = 10, s: int = 1000
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    top_n: int = 10,
+    s: int = 1000,
+    n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """BM25 top-n from the materialized index alone (same integer-
     exact scoring as functions/bm25.py), reading only the query
@@ -85,7 +94,7 @@ def bm25_lookup(
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     buckets = sorted(
         {
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big") % N_BUCKETS
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big") % n_buckets
             for t in terms
         }
     )

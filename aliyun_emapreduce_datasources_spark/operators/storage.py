@@ -100,7 +100,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> tuple[DataFrame
         lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
         frac = (F.col(c).cast("double") - lo) / span
-        buckets.append(F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)))
+        # NULL column values must land in bucket 0 (the curve origin),
+        # not bucket `top`: least() SKIPS nulls, so without the
+        # coalesce a null frac would co-cluster nulls with max-value
+        # rows and pollute those files' min/max footer stats
+        buckets.append(
+            F.coalesce(
+                F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)),
+                F.lit(0).cast("long"),
+            )
+        )
     ncols = len(cols)
     terms = [
         F.shiftleft(

@@ -156,7 +156,11 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pick(k, "Y", "N").alias("c_preferred_cust_flag"),
         (F.pmod(k * 5, F.lit(12)) + 1).cast("int").alias("c_birth_month"),
         (1930 + F.pmod(k * 7, F.lit(60))).cast("int").alias("c_birth_year"),
-        F.pmod(k * 13, F.lit(n)).alias("c_current_addr_sk"),
+        # +1 keeps the FK inside the 1-based address keys; the floor(k/2)
+        # term mixes parity — a pure linear map of the even (preferred)
+        # customers would reach only half the zip residues and starve
+        # q8's literal zip list
+        (F.pmod(k * 13 + F.floor(k / 2), F.lit(n)) + 1).alias("c_current_addr_sk"),
         F.pmod(k * 11, F.lit(N_CDEMO)).alias("c_current_cdemo_sk"),
         F.pmod(k * 11, F.lit(N_HDEMO)).alias("c_current_hdemo_sk"),
     )
@@ -329,6 +333,10 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_store = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).count()
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     ext = F.col("l_extendedprice") / 10.0
+    # store/address dims are 1-based (keyed by supplier/customer
+    # keys), so their pmod FKs are shifted +1 to stay inside 1..n —
+    # a bare pmod would emit dangling FK 0 and leave dim row n
+    # unreachable (inner joins would silently drop those sales).
     # TPC-DS semantics: a ticket is one customer visit, so the
     # demographic / store / address FKs are constant per ticket
     # (= per order here); the occasional NULL store/addr rows feed
@@ -342,10 +350,14 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("o_custkey") * 11, F.lit(N_CDEMO)).alias("ss_cdemo_sk"),
         F.pmod(ok * 13, F.lit(N_HDEMO)).alias("ss_hdemo_sk"),
         F.when(F.pmod(ok + ln, F.lit(20)) == 0, F.lit(None).cast("bigint")).otherwise(
-            F.pmod(F.col("o_custkey") * 13 + ok * 29, F.lit(n))
+            F.pmod(F.col("o_custkey") * 13 + ok * 29, F.lit(n)) + 1
         ).alias("ss_addr_sk"),
         F.when(F.pmod(ok * 3 + ln, F.lit(25)) == 0, F.lit(None).cast("bigint")).otherwise(
-            F.pmod(ok * 5, F.lit(n_store))
+            # multiplier must be coprime with the store count: ok*5
+            # against 100 stores reaches only one residue class mod 5,
+            # collapsing the _pick()ed store attributes (state/city)
+            # onto a single value and emptying q27/q46/q68
+            F.pmod(ok * 7, F.lit(n_store)) + 1
         ).alias("ss_store_sk"),
         F.pmod(F.col("l_partkey") + F.col("l_suppkey"), F.lit(10)).alias("ss_promo_sk"),
         ok.alias("ss_ticket_number"),
@@ -374,7 +386,7 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cs_bill_customer_sk"),
         F.pmod(F.col("o_custkey") * 11, F.lit(N_CDEMO)).alias("cs_bill_cdemo_sk"),
         F.when(F.pmod(ok * 7 + ln, F.lit(20)) == 0, F.lit(None).cast("bigint")).otherwise(
-            F.pmod(F.col("o_custkey") * 13 + ok * 29, F.lit(n))
+            F.pmod(F.col("o_custkey") * 13 + ok * 29, F.lit(n)) + 1
         ).alias("cs_ship_addr_sk"),
         F.pmod(F.col("l_partkey") + F.col("l_suppkey"), F.lit(10)).alias("cs_promo_sk"),
         F.pmod(F.col("l_suppkey"), F.lit(5)).alias("cs_warehouse_sk"),

@@ -179,6 +179,33 @@ class SQLiteExactlyOnceSink:
             ).fetchall()
 
 
+def _write_sink_partition(rows, connect, table, columns, bid) -> None:
+    """One partition's executor-side write (module-level so it stays
+    picklable and directly testable). Per-partition idempotence: a
+    retried or speculative task first purges its own (batch,
+    partition) rows in the SAME transaction as its insert — otherwise
+    a task that committed and then failed (executor lost after commit)
+    would double-insert when Spark reruns it, and the batch-level
+    UNCOMMITTED purge never fires because the batch as a whole
+    succeeds."""
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    placeholders = ", ".join(["?"] * (2 + len(columns)))
+    buf = [(bid, pid, *[str(v) for v in r]) for r in rows]
+    pcon = connect()
+    try:
+        pcon.execute(
+            f"DELETE FROM {table} WHERE _batch_id = ? AND _partition_id = ?",
+            (bid, pid),
+        )
+        if buf:
+            pcon.executemany(f"INSERT INTO {table} VALUES ({placeholders})", buf)
+        pcon.commit()
+    finally:
+        pcon.close()
+
+
 def sqlite_connection(db_path: str):
     """Picklable DB-API connection factory for a file-backed SQLite
     target (the test stand-in for a JDBC pool). The 60 s busy timeout
@@ -222,7 +249,10 @@ class ExecutorExactlyOnceSink:
         con = self.connect()
         try:
             cols = ", ".join(f"{c} TEXT" for c in columns)
-            con.execute(f"CREATE TABLE IF NOT EXISTS {table} (_batch_id INTEGER, {cols})")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {table} "
+                f"(_batch_id INTEGER, _partition_id INTEGER, {cols})"
+            )
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.log_table} (batch_id INTEGER PRIMARY KEY, status TEXT)"
             )
@@ -249,20 +279,9 @@ class ExecutorExactlyOnceSink:
         # executor-side data path: no driver collect. Locals only in the
         # closure — `self` must not be captured (not picklable cheaply).
         connect, table, columns, bid = self.connect, self.table, self.columns, batch_id
-        placeholders = ", ".join(["?"] * (1 + len(columns)))
-
-        def write_partition(rows) -> None:
-            buf = [(bid, *[str(v) for v in r]) for r in rows]
-            if not buf:
-                return
-            pcon = connect()
-            try:
-                pcon.executemany(f"INSERT INTO {table} VALUES ({placeholders})", buf)
-                pcon.commit()
-            finally:
-                pcon.close()
-
-        batch_df.select(*columns).foreachPartition(write_partition)
+        batch_df.select(*columns).foreachPartition(
+            lambda rows: _write_sink_partition(rows, connect, table, columns, bid)
+        )
 
         con = self.connect()
         try:

@@ -100,6 +100,28 @@ def sessionize_stream(
         closed: list[tuple[int, int, int]] = []
         late: list[tuple[int, int, int]] = []
         cur = state.get if state.exists else None
+
+        def reconcile(cur, late):
+            """Cascade-merge late sessions into cur: merging an event
+            into cur can extend cur DOWNWARD, bringing previously
+            gap-separated late sessions within range — and each merge
+            can enable the next, so iterate to fixpoint. Without this
+            a late event within gap of the finally-extended session is
+            emitted as a spurious singleton (batch lag-gap semantics
+            would have merged it)."""
+            changed = True
+            while changed and late:
+                changed = False
+                keep = []
+                for s in late:
+                    if s[0] - gap_us <= cur[1] and cur[0] <= s[1] + gap_us:
+                        cur = (min(s[0], cur[0]), max(s[1], cur[1]), s[2] + cur[2])
+                        changed = True
+                    else:
+                        keep.append(s)
+                late = keep
+            return cur, late
+
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -114,6 +136,10 @@ def sessionize_stream(
                     # out-of-order arrivals, not just ascending input
                     cur = (min(cur[0], t_us), max(cur[1], t_us), cur[2] + 1)
                 elif t_us > cur[1] + gap_us:
+                    # reconcile pending late sessions against the
+                    # session being closed — its min may have moved
+                    # down since they were set aside
+                    cur, late = reconcile(cur, late)
                     closed.append(cur)
                     cur = (t_us, t_us, 1)
                 else:
@@ -136,6 +162,8 @@ def sessionize_stream(
                             keep.append(s)
                     keep.append(merged)
                     late = keep
+        if cur is not None:
+            cur, late = reconcile(cur, late)
         closed.extend(late)
         if cur is not None:
             deadline_ms = cur[1] // 1000 + gap_us // 1000

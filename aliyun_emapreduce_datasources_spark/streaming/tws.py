@@ -66,8 +66,17 @@ class RunningUserTotals(StatefulProcessor):
             n, total = 0, 0
         for pdf in rows:
             n += len(pdf)
-            # integer micro-units: order-free accumulation
-            total += int(round(float(pdf["value"].sum()) * 1_000_000))
+            # round each VALUE to micro-units, then sum integers:
+            # rounding the float per-chunk sum instead would make the
+            # total depend on Arrow batch boundaries (replay /
+            # repartition could split chunks differently and flip the
+            # last digit) — per-value rounding is order-free
+            total += int(
+                (pdf["value"].astype("float64") * 1_000_000)
+                .round()
+                .astype("int64")
+                .sum()
+            )
         self.totals.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_micro": [total]}

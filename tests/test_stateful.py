@@ -198,3 +198,54 @@ def test_transform_with_state_plan_builds_without_protobuf(spark, sf_dir, stream
     totals = running_user_totals(st.read_stream(spark))
     assert totals.isStreaming
     assert totals.schema == OUTPUT_SCHEMA
+
+
+def test_late_event_merges_into_downward_extended_session(spark, tmp_path):
+    """A late event that is > gap before the open session at arrival
+    time, but within gap of it AFTER a second event extends the
+    session downward, must fold into ONE session (the batch lag-gap
+    answer) — not close as a spurious singleton."""
+    import json
+    import os
+
+    d = str(tmp_path / "cascade-stream")
+    os.makedirs(d)
+
+    def write_chunk(idx: int, rows: list[dict]) -> None:
+        p = os.path.join(d, f"c{idx:04d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    def ev(eid: int, ts: str) -> dict:
+        return {
+            "event_id": eid,
+            "ts": ts,
+            "user_id": 9,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # chunk 0 opens at 12:00 (gap 30 min). chunk 1 delivers 11:10
+    # (50 min before -> set aside as late) then 11:35 (25 min before
+    # -> merges, extending the session down to 11:35; now 11:10 is
+    # within gap of 11:35 and must cascade in). chunk 2's 14:00 event
+    # closes the merged session.
+    write_chunk(0, [ev(1, "2024-01-01T12:00:00.000Z")])
+    write_chunk(1, [ev(2, "2024-01-01T11:10:00.000Z"), ev(3, "2024-01-01T11:35:00.000Z")])
+    write_chunk(2, [ev(4, "2024-01-01T14:00:00.000Z")])
+
+    st = StreamTable("events", EVENTS_SCHEMA, d, {"maxFilesPerTrigger": "1"})
+    sessions = sessionize_stream(st.read_stream(spark), gap=GAP, watermark_delay="2 hours")
+    name = f"cascsess_{uuid.uuid4().hex[:8]}"
+    q = sessions.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(name).collect()
+    }
+    assert got == {(9, "2024-01-01 11:10:00", "2024-01-01 12:00:00", 3)}, got

@@ -323,7 +323,7 @@ def test_executor_exactly_once_sink_restart_and_partial(spark, sf_dir, tmp_path)
     # simulated mid-batch crash: UNCOMMITTED log entry + partial rows
     con = sqlite3.connect(db)
     con.execute("INSERT INTO out__stream_log VALUES (99, 'UNCOMMITTED')")
-    con.execute("INSERT INTO out VALUES (99, '999999')")
+    con.execute("INSERT INTO out VALUES (99, 0, '999999')")
     con.commit()
     con.close()
     sink(spark.range(3).select(F.col("id").alias("event_id")), 99)
@@ -596,3 +596,32 @@ def test_async_buffered_producer_delivers_all_rows(spark, sf_dir, tmp_path):
         spark.range(0, 10).foreachPartition(
             AsyncBufferedProducer(send_fail, buffer_rows=4)
         )
+
+
+def test_executor_sink_partition_task_retry_is_idempotent(spark, tmp_path):
+    """A retried / speculative partition task must not duplicate rows:
+    the partition writer purges its own (batch, partition) slice in
+    the same transaction as its insert, so running it twice (what
+    Spark does on task rerun after an executor loss) leaves exactly
+    one copy."""
+    import functools
+
+    from aliyun_emapreduce_datasources_spark.streaming.sinks import (
+        ExecutorExactlyOnceSink,
+        _write_sink_partition,
+        sqlite_connection,
+    )
+
+    db = str(tmp_path / "retry.db")
+    factory = functools.partial(sqlite_connection, db)
+    sink = ExecutorExactlyOnceSink(factory, "out_retry", ["event_id"])
+    rows = [(i,) for i in range(20)]
+
+    def run_twice(_):
+        # simulate the task rerun: same rows, same TaskContext partition
+        _write_sink_partition(list(rows), factory, "out_retry", ["event_id"], 1)
+        _write_sink_partition(list(rows), factory, "out_retry", ["event_id"], 1)
+
+    spark.sparkContext.parallelize([0], 1).foreachPartition(run_twice)
+    got = sorted(int(v[0]) for v in sink.read_all())
+    assert got == list(range(20)), got
