@@ -184,3 +184,74 @@ def test_incremental_dedup_finds_planted_cross_snapshot_dup(spark, tmp_path):
     match_id, jacc = got[3]
     assert match_id == 1
     assert jacc >= 500_000
+
+
+def test_incremental_dedup_random_differential(spark, tmp_path):
+    """Randomized differential: small synthetic corpora with seeded
+    near-duplicates across the batch/base boundary; the Spark result
+    must equal a pure-Python shingle-Jaccard argmax reference."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aliyun_emapreduce_datasources_spark.dedup.incremental import (
+        MIN_JACC_MICRO,
+        NEW_SOURCE,
+        incremental_dedup,
+    )
+
+    rng = random.Random(0xD5)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    for trial in range(3):
+        rows = []
+        texts = {}
+        for i in range(24):
+            src = NEW_SOURCE if i % 6 == 0 else f"src{i % 4}"
+            base_of = i - 1 if (i % 6 == 0 and i > 0 and rng.random() < 0.7) else None
+            if base_of is not None and base_of in texts:
+                words = texts[base_of].split()
+                cut = rng.randrange(len(words))
+                words[cut] = rng.choice(vocab)  # near-copy, one word off
+                text = " ".join(words)
+            else:
+                text = doc(rng.randrange(6, 18))
+            texts[i] = text
+            rows.append((i, text, "en", src, len(text)))
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(str(d / "documents.parquet"))
+
+        def sh(text):
+            w = text.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        expect = {}
+        for i, t_new, _, src, _ in rows:
+            if src != NEW_SOURCE or len(sh(t_new)) == 0:
+                continue
+            best = None
+            for j, t_base, _, src_b, _ in rows:
+                if src_b == NEW_SOURCE or len(sh(t_base)) == 0:
+                    continue
+                a, b = sh(t_new), sh(t_base)
+                inter = len(a & b)
+                if inter == 0:
+                    continue
+                jm = (1_000_000 * inter) // (len(a) + len(b) - inter)
+                cand = (jm, -j)
+                if best is None or cand > best:
+                    best = cand
+            if best is not None and best[0] >= MIN_JACC_MICRO:
+                expect[i] = (-best[1], best[0])
+
+        got = {
+            r["doc_id"]: (r["match_id"], r["jacc_micro"])
+            for r in incremental_dedup(spark, str(d)).collect()
+        }
+        assert got == expect, (trial, got, expect)
