@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import _O_BG, shingles, tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import md5_bucket, t
 
 __all__ = ["dsir_importance", "lm_bigram_surprise", "QUERIES", "ORACLES"]
 
@@ -46,9 +46,7 @@ TARGET_LANG = "en"
 
 def _bucket(col: F.Column) -> F.Column:
     """Portable md5 coin: first 32 bits of md5(s) mod N_BUCKETS."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % N_BUCKETS
-    )
+    return md5_bucket(col, N_BUCKETS)
 
 
 def _doc_bigram_buckets(docs: DataFrame) -> DataFrame:

@@ -27,9 +27,21 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket"]
 
 DEC = "decimal(18,6)"
+
+
+def md5_bucket(col, modulus: int):
+    """The engine's portable deterministic coin: first 32 bits of
+    md5(col) mod modulus, as BIGINT. One definition — sampling, splits,
+    per-source caps, DSIR buckets, and the inverted-index layout all
+    derive from it, and every DuckDB oracle mirrors it as
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT) % modulus``. Change
+    it here (e.g. widen the hex window) and every assignment moves in
+    lockstep instead of silently diverging per module."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % modulus
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import m, t
+from aliyun_emapreduce_datasources_spark.operators.common import m, md5_bucket, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -36,11 +36,7 @@ def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     → filter, no shuffle at all.
     """
     docs = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 1000)
     src_num = F.substring("source", 4, 10).cast("int")
     rate_millis = (
         F.when(src_num % 3 == 0, 250)
@@ -319,11 +315,7 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank filter into a per-partition top-k before the shuffle), so
     shuffle volume is O(sources × cap), not O(corpus)."""
     docs = t(spark, sf_dir, "documents")
-    pri = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000000
-    )
+    pri = md5_bucket(F.col("doc_id").cast("string"), 1000000)
     w = Window.partitionBy("source").orderBy(F.col("pri"), F.col("doc_id"))
     return (
         docs.select("doc_id", "source", pri.alias("pri"))
@@ -359,11 +351,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(source, split) count summary is the only (tiny) shuffle.
     """
     docs = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 1000)
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )
@@ -408,11 +396,7 @@ def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000))
     w = Window.partitionBy("h").orderBy("doc_id")
     deduped = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 1000)
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )
@@ -628,10 +612,7 @@ def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            (
-                F.conv(F.substring(F.md5(F.col("b")), 1, 8), 16, 10).cast("long")
-                % DSIR_NB
-            ).alias("bucket"),
+            md5_bucket("b", DSIR_NB).alias("bucket"),
         )
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -655,11 +636,7 @@ def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = deduped.join(imp, "doc_id")
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 1000)
     split = (
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     )

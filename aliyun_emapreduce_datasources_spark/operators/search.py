@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import tokens
+from aliyun_emapreduce_datasources_spark.operators.common import md5_bucket
 
 __all__ = ["build_inverted_index", "lookup_term", "bm25_lookup"]
 
@@ -38,9 +39,7 @@ N_BUCKETS = 16
 
 
 def _bucket(col: F.Column, n_buckets: int = N_BUCKETS) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
-    ).cast("int")
+    return md5_bucket(col, n_buckets).cast("int")
 
 
 def build_inverted_index(docs: DataFrame, dst: str, n_buckets: int = N_BUCKETS) -> None:
@@ -74,7 +73,7 @@ def lookup_term(
     bucket (assert `PartitionFilters` in the plan), then row-group
     pruned by the term sort. ``n_buckets`` must match the build."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    b = F.conv(F.substring(F.md5(F.lit(term)), 1, 8), 16, 10).cast("long") % n_buckets
+    b = md5_bucket(F.lit(term), n_buckets)
     return postings.where(
         (F.col("bucket") == b.cast("int")) & (F.col("term") == term)
     ).select("doc_id", "tf", "dl")

@@ -59,7 +59,11 @@ _SESSION = re.compile(
 _DELAY = re.compile(r"delay\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*<\s*'([^']+)'", re.IGNORECASE)
 _SET = re.compile(r"^\s*SET\s+([\w.]+)\s*=\s*(.+?)\s*$", re.IGNORECASE | re.DOTALL)
 _CREATE_USING = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(\([^)]*\))?\s*USING\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*$",
+    # the column-list group tolerates ONE level of nested parens so
+    # parameterized types — decimal(7,2), the corpus money type —
+    # don't truncate the match and drop the statement to plain SQL
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+    r"(\((?:[^()]|\([^()]*\))*\))?\s*USING\s+(\w+)\s*(?:OPTIONS\s*\((.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_INTO = re.compile(r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL)
@@ -99,9 +103,14 @@ def _parse_options(opts: str | None) -> dict[str, str]:
     if not opts:
         return {}
     out = {}
-    # Spark DDL accepts both `key='value'` and `key 'value'`
-    for m in re.finditer(r"['\"]?([\w.]+)['\"]?\s*=?\s*'([^']*)'", opts):
-        out[m.group(1)] = m.group(2)
+    # Spark DDL accepts `key='value'`, `key "value"`, `key 'value'`
+    # AND bare unquoted values (`maxFilesPerTrigger=1`) — dropping the
+    # unquoted form silently loses rate limits and the like
+    for m in re.finditer(
+        r"['\"]?([\w.]+)['\"]?\s*(?:=\s*|\s+)(?:'([^']*)'|\"([^\"]*)\"|([^\s,'\"()]+))",
+        opts,
+    ):
+        out[m.group(1)] = next(g for g in m.groups()[1:] if g is not None)
     return out
 
 
@@ -182,6 +191,12 @@ class StreamingSqlSession:
                     "maxOffsetsPerTrigger", options["maxOffsetsPerTrigger"]
                 )
             reader.load().createOrReplaceTempView(name)
+            # emrlog views are streaming sources too: the recompute
+            # fallback resolves referenced streams through this list,
+            # and an unregistered stream table would hand it an empty
+            # name set (a dead handle-less query)
+            if name not in self.stream_tables:
+                self.stream_tables.append(name)
             return None
         if fmt == "jdbc2":
             # exactly-once JDBC streaming sink (S23, JdbcSourceProvider
@@ -374,8 +389,16 @@ class StreamingSqlSession:
             accum = os.path.join(base, name)
 
             def on_batch(batch_df, batch_id, _name=name, _accum=accum):
-                batch_df.write.mode("append").parquet(_accum)
-                spark.read.parquet(_accum).createOrReplaceTempView(f"{_name}__snapshot")
+                # idempotent by batchId (S8 contract): each batch lands
+                # in its own overwritten subdir, so an at-least-once
+                # foreachBatch replay after a crash rewrites the same
+                # subdir instead of appending duplicates forever
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(_accum, f"batch_id={batch_id}")
+                )
+                spark.read.option("recursiveFileLookup", "true").parquet(
+                    _accum
+                ).createOrReplaceTempView(f"{_name}__snapshot")
                 spark.sql(snapshot_sql).createOrReplaceTempView(target)
 
             handles.append(

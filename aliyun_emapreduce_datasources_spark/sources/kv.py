@@ -119,12 +119,23 @@ def compile_filter(node: FilterNode, negate: bool = False) -> Column:
     if op == "startswith":
         c = _LEAF[op](node[1], node[2])
         return ~c if negate else c
+    if op == "contains":
+        c = F.col(node[1]).contains(node[2])
+        return ~c if negate else c
+    if op == "endswith":
+        c = F.col(node[1]).endswith(node[2])
+        return ~c if negate else c
     if op in _LEAF:
         eff = _NEG_LEAF[op] if negate else op
         return _LEAF[eff](node[1], node[2])
     raise ValueError(f"unsupported filter node {op!r}")
 
 
+# the store's push capability is a strict SUBSET of what Spark can
+# evaluate: contains/endswith compile to Catalyst predicates but the
+# KV filter tree cannot push them (the OTS tree has StartsWith only —
+# TableStoreFilter.scala:33-121), so they come back as residuals that
+# scan() applies post-scan.
 _SUPPORTED = {"and", "or", "not", "in", "isnull", "isnotnull", "startswith", *_LEAF}
 
 
@@ -173,8 +184,20 @@ class KVTable:
         same split as TableStoreRelation.scala:110-144 + :364-438."""
         df = self.load(spark)
         pushable, residual = split_supported(filters or [])
-        for f in pushable + residual:
+        for f in pushable:
             df = df.where(compile_filter(f))
+        for f in residual:
+            # a residual node is one the KV store can't push but Spark
+            # can still evaluate; one compile_filter can't express at
+            # all is a caller error — surface it as such instead of
+            # the bare ValueError mid-scan
+            try:
+                df = df.where(compile_filter(f))
+            except ValueError as exc:
+                raise ValueError(
+                    f"filter {f!r} is neither pushable nor evaluable "
+                    f"post-scan: {exc}"
+                ) from exc
         if required_columns:
             df = df.select(*required_columns)
         return df

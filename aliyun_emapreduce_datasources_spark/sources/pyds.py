@@ -304,19 +304,40 @@ class LogShardStreamReader(DataSourceStreamReader):
         # start-from-earliest: every current shard at row 0
         return {s: 0 for s in _list_shards(self.path)}
 
+    # RESTART SAFETY. Spark calls latestOffset() with no start
+    # argument, and on a fresh start it runs BEFORE initialOffset
+    # (traced against pyspark 4.1's python_streaming_source_runner) —
+    # so an empty tracker cannot distinguish fresh start from
+    # checkpoint restart. Clamping against a zero baseline on restart
+    # would return an end offset BEHIND the checkpointed start and
+    # re-emit committed rows. Protocol instead:
+    #   * first latestOffset (tracker unset) returns EARLIEST (all
+    #     zeros): safe in both cases — one empty trigger, no jump past
+    #     data, no regression beyond what the engine already planned;
+    #   * partitions() maintains `_floor`, the per-shard max of every
+    #     engine-planned start/end: replayed or regressed starts are
+    #     clipped to it (rows below the floor were already emitted by
+    #     THIS process), and the rate cursor `_last` is re-seeded from
+    #     it so post-restart triggers resume throttling from the true
+    #     position instead of crawling up from zero.
+    # Residual window: if the driver crashes again before the WAL
+    # catches back up, rows in the gap can be re-emitted — pair with
+    # the idempotent keyed sinks (streaming/sinks.py) as the reference
+    # pairs LoghubSource with idempotent-by-batchId addBatch.
+
     def latestOffset(self) -> dict:  # noqa: N802
-        # NOTE: Spark calls latestOffset() without the start offset in
-        # this API, so the rate limit clamps against the *committed*
-        # position we last returned; we track it on the reader (driver
-        # process — same place the reference keeps shard cursors).
         latest = {
             s: _shard_rows(os.path.join(self.path, s))
             for s in _list_shards(self.path)
         }
+        prev = getattr(self, "_last", None)
+        if prev is None:
+            earliest = {s: 0 for s in latest}
+            self._last = earliest
+            return earliest
         if self.max_per_trigger <= 0:
             self._last = latest
             return latest
-        prev = getattr(self, "_last", None) or {s: 0 for s in latest}
         budget = self.max_per_trigger
         clamped: dict[str, int] = {}
         for s in sorted(latest):
@@ -328,14 +349,38 @@ class LogShardStreamReader(DataSourceStreamReader):
         return clamped
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # a re-plan of the SAME batch (foreachBatch running several
+        # actions re-executes the scan) must see the floor as it was
+        # when the batch was first planned, not the floor that batch
+        # itself raised — otherwise the second action reads empty
+        key = (json.dumps(start, sort_keys=True), json.dumps(end, sort_keys=True))
+        if getattr(self, "_plan_key", None) == key:
+            floor = self._plan_floor
+        else:
+            floor = getattr(self, "_floor", {})
+            self._plan_key, self._plan_floor = key, floor
         sj = self.schema.json()
         out = []
         for s, e in end.items():
-            b = start.get(s, 0)  # new shard discovered -> from 0
+            # new shard discovered -> from 0; starts below the floor
+            # were already emitted by this process (engine replay of a
+            # transiently-regressed offset) and are clipped
+            b = max(start.get(s, 0), floor.get(s, 0))
             if e > b:
                 out.append(
                     _ShardSlice(os.path.join(self.path, s), b, e, sj)
                 )
+        # floor absorbs this batch; the rate cursor catches up to it so
+        # the next clamp resumes from the true position
+        self._floor = {
+            s: max(floor.get(s, 0), start.get(s, 0), end.get(s, 0))
+            for s in set(floor) | set(start) | set(end)
+        }
+        prev = getattr(self, "_last", None) or {}
+        self._last = {
+            s: max(prev.get(s, 0), self._floor.get(s, 0))
+            for s in set(prev) | set(self._floor)
+        }
         return out
 
     def read(self, split: _ShardSlice) -> Iterator[tuple]:

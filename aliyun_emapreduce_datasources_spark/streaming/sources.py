@@ -146,7 +146,15 @@ def replay_to_json_dir(
     os.makedirs(out_dir, exist_ok=True)
     rows = df.toJSON().collect()
     if order_col is not None:
-        rows = sorted(rows, key=lambda r: json.loads(r).get(order_col) or "")
+        # (is-null, stringified value) key: `or ""` would coerce falsy
+        # numerics (0, 0.0) to "" — a TypeError against int keys and a
+        # silent misorder even for strings; str() keeps one comparable
+        # type with nulls sorted first
+        def _key(r: str):
+            v = json.loads(r).get(order_col)
+            return (v is None, "" if v is None else str(v))
+
+        rows = sorted(rows, key=_key)
     chunk = max(1, (len(rows) + n_chunks - 1) // n_chunks)
     by_chunk: dict[int, list[str]] = {}
     for pos, r in enumerate(rows):

@@ -273,3 +273,63 @@ def test_emrkv_stream_write_exactly_once(spark, tmp_path):
     got2 = spark.read.parquet(d_out + "/*.parquet")
     assert got2.count() == 30  # no duplicates across restart
     assert {r.k for r in got2.collect()} == set(range(30))
+
+
+def test_emrlog_rate_limited_restart_no_duplicates(spark, tmp_path):
+    """Checkpoint restart under maxOffsetsPerTrigger: the reader's
+    in-memory rate cursor dies with the driver, and Spark calls
+    latestOffset before initialOffset, so a naive clamp-from-zero
+    would hand back offsets BEHIND the checkpointed start and replay
+    committed rows. The restart protocol (earliest-on-first-call +
+    planned-floor clipping) must deliver exactly the new rows."""
+    d = str(tmp_path / "shards")
+    os.makedirs(d)
+    cp = str(tmp_path / "ckpt")
+    _write_shard(d, 0, 60)
+
+    out = str(tmp_path / "acc")
+
+    def start():
+        def on_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            spark.readStream.format("emrlog")
+            .option("path", d)
+            .option("schema", "k bigint, v string")
+            .option("maxOffsetsPerTrigger", "25")
+            .load()
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def wait_parquet(want, timeout=30.0):
+        deadline = time.time() + timeout
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= want:
+                break
+            time.sleep(0.3)
+        return n
+
+    q = start()
+    try:
+        assert wait_parquet(60) == 60
+    finally:
+        q.stop()
+
+    _write_shard(d, 0, 30, start=60)  # arrives while the query is down
+    q = start()
+    try:
+        assert wait_parquet(90) == 90
+        q.processAllAvailable()  # let any erroneous replay surface
+    finally:
+        q.stop()
+    ks = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert ks == list(range(90)), (len(ks), ks[:10], ks[-10:])
