@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import md5_bucket, t
 
 __all__ = ["cms_estimate_topk", "QUERIES", "ORACLES"]
 
@@ -46,12 +46,8 @@ TOP_K = 20
 
 
 def _bucket(row_i: int, col: F.Column) -> F.Column:
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"r{row_i}|"), col)), 1, 8), 16, 10
-        ).cast("long")
-        % W_BUCKETS
-    )
+    # the engine's one portable coin, salted per sketch row
+    return md5_bucket(F.concat(F.lit(f"r{row_i}|"), col), W_BUCKETS)
 
 
 def cms_estimate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

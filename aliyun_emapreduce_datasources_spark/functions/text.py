@@ -101,17 +101,24 @@ FROM documents
 
 # --- quality score -----------------------------------------------------
 
+def _quality_expr(tok: Column) -> Column:
+    """The ONE quality arithmetic tree (length component, lexical
+    diversity, stopword presence) — shared by quality_score and the
+    stratified filter so the two can never drift apart; the DuckDB
+    oracles mirror it term for term (IEEE-identical)."""
+    n = F.size(tok).cast("double")
+    length_c = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    divers_c = F.size(F.array_distinct(tok)).cast("double") / n
+    stop_c = F.least(_stopword_count(tok).cast("double") / n * F.lit(10.0), F.lit(1.0))
+    return length_c * F.lit(0.4) + divers_c * F.lit(0.3) + stop_c * F.lit(0.3)
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score in [0,1]: length component, lexical
     diversity, stopword presence — the standard pretraining-corpus
     filter shape. Same arithmetic tree as the oracle for IEEE equality."""
     docs = t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    n = F.size(tok).cast("double")
-    length_c = F.least(n, F.lit(100.0)) / F.lit(100.0)
-    divers_c = F.size(F.array_distinct(tok)).cast("double") / n
-    stop_c = F.least(_stopword_count(tok).cast("double") / n * F.lit(10.0), F.lit(1.0))
-    score = length_c * F.lit(0.4) + divers_c * F.lit(0.3) + stop_c * F.lit(0.3)
+    score = _quality_expr(tokens("text"))
     return docs.select("doc_id", score.alias("quality"), (score >= 0.5).alias("keep"))
 
 
@@ -492,12 +499,7 @@ def quality_stratified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. The float score is the same IEEE arithmetic tree as
     ``quality_score`` (oracle-identical), with doc_id tie-breaks."""
     docs = t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    n = F.size(tok).cast("double")
-    length_c = F.least(n, F.lit(100.0)) / F.lit(100.0)
-    divers_c = F.size(F.array_distinct(tok)).cast("double") / n
-    stop_c = F.least(_stopword_count(tok).cast("double") / n * F.lit(10.0), F.lit(1.0))
-    score = length_c * F.lit(0.4) + divers_c * F.lit(0.3) + stop_c * F.lit(0.3)
+    score = _quality_expr(tokens("text"))
     w = Window.partitionBy("lang")
     ranked = docs.select(
         "doc_id", "lang", score.alias("quality")

@@ -101,26 +101,33 @@ def decode_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
     for blob columns.
     """
 
+    def decode_chunk(chunk: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": [], "mean_luma": [], "std_luma": [], "n_pixels": []}
+        for _, row in chunk.iterrows():
+            img = _decode_image_stub(
+                row["payload"], row["meta"]["width"], row["meta"]["height"]
+            )
+            out["media_id"].append(row["media_id"])
+            out["mean_luma"].append(float(img.mean()))
+            out["std_luma"].append(float(img.std()))
+            out["n_pixels"].append(int(img.size))
+        return pd.DataFrame(out)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            start = 0
             sizes = pdf["payload"].map(len).to_numpy()
-            cum = 0
+            start, cum = 0, 0
             for i in range(len(pdf)):
+                # cut BEFORE the row that would cross the cap (unless
+                # it's alone — a single blob larger than the cap must
+                # still decode): including the crossing row could hold
+                # up to cap + one full blob, defeating the OOM guard
+                if cum + int(sizes[i]) > batch_bytes and start < i:
+                    yield decode_chunk(pdf.iloc[start:i])
+                    start, cum = i, 0
                 cum += int(sizes[i])
-                if cum >= batch_bytes or i == len(pdf) - 1:
-                    chunk = pdf.iloc[start : i + 1]
-                    out = {"media_id": [], "mean_luma": [], "std_luma": [], "n_pixels": []}
-                    for _, row in chunk.iterrows():
-                        img = _decode_image_stub(
-                            row["payload"], row["meta"]["width"], row["meta"]["height"]
-                        )
-                        out["media_id"].append(row["media_id"])
-                        out["mean_luma"].append(float(img.mean()))
-                        out["std_luma"].append(float(img.std()))
-                        out["n_pixels"].append(int(img.size))
-                    yield pd.DataFrame(out)
-                    start, cum = i + 1, 0
+            if start < len(pdf):
+                yield decode_chunk(pdf.iloc[start:])
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
 

@@ -124,10 +124,16 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of streaming/windows.py's session windows."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared at MICROSECOND precision on both engines: a cast to
+    # long floors to whole seconds while DuckDB's epoch() keeps the
+    # fraction, so a true gap of 1800.005s would flip the boundary
+    # between engines (latent with current seeds, wrong on any data
+    # with sub-second timestamps near the gap)
+    us = F.unix_micros("ts")
     flagged = ev.withColumn(
         "new_sess",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > SESSION_GAP_MIN * 60,
+            us - F.lag(us).over(w) > SESSION_GAP_MIN * 60 * 1_000_000,
             1,
         ).otherwise(0),
     )
@@ -141,8 +147,8 @@ ORACLE_SESSION = f"""
 SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > {SESSION_GAP_MIN * 60}
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )

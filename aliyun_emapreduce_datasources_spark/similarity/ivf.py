@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
 
 __all__ = ["train_centroids", "assign_clusters", "ann_ivf_topk", "QUERY"]
 
@@ -142,34 +143,8 @@ def ann_ivf_topk(
         .where(F.col("vec_id") != F.col("query_id"))
     )
 
-    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm = b_q.value
-        index = {int(q): i for i, q in enumerate(ids)}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            emb = _normalize(
-                np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
-            )
-            qidx = pdf["query_id"].map(index).to_numpy(dtype=np.int64)
-            sims = np.einsum("ij,ij->i", emb, qm[qidx])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sim": sims,
-                }
-            )
-
-    scored = joined.select("query_id", "vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
-    )
+    b_q = spark.sparkContext.broadcast((q_ids, _normalize(q_mat)))
+    return score_candidates(joined, b_q, k)
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,8 +10,12 @@ Standard multi-table construction (Indyk-Motwani / Charikar):
   an integer mix of (table, plane, dim) — no driver-side RNG state. The
   corpus side computes all L signatures with ONE matmul per Arrow batch
   (mapInPandas); the expression-tree form (`hyperplane_signature`) is
-  kept for SQL composability and produces identical signatures (both
-  sides are exact sign tests on the same float64 dot products).
+  kept for SQL composability. The two paths sign-test the same float64
+  dot products but sum them in different orders (sequential fold vs
+  BLAS blocked accumulation), so a dot within ~1 ulp of zero can
+  bucket differently — near-identical, not bit-identical; irrelevant
+  to recall (such vectors sit ON a hyperplane) but don't mix the two
+  paths for one index and expect byte-equal signatures.
 - Search explodes each query into its L probe keys (and the B·L
   one-bit-flip neighbors), joins corpus on (table, bucket), then ranks
   the union of candidates exactly (vectorized cosine). Shuffle volume
@@ -35,6 +39,7 @@ from pyspark.sql import types as T
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
 
 __all__ = ["hyperplane_signature", "signature_tables", "ann_lsh_topk", "QUERY"]
 
@@ -151,18 +156,23 @@ def ann_lsh_topk(
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors per query via multi-table
     signature-bucket join.
 
     corpus: (vec_id, embedding); queries: (query_id, q_embedding) —
     small by contract (collected for probe-key generation + scoring).
+    ``dim`` defaults to the query vectors' width (a hard-coded width
+    would crash any non-64-dim corpus at the matmul).
     """
     spark = corpus.sparkSession
     qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.q_embedding for r in qrows], dtype=np.float64)
-    P = _plane_matrix(n_planes, n_tables, DIM)
+    if dim is None:
+        dim = q_mat.shape[1]
+    P = _plane_matrix(n_planes, n_tables, dim)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     bits = (q_mat @ P) > 0
     sigs = (bits.reshape(len(q_ids), n_tables, n_planes) * weights).sum(axis=2)
@@ -175,7 +185,7 @@ def ann_lsh_topk(
             probe_rows.extend((int(qid), tbl, s) for s in probes)
     probe_df = spark.createDataFrame(probe_rows, "query_id long, tbl int, sig long")
 
-    c = _corpus_signatures(corpus, n_planes, n_tables, DIM)
+    c = _corpus_signatures(corpus, n_planes, n_tables, dim)
     joined = (
         c.join(F.broadcast(probe_df), ["tbl", "sig"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -183,33 +193,7 @@ def ann_lsh_topk(
     )
 
     b_q = spark.sparkContext.broadcast((q_ids, _normalize(q_mat)))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm = b_q.value
-        index = {int(q): i for i, q in enumerate(ids)}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            emb = _normalize(
-                np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
-            )
-            qidx = pdf["query_id"].map(index).to_numpy(dtype=np.int64)
-            sims = np.einsum("ij,ij->i", emb, qm[qidx])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sim": sims,
-                }
-            )
-
-    scored = joined.select("query_id", "vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return score_candidates(joined, b_q, k)
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:

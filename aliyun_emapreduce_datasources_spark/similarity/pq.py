@@ -184,15 +184,23 @@ def pq_topk(
     )
 
     def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized: stack the batch into one matrix and do a single
+        # row-wise einsum against the per-row query vectors — the
+        # per-row Python loop form is interpreter-bound, not BLAS-bound
         qmap = b_exact.value
+        qids_sorted = sorted(qmap)
+        qindex = {q: i for i, q in enumerate(qids_sorted)}
+        qm = np.vstack([qmap[q] for q in qids_sorted])
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         for pdf in batches:
             if pdf.empty:
                 continue
-            sims = np.empty(len(pdf))
-            for i, (qid, emb) in enumerate(zip(pdf["query_id"], pdf["embedding"])):
-                q = qmap[int(qid)]
-                v = np.asarray(emb, dtype=np.float64)
-                sims[i] = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+            emb = np.vstack(
+                pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            qidx = pdf["query_id"].map(qindex).to_numpy(dtype=np.int64)
+            sims = np.einsum("ij,ij->i", emb, qm[qidx])
             out = pdf[["query_id", "neighbor_id"]].copy()
             out["adc"] = sims
             yield out

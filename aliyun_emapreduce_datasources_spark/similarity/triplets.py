@@ -16,7 +16,9 @@ oracle (the same portability argument as the md5 sampling coins):
   label, never the anchor's own label.
 
 Labels with a single member emit no triplet (a positive would equal
-the anchor) — mirrored in the oracle.
+the anchor), and a corpus with a single DISTINCT label emits none at
+all (the "next label" would be the anchor's own, making the anchor
+its own negative) — both mirrored in the oracle.
 
 Scale shape: two window passes over (label, vec_id) ordering — one
 shuffle on label — plus one join keyed by (label_rank, row_number) on
@@ -53,6 +55,10 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (
         anchors.join(F.broadcast(labels), "label")
         .crossJoin(F.broadcast(n_labels))
+        # with one distinct label the "next label" cycles back to the
+        # anchor's own and the negative degenerates to the anchor —
+        # emit nothing instead of useless triplets
+        .where(F.col("n_labels") >= 2)
         .withColumn("neg_lrank", F.col("lrank") % F.col("n_labels") + 1)
     )
     negatives = (
@@ -100,7 +106,7 @@ WITH e AS (
   SELECT e.vec_id, e.label, e.rn, COALESCE(e.nxt, e.fst) AS pos_id,
          s.lrank % nl.n_labels + 1 AS neg_lrank
   FROM e JOIN sizes s USING (label) CROSS JOIN nl
-  WHERE COALESCE(e.nxt, e.fst) != e.vec_id
+  WHERE COALESCE(e.nxt, e.fst) != e.vec_id AND nl.n_labels >= 2
 ), negatives AS (
   SELECT s.lrank AS neg_lrank, e.rn AS neg_rn, e.vec_id AS neg_id
   FROM e JOIN sizes s USING (label)

@@ -71,10 +71,15 @@ class SchemaRegistry:
                 json.dump(self._subjects, fh)
 
     def register(self, subject: str, avro_json: str) -> int:
-        """Idempotent append; returns the 1-based version."""
+        """Idempotent append; returns the 1-based version. A schema
+        already registered under the subject — at ANY version, not
+        just the latest — returns its existing version id (the
+        Confluent contract); otherwise a producer alternating two
+        schemas would grow the subject unboundedly."""
         versions = self._subjects.setdefault(subject, [])
-        if versions and versions[-1] == avro_json:
-            return len(versions)
+        for i, v in enumerate(versions):
+            if v == avro_json:
+                return i + 1
         versions.append(avro_json)
         self._flush()
         return len(versions)
