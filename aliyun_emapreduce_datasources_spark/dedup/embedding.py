@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.functions.vector import cosine
 from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.lsh import hyperplane_signature
 
 __all__ = [
@@ -66,7 +67,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this collect happens per LSH bucket, never on the full table.
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _normalize(mat)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -74,7 +75,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
             q = np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            q = _normalize(q)
             sims = q @ all_mat.T
             qa = pdf["vec_id"].to_numpy(dtype=np.int64)
             rows_i, cols_j = np.nonzero(sims >= COS_THRESHOLD)
@@ -120,8 +121,8 @@ def embedding_neardup_blocked(
         ids_b = pb["vec_id"].to_numpy(dtype=np.int64)
         ma = np.vstack(pa["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
         mb = np.vstack(pb["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
-        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        ma = _normalize(ma)
+        mb = _normalize(mb)
         sims = ma @ mb.T
         i, j = np.nonzero(sims >= COS_THRESHOLD)
         a, b = ids_a[i], ids_b[j]

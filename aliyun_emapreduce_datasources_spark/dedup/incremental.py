@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
@@ -89,10 +90,6 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY = incremental_dedup
 
-_O_SH = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
-)
 
 ORACLE = f"""
 WITH sh AS (

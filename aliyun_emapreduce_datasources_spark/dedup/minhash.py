@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = ["minhash_signature", "lsh_candidate_pairs", "minhash_dedup_pairs", "QUERY"]
 
@@ -92,7 +92,6 @@ def _with_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, sh, bands) in one Arrow-batched map pass."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,7 +105,7 @@ def _with_signatures(
                 out["bands"].append(bands.tolist())
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).repartition(n_parts).mapInPandas(run, SIG_SCHEMA)
+    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(run, SIG_SCHEMA)
 
 
 def minhash_signature(sh: Column, n_perm: int = N_PERM) -> Column:

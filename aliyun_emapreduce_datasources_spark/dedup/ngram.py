@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = ["ngram_jaccard_pairs", "QUERY", "ORACLE"]
 
@@ -37,8 +38,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b) with shingle-Jaccard >= 0.5,
     blocked by (source, n_chars // 64)."""
     docs = t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    base = docs.repartition(n_parts).select(
+    base = ensure_parallelism(docs).select(
         "doc_id",
         "source",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
@@ -51,7 +51,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket",
         F.size("sh").alias("n_sh"),
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
-    ).persist()  # both self-join sides read the postings once
+    ).persist()  # both self-join sides read the postings once; the
+    # cache lives until the session evicts/clears it (the bench and
+    # the driver gate clear between entries) — it cannot be
+    # unpersisted here because the returned plan is lazy
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -78,10 +81,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY = ngram_jaccard_pairs
 
-_O_SH = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))"
-)
 
 ORACLE = f"""
 WITH base AS (

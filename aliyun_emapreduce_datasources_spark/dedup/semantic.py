@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.ivf import (
     assign_clusters,
     train_centroids,
@@ -69,7 +70,7 @@ def semantic_prune(clustered: DataFrame, cluster_col: str, tau: float = TAU) -> 
         mat = np.vstack(
             pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
         )
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _normalize(mat)
         sims = mat @ mat.T
         # pruned[j] iff any i<j with sims[i,j] >= tau — vectorized
         # strict-upper-triangle test, no Python loop over pairs

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = ["simhash64", "simhash_candidates", "QUERY"]
 
@@ -65,7 +65,6 @@ def _fingerprint(text: str) -> int:
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long) per document, one map-side pass."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,7 +75,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                 }
             )
 
-    return docs.select(id_col, text_col).repartition(n_parts).mapInPandas(run, FP_SCHEMA)
+    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(run, FP_SCHEMA)
 
 
 def _hamming(a: F.Column, b: F.Column) -> F.Column:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = ["winnow_fingerprints", "winnow_dedup_pairs", "QUERY"]
 
@@ -61,7 +61,6 @@ def winnow_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, fp) postings — one row per distinct window-min hash."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,7 +74,7 @@ def winnow_fingerprints(
                     {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
                 )
 
-    return docs.select(id_col, text_col).repartition(n_parts).mapInPandas(run, FP_SCHEMA)
+    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(run, FP_SCHEMA)
 
 
 def winnow_dedup_pairs(

@@ -59,6 +59,11 @@ def load_lr_model(spark, model_path: str) -> tuple[list[float], float]:
     (the ParquetFormatModelLoader shape: Spark-ML LR models persist
     coefficients+intercept in a parquet data file)."""
     row = spark.read.parquet(model_path).head()
+    if row is None:
+        raise ValueError(
+            f"LR model at {model_path!r} is empty — expected one row "
+            "with (coefficients, intercept)"
+        )
     return list(row["coefficients"]), float(row["intercept"])
 
 
@@ -72,9 +77,17 @@ def make_lr_scorer(coefficients: list[float], intercept: float):
 
     @pandas_udf(T.DoubleType())
     def score(features: pd.Series) -> pd.Series:
-        mat = np.vstack(features.map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
-        z = mat @ coef + intercept
-        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+        # null feature arrays score as NaN instead of crashing the
+        # whole task inside np.vstack with an opaque error
+        mask = features.notna()
+        out = np.full(len(features), np.nan)
+        if mask.any():
+            mat = np.vstack(
+                features[mask].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
+            )
+            z = mat @ coef + intercept
+            out[mask.to_numpy()] = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(out)
 
     return score
 

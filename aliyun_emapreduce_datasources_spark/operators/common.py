@@ -27,9 +27,22 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE"]
 
 DEC = "decimal(18,6)"
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has slots — the local testdata is a single parquet file
+    (one split), which would serialize expression/mapInPandas work
+    onto one core. A production table has thousands of file splits, so
+    this is a no-op there and the unconditional-repartition full-text
+    shuffle the docstrings warn about never happens at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def md5_bucket(col, modulus: int):
@@ -104,3 +117,15 @@ def o_dsum(expr: str, alias: str) -> str:
 
 def o_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+def revenue() -> Column:
+    """lineitem revenue ``price * (1 - discount)`` in exact decimal —
+    the determinism-critical core expression of the TPC-H family,
+    defined once (tpch.py and tpch_extra.py both consume it; a
+    precision change in one inlined copy would silently skew the
+    other module's 18 queries). O_REVENUE is its DuckDB twin."""
+    return m("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - m("l_discount"))
+
+
+O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"

@@ -41,11 +41,16 @@ def salted_agg(
     key: str,
     sum_col: str,
     n_salt: int = N_SALT,
-    salt_source: list[str] | None = None,
+    *,
+    salt_source: list[str],
 ) -> DataFrame:
     """(key, cnt, total): two-phase decimal-exact sum/count spread over
-    n_salt partial groups per key."""
-    salted = df.withColumn("_salt", _salt(salt_source or [sum_col], n_salt))
+    n_salt partial groups per key. ``salt_source`` must name columns
+    that VARY within a key (row ids, line numbers): an earlier default
+    salted by the measure column, so a hot key with a constant measure
+    (exactly the null-ish-default scenario above) still collapsed onto
+    one reducer — silently paying the extra stage for nothing."""
+    salted = df.withColumn("_salt", _salt(salt_source, n_salt))
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_cnt"), F.sum(m(sum_col)).alias("_sum")
     )
@@ -61,11 +66,15 @@ def salted_join(
     big_key: str,
     small_key: str,
     n_salt: int = N_SALT,
-    salt_source: list[str] | None = None,
+    *,
+    salt_source: list[str],
 ) -> DataFrame:
     """Inner equi-join with the big side salted and the small side
-    replicated n_salt times; output = exactly the unsalted join."""
-    bs = big.withColumn("_salt", _salt(salt_source or [big_key], n_salt))
+    replicated n_salt times; output = exactly the unsalted join.
+    ``salt_source`` must vary within a join key (an earlier default of
+    the join key itself gave every hot-key row the same salt — no
+    spread at all)."""
+    bs = big.withColumn("_salt", _salt(salt_source, n_salt))
     ss = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     return bs.join(
         ss,

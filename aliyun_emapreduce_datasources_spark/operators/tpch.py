@@ -16,17 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import davg, dsum, m, o_davg, o_dsum, o_m, t
+from aliyun_emapreduce_datasources_spark.operators.common import O_REVENUE, davg, dsum, m, o_davg, o_dsum, o_m, revenue, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
 
-def _revenue() -> F.Column:
-    """price * (1 - discount), exact decimal (scale 12)."""
-    return m("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - m("l_discount"))
-
-
-O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"
+# _revenue / O_REVENUE live in operators/common.py (one definition
+# for both TPC-H modules)
+_revenue = revenue
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

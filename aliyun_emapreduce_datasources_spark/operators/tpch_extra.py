@@ -24,10 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators.common import (
+    O_REVENUE,
     davg,
     dsum,
     m,
     o_davg,
+    revenue,
     o_dsum,
     o_m,
     t,
@@ -36,11 +38,7 @@ from aliyun_emapreduce_datasources_spark.operators.common import (
 __all__ = ["QUERIES", "ORACLES"]
 
 
-def _revenue() -> F.Column:
-    return m("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - m("l_discount"))
-
-
-O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"
+_revenue = revenue  # shared definition in operators/common.py
 
 
 # --- Q4 shape: EXISTS -> left_semi join --------------------------------

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
 
 __all__ = ["topk_cosine", "QUERY", "ORACLE"]
@@ -40,11 +41,6 @@ CAND_SCHEMA = T.StructType(
     ]
 )
 
-
-def _normalize(mat: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return mat / norms
 
 
 def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = K) -> DataFrame:

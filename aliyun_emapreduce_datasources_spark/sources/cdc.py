@@ -47,17 +47,32 @@ def apply_cdc(
     keys: list[str],
     op_col: str = "__ots_record_type__",
     seq_col: str = "__ots_record_timestamp__",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Apply a CDC batch to a snapshot; returns the new table state.
 
     changes carries the snapshot's columns + op_col + seq_col. The
-    latest change per key (max seq) wins. Result:
+    latest change per key (max seq) wins; equal sequence values (two
+    ops in the same timestamp tick) tie-break on ``tiebreak_col`` if
+    given, else DELETE-last — without a total order the winner would
+    follow shuffle order and a replay could produce a different table
+    state. Result:
       key only in snapshot            -> snapshot row
       latest change DELETE            -> row dropped
       latest change PUT/UPDATE        -> change row (upsert)
     """
     data_cols = [c for c in snapshot.columns]
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    order = [F.col(seq_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    # deterministic final tiebreaks: at equal seq (and tiebreak), a
+    # DELETE is considered the later op — tombstone wins, matching the
+    # reference's delete-dominates merge (KuduOperator upsert/delete) —
+    # and same-op ties order on a payload hash so the winner is a
+    # total function of the data, never of shuffle order
+    order.append((F.col(op_col) == F.lit(DELETE)).desc())
+    order.append(F.xxhash64(*[F.col(c) for c in data_cols]).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -44,13 +44,12 @@ def interval_join(
     """
     lw = left.withWatermark(left_time, left_delay) if left.isStreaming else left
     rw = right.withWatermark(right_time, right_delay) if right.isStreaming else right
-    cond = None
-    for lk, rk in equi_keys:
-        c = lw[lk] == rw[rk]
-        cond = c if cond is None else cond & c
-    cond = (
-        cond
-        & (rw[right_time] >= lw[left_time])
-        & (rw[right_time] <= lw[left_time] + F.expr(f"interval {interval}"))
+    # start from the time predicate so an empty equi_keys list yields a
+    # pure interval join (None & col would build a NULL condition that
+    # silently matches nothing)
+    cond = (rw[right_time] >= lw[left_time]) & (
+        rw[right_time] <= lw[left_time] + F.expr(f"interval {interval}")
     )
+    for lk, rk in equi_keys:
+        cond = cond & (lw[lk] == rw[rk])
     return lw.join(rw, cond, how)
