@@ -42,13 +42,14 @@ __all__ = ["connected_components", "dedup_cluster_resolve", "QUERY", "ORACLE"]
 MAX_ROUNDS = 25  # diameter bound; near-dup graphs converge in ~3
 
 # Below this many edges the component closure is solved driver-side
-# with union-find instead of the iterative join loop: the edge list is
-# bounded (1M edges ≈ 16 MB on the driver — the same budget as a
-# broadcast join side), and a dozen Spark jobs over a sub-second
-# problem cost more than the problem. Above it, the distributed
-# min-label loop runs; the threshold is the standard small-graph
-# escape hatch, not the scale path.
-SMALL_GRAPH_EDGES = 1_000_000
+# with union-find instead of the iterative join loop. The budget is
+# sized for what collect() ACTUALLY costs — PySpark Row objects run
+# ~300-500 bytes each, so 250k edges ≈ 100 MB of driver heap (NOT the
+# 16 bytes/edge a C array would take); a dozen Spark jobs over a
+# sub-second problem still cost more than that. Above it, the
+# distributed min-label loop runs; the threshold is the standard
+# small-graph escape hatch, not the scale path.
+SMALL_GRAPH_EDGES = 250_000
 
 
 def _unionfind_components(
@@ -131,6 +132,7 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum = None
+    converged = False
     for _ in range(MAX_ROUNDS):
         # neighbor minimum, then elementwise min with own label
         neigh = (
@@ -152,8 +154,19 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # silently returning unconverged labels would split one
+        # component into several "clusters" with multiple is_kept
+        # representatives — duplicates would survive dedup with no
+        # signal (and the recursive-CTE oracle would fail obscurely)
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_ROUNDS} rounds "
+            "(graph diameter exceeds the bound); raise MAX_ROUNDS or "
+            "use the large-star/small-star variant for chain-heavy graphs"
+        )
     # the final labels are materialized (every round's localCheckpoint
     # is realized by its convergence agg), so the edge caches can be
     # dropped before returning without forcing a recompute

@@ -89,8 +89,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{q}'" for q in QUERY_TERMS)
 
-ORACLE_BM25 = f"""
-WITH base AS (
+# the scoring CTE chain, shared with hybrid.py's oracle (one
+# definition of the integer BM25 formulation — a change here, e.g.
+# widening S for sf10+, updates every consumer's oracle in lockstep)
+BM25_SCORED_CTES = f"""base AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term,
          len(string_split(text, ' ')) AS dl
   FROM documents
@@ -110,7 +112,10 @@ WITH base AS (
            * 22 * tf * av
            // (10 * tf * av + 3 * av + 9 * dl * n_docs) AS term_micro
   FROM postings JOIN df_tbl USING (term) CROSS JOIN stats
-)
+)"""
+
+ORACLE_BM25 = f"""
+WITH {BM25_SCORED_CTES}
 SELECT doc_id,
        CAST(SUM(term_micro) AS BIGINT) AS score_micro,
        CAST(COUNT(*) AS BIGINT) AS n_terms_hit

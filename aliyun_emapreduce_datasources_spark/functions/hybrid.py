@@ -36,8 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.bm25 import (
-    QUERY_TERMS,
-    S,
+    BM25_SCORED_CTES,
     bm25_scores,
 )
 from aliyun_emapreduce_datasources_spark.operators.common import t
@@ -129,30 +128,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(TOP_OUT)
 
 
-_TERMS_SQL = ", ".join(f"'{q}'" for q in QUERY_TERMS)
-
+# the BM25 scoring CTEs come verbatim from bm25.py — one definition of
+# the integer formulation, so the two oracles cannot drift
 ORACLE_HYBRID = f"""
-WITH base AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-         len(string_split(text, ' ')) AS dl
-  FROM documents
-), postings AS (
-  SELECT doc_id, term, dl, COUNT(*) AS tf
-  FROM base WHERE term IN ({_TERMS_SQL})
-  GROUP BY 1, 2, 3
-), stats AS (
-  SELECT COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS av
-  FROM documents
-), df_tbl AS (
-  SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
-), scored AS (
-  SELECT doc_id,
-         (({S} * (2 * n_docs - 2 * df + 1)) // (2 * df + 1))
-           * 22 * tf * av
-           // (10 * tf * av + 3 * av + 9 * dl * n_docs) AS term_micro
-  FROM postings JOIN df_tbl USING (term) CROSS JOIN stats
-), lex AS (
+WITH {BM25_SCORED_CTES}, lex AS (
   SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
   FROM scored GROUP BY doc_id
 ), lex_rank AS (

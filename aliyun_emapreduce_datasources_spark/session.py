@@ -9,7 +9,7 @@ Design notes (100 TB target, tested on local[32]):
   real cluster AQE's coalescing makes a high initial value cheap, so we
   leave it overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS.
 - Arrow enabled for the pandas-UDF paths (dedup, multimodal, scoring).
-- Broadcast threshold kept at default (10 MB) — dimension tables in the
+- Broadcast threshold raised to 32 MB — dimension tables in the
   corpus (date_dim, item, store, ...) are all far below it, so every
   stream-static star join plan broadcasts (SURVEY.md §2.2).
 """

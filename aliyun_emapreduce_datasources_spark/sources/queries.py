@@ -233,7 +233,7 @@ _O_COEF = "[" + ", ".join(str(c) for c in LR_COEF) + "]"
 
 ORACLE_LR = f"""
 SELECT CAST(label AS BIGINT) AS label,
-       CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], {_O_COEF}::DOUBLE[]) + 0.1 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], {_O_COEF}::DOUBLE[]) + {LR_INTERCEPT} >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        COUNT(*) AS cnt
 FROM embeddings GROUP BY 1
 """

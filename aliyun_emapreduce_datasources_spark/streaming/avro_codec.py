@@ -240,7 +240,13 @@ def encode_avro(df: DataFrame, avro_json: str) -> DataFrame:
         for pdf in batches:
             for c in ts_cols:
                 if pdf[c].dt.tz is None:
-                    pdf[c] = pdf[c].dt.tz_localize(session_tz)
+                    # DST transitions: the fall-back hour is genuinely
+                    # ambiguous in wall-clock form (pick the DST side
+                    # deterministically), spring-forward gaps shift
+                    # forward — pandas' default is to CRASH the task
+                    pdf[c] = pdf[c].dt.tz_localize(
+                        session_tz, ambiguous=True, nonexistent="shift_forward"
+                    )
             vals = []
             for row in pdf.itertuples(index=False):
                 buf = io.BytesIO()
@@ -286,6 +292,3 @@ def decode_avro(df: DataFrame, avro_json: str, value_col: str = "value") -> Data
     return df.select(value_col).mapInPandas(run, out_schema)
 
 
-def money(col: str, precision: int = 7, scale: int = 2) -> F.Column:
-    """Corpus money convention: decimal(7,2) (StoreSales.avsc)."""
-    return F.col(col).cast(T.DecimalType(precision, scale))
