@@ -104,6 +104,7 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
     "audit_snapshot_diff",
     "market_basket_lift",
     "events_attribution",
+    "events_resample_hourly",
     "rollup_grouping",
     "tumbling_window",
 )

@@ -359,8 +359,73 @@ ORDER BY purchase_id
 """
 
 
+RESAMPLE_USER_MOD = 100  # bound the demo to every 100th user
+
+
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling: per user, the event count for
+    EVERY hour between their first and last activity — including the
+    empty hours a plain groupBy silently drops. The standard
+    time-series densification before rate/anomaly models (a missing
+    hour and an unobserved hour are different signals).
+
+    Scale shape: one groupBy(user) for the activity span, then the
+    hour spine is generated IN-ROW (``sequence`` + explode — span-
+    bounded by the calendar, never by event count) and left-joined
+    back to the per-hour counts on (user, hour) — both sides already
+    reduced, so the join is aggregate-sized. No driver-side calendar,
+    no cross join against a global spine (which would be |users| ×
+    |all hours| instead of Σ per-user spans)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("user_id") % RESAMPLE_USER_MOD == 0
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    per_hour = ev.groupBy(
+        "user_id", hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return (
+        spine.join(per_hour, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h
+  FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0
+), per_hour AS (
+  SELECT user_id, h, COUNT(*) AS n_events FROM ev GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT s.user_id, s.h AS hour,
+       CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN per_hour p ON s.user_id = p.user_id AND s.h = p.h
+ORDER BY s.user_id, hour
+"""
+
+
 QUERIES = {
     "events_attribution": events_attribution,
+    "events_resample_hourly": events_resample_hourly,
     "events_funnel": events_funnel,
     "events_error_anomaly": events_error_anomaly,
     "events_rfm": events_rfm,
@@ -371,6 +436,7 @@ QUERIES = {
 
 ORACLES = {
     "events_attribution": ORACLE_ATTRIBUTION,
+    "events_resample_hourly": ORACLE_RESAMPLE,
     "events_funnel": ORACLE_FUNNEL,
     "events_error_anomaly": ORACLE_ERROR_ANOMALY,
     "events_rfm": ORACLE_RFM,
