@@ -126,6 +126,7 @@ def _load() -> None:
         chunking,
         corpus,
         events,
+        graph,
         pipeline,
         skew,
         tpch,
@@ -140,6 +141,7 @@ def _load() -> None:
     _merge(skew)
     _merge(pipeline)
     _merge(chunking)
+    _merge(graph)
     for modname in (
         "dedup.queries",
         "similarity.queries",

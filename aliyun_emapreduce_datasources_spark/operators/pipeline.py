@@ -844,3 +844,67 @@ QUERIES["pseudonymize_join"] = pseudonymize_join
 ORACLES["pseudonymize_join"] = ORACLE_PSEUDO
 QUERIES["batch_plan_length_bucketed"] = batch_plan_length_bucketed
 ORACLES["batch_plan_length_bucketed"] = ORACLE_BATCH_PLAN
+
+
+# --- Exact-k weighted sampling without replacement (A-ES) -------------
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement via the
+    Efraimidis–Spirakis A-ES scheme: every row draws a deterministic
+    uniform u from the portable md5 coin and is ranked by
+    ln(u)/w — the top-k ranks are a weighted sample where
+    P(selection) tracks w, and unlike ``mix_sample_weighted``'s
+    Bernoulli coin the output size is EXACTLY k. Weight here is the
+    document's length in characters (longer docs proportionally more
+    likely), the everyday "sample a fixed-token budget preferring
+    substantive pages" verb of a corpus build.
+
+    Scale shape: the ranking is a pure per-row projection (no shuffle)
+    and the global top-k is ``orderBy(...).limit(k)`` which Spark
+    plans as TakeOrderedAndProject — per-partition size-k heaps merged
+    on the driver, NOT a global sort. 100 TB in, k rows out, one pass.
+
+    Determinism note: the only float is ln(u)/w used for ORDERING; the
+    emitted columns are all integer/string, so cross-engine last-ulp
+    libm differences could only matter if two keys collided within
+    1 ulp — with distinct md5 inputs that never happens in practice
+    (and the parity test would catch it loudly).
+
+    Reference tie-in: plays the role of LoghubSource's rate-limited
+    admission (LoghubOffsetReader.scala:209) transplanted to corpus
+    construction — bounded take, deterministic under replay.
+    """
+    k = 120
+    docs = t(spark, sf_dir, "documents")
+    # u in (0, 1]: (h+1) / 2^32 over the 32-bit md5 window
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.ln(u) / F.col("n_chars").cast("double")
+    return (
+        docs.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RESERVOIR = """
+WITH keyed AS (
+  SELECT doc_id, source, lang, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+)
+SELECT * FROM (
+  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+  FROM keyed
+  ORDER BY es_key DESC, doc_id
+  LIMIT 120
+)
+ORDER BY doc_id
+"""
+
+
+QUERIES["sample_weighted_reservoir"] = sample_weighted_reservoir
+ORACLES["sample_weighted_reservoir"] = ORACLE_RESERVOIR
