@@ -1,0 +1,129 @@
+"""Distributed BPE tokenizer training (the merge loop), Spark-first.
+
+Byte-pair-encoding training (Sennrich et al. 2016, public) is THE
+canonical "train a tokenizer on the corpus" job of an LLM data
+pipeline. Its core loop — count adjacent symbol pairs over the
+word-frequency table, take the most frequent pair, merge it everywhere,
+repeat — maps onto Spark cleanly because the loop state is the WORD
+TABLE, not the corpus:
+
+- One corpus-sized aggregation up front (word → count). 100 TB of text
+  collapses to a vocabulary of maybe tens of millions of rows; every
+  iteration after that touches only this table.
+- Per merge step: adjacent pairs come from an in-row zip_with (no
+  per-character explode of state), one map-side-combined aggregation
+  weighted by word count, and `orderBy().limit(1)` for the winner —
+  TakeOrderedAndProject, a 1-row driver result (the same scalar-collect
+  shape as the convergence test in dedup/clusters.py).
+- The merge application is an Arrow-batched pandas UDF over the word
+  table's symbol arrays (greedy left-to-right non-overlapping, the
+  reference algorithm), then `localCheckpoint()` so K iterations don't
+  stack K plans of lineage.
+
+Determinism: counts are integers; the winning pair tie-breaks
+lexicographically — so the merge list is reproducible run-to-run and
+engine-independent. No SQL oracle (the loop re-segments state
+iteratively — not expressible in one SQL statement); correctness is a
+randomized differential against a pure-Python reference implementation
+in tests/test_bpe_train.py, the same pattern as the DSIR and
+incremental-dedup differentials.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.functions.text import tokens
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "bpe_train_merges", "train_merges", "merge_word"]
+
+N_MERGES = 8
+EOW = "</w>"
+
+
+def merge_word(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right non-overlapping merge of (left, right) in
+    one symbol sequence — the reference BPE apply step."""
+    out = []
+    i = 0
+    n = len(syms)
+    merged = left + right
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
+    """Run the BPE merge loop over a (w, cnt) word-frequency DataFrame.
+    Returns [(left, right, weighted_pair_count), ...] in merge order.
+    """
+    sym = words.select(
+        F.col("cnt").cast("long").alias("cnt"),
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = sym.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((left, right, n))
+
+        def _apply(pdf_iter, _l=left, _r=right):
+            for pdf in pdf_iter:
+                pdf["syms"] = pdf["syms"].map(lambda s: merge_word(list(s), _l, _r))
+                yield pdf
+
+        sym = sym.mapInPandas(_apply, schema="cnt long, syms array<string>").localCheckpoint()
+    return merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: N_MERGES BPE merges trained on the documents
+    table; output (rank, left, right, merged, pair_count) — the merge
+    table a tokenizer would ship. Rows-only (iterative; differential
+    vs a pure-Python reference in tests)."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = train_merges(words, N_MERGES)
+    rows = [
+        (i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank long, left string, right string, merged string, pair_count long"
+    ).orderBy("rank")
+
+
+QUERIES = {"bpe_train_merges": bpe_train_merges}
+ORACLES: dict[str, str] = {}

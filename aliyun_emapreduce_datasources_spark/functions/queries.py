@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from aliyun_emapreduce_datasources_spark.functions import (
     bm25,
+    bpe_train,
     hybrid,
     lm,
     sketch,
@@ -18,6 +19,7 @@ QUERIES = {
     **sketch.QUERIES,
     **bm25.QUERIES,
     **hybrid.QUERIES,
+    **bpe_train.QUERIES,
 }
 ORACLES = {
     **text.ORACLES,
@@ -26,4 +28,5 @@ ORACLES = {
     **sketch.ORACLES,
     **bm25.ORACLES,
     **hybrid.ORACLES,
+    **bpe_train.ORACLES,
 }

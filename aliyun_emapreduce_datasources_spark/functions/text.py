@@ -567,3 +567,107 @@ ORACLES = {
     "text_pii_redact": ORACLE_PII,
     "text_normalize": ORACLE_NORMALIZE,
 }
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (the RefinedWeb/CCNet
+    line-dedup verb adapted to token blocks): cut each document into
+    non-overlapping 2-token blocks, count in how many DISTINCT
+    documents each block occurs, call a block boilerplate when it
+    appears in more than BOILER_DOCS documents, and rebuild every
+    document without its boilerplate blocks (original block order
+    preserved). Emits per-doc accounting plus an md5 digest of the
+    scrubbed text so the oracle value-checks the reconstruction
+    without shipping full text through the comparator.
+
+    Scale shape: block extraction is an in-row expression
+    (sequence+slice transform — no per-token explode before the
+    grouping that needs it); the frequency table is one shuffle on
+    block text with map-side partials; the boilerplate set is by
+    construction SMALL (only blocks above a high document-frequency
+    bar survive) and is broadcast for a left-anti join — the corpus
+    never shuffles for membership. Rebuild groups by doc_id: one
+    shuffle of kept block rows. At 100 TB: two block-sized shuffles,
+    one broadcast, no driver collection.
+
+    Reference tie-in: "beyond the reference" text-pipeline family
+    (SURVEY §7.8); determinism via pure expressions ⇒ byte-exact
+    DuckDB twin.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    blocks = F.expr(
+        "transform(sequence(0, (size(split(text, ' ')) + 1) DIV 2 - 1), "
+        "i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' '))"
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.posexplode(blocks).alias("bpos", "btext"),
+    )
+    freq = exploded.groupBy("btext").agg(F.countDistinct("doc_id").alias("ndocs"))
+    boiler = freq.where(F.col("ndocs") > BOILER_DOCS).select("btext")
+    kept = exploded.join(F.broadcast(boiler), "btext", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bpos", "btext"))),
+                    lambda p: p.btext,
+                ),
+                " ",
+            )
+        ).alias("scrubbed_md5"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    n_blocks = F.expr("(size(split(text, ' ')) + 1) DIV 2").cast("long")
+    return (
+        docs.select("doc_id", n_blocks.alias("n_blocks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_blocks") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("scrubbed_md5"), F.md5(F.lit(""))).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILER_DOCS = 20
+
+ORACLE_BOILERPLATE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         (len(string_split(text, ' ')) + 1) // 2 AS n_blocks
+  FROM documents
+), blk AS (
+  SELECT doc_id, CAST(u.k AS BIGINT) AS bpos,
+         array_to_string(toks[u.k * 2 + 1 : u.k * 2 + 2], ' ') AS btext
+  FROM base, unnest(generate_series(0, n_blocks - 1)) AS u(k)
+), freq AS (
+  SELECT btext, COUNT(DISTINCT doc_id) AS ndocs FROM blk GROUP BY btext
+), boiler AS (
+  SELECT btext FROM freq WHERE ndocs > {BOILER_DOCS}
+), kept AS (
+  SELECT b.doc_id, b.bpos, b.btext
+  FROM blk b WHERE b.btext NOT IN (SELECT btext FROM boiler)
+), reb AS (
+  SELECT doc_id,
+         md5(string_agg(btext, ' ' ORDER BY bpos)) AS scrubbed_md5,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST((len(string_split(d.text, ' ')) + 1) // 2 AS BIGINT) AS n_blocks,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST((len(string_split(d.text, ' ')) + 1) // 2 - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.scrubbed_md5, md5('')) AS scrubbed_md5
+FROM documents d LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES["text_boilerplate_scrub"] = boilerplate_scrub
+ORACLES["text_boilerplate_scrub"] = ORACLE_BOILERPLATE
