@@ -697,3 +697,183 @@ ORACLES = {
     "olap_pivot": ORACLE_PIVOT,
     "distinct_users_exact": ORACLE_DISTINCT_USERS,
 }
+
+
+# --- Group-wise linear trend (closed-form OLS via aggregates) ---------
+
+def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment revenue trend: the OLS slope of order total
+    price over order date, computed CLOSED-FORM from four integer
+    sums — slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²). This is how you
+    fit millions of independent per-group regressions on a cluster:
+    one map-side-combined aggregate per group, no ML library, no
+    iteration, no driver involvement.
+
+    Determinism / overflow design: x = days since 1995-06-01 (centered
+    near the data so Σxy stays ≲ 2^62 — Spark sums in BIGINT with
+    silent wraparound while DuckDB widens to HUGEINT, so staying in
+    int64 range is what makes the engines agree), y = total price in
+    EXACT milli-units via the decimal cast. The single division is
+    last, truncating toward zero on both sides (Spark DIV semantics;
+    the oracle mirrors floor-division DuckDB with a sign CASE).
+
+    Scale: one shuffle on the group key; everything else folds into
+    partial aggregates. Adding r² or the intercept is two more sums of
+    the same shape.
+    """
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-06-01").cast("date")).cast("long").alias("x"),
+        (m("o_totalprice") * 1000).cast("long").alias("y"),
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr("(n * sxy - sx * sy) DIV (n * sxx - sx * sx)").cast("long").alias("slope_milli_per_day"),
+        F.expr("(sy - ((n * sxy - sx * sy) DIV (n * sxx - sx * sx)) * sx) DIV n").cast("long").alias("intercept_milli"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_TREND = """
+WITH pts AS (
+  SELECT c.c_mktsegment,
+         CAST(date_diff('day', DATE '1995-06-01', o.o_orderdate) AS BIGINT) AS x,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000 AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY c_mktsegment
+), d AS (
+  SELECT *,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM s
+), sl AS (
+  SELECT *,
+         CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS slope
+  FROM d
+)
+SELECT c_mktsegment,
+       n AS n_orders,
+       CAST(slope AS BIGINT) AS slope_milli_per_day,
+       CAST(CASE WHEN (sy - slope * sx) < 0
+                 THEN -((-(sy - slope * sx)) // n)
+                 ELSE (sy - slope * sx) // n END AS BIGINT) AS intercept_milli
+FROM sl
+ORDER BY c_mktsegment
+"""
+
+
+# --- Column profiling audit (Deequ-style expectations input) ----------
+
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table: per column row
+    count, null count, exact distinct count, and min/max rendered
+    engine-portably (dates/ints as ISO strings, money via the exact
+    decimal cast — raw double→string formatting differs between
+    engines). The everyday input to data-quality expectations (Deequ
+    profile → checks).
+
+    Scale: a single scan; the five distinct-counts share one Expand
+    (Catalyst's multi-distinct rewrite). At 100 TB you'd flip the
+    distinct columns to approx_count_distinct — the plan shape (one
+    scan, partial+final agg) is unchanged; the exact form here is what
+    makes the DuckDB oracle byte-exact.
+    """
+    o = t(spark, sf_dir, "orders")
+    # min/max aggregate on the NATIVE type (money via the exact
+    # decimal view), string-rendered only after aggregation —
+    # aggregating pre-cast strings would give lexicographic extremes
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": m("o_totalprice"),
+        "o_orderdate": F.col("o_orderdate"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in cols.items():
+        aggs += [
+            F.count(F.col(name)).alias(f"nn_{name}"),
+            F.countDistinct(expr).alias(f"nd_{name}"),
+            F.min(expr).cast("string").alias(f"mn_{name}"),
+            F.max(expr).cast("string").alias(f"mx_{name}"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}" for name in cols
+    )
+    return one.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"
+        ),
+    ).select(
+        "col_name",
+        "n_rows",
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    ).orderBy("col_name")
+
+
+ORACLE_PROFILE = """
+WITH rows_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name, rows_total.n_rows,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders, rows_total GROUP BY rows_total.n_rows
+  UNION ALL
+  SELECT 'o_custkey', rows_total.n_rows,
+         CAST(COUNT(o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR),
+         CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders, rows_total GROUP BY rows_total.n_rows
+  UNION ALL
+  SELECT 'o_orderstatus', rows_total.n_rows,
+         CAST(COUNT(o_orderstatus) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders, rows_total GROUP BY rows_total.n_rows
+  UNION ALL
+  SELECT 'o_totalprice', rows_total.n_rows,
+         CAST(COUNT(o_totalprice) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,6))) AS BIGINT),
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR),
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+  FROM orders, rows_total GROUP BY rows_total.n_rows
+  UNION ALL
+  SELECT 'o_orderdate', rows_total.n_rows,
+         CAST(COUNT(o_orderdate) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+         CAST(MIN(o_orderdate) AS VARCHAR),
+         CAST(MAX(o_orderdate) AS VARCHAR)
+  FROM orders, rows_total GROUP BY rows_total.n_rows
+)
+ORDER BY col_name
+"""
+
+
+QUERIES["trend_linear_fit"] = trend_linear_fit
+ORACLES["trend_linear_fit"] = ORACLE_TREND
+QUERIES["audit_column_profile"] = audit_column_profile
+ORACLES["audit_column_profile"] = ORACLE_PROFILE

@@ -308,3 +308,49 @@ def test_incremental_dedup_broadcasts_new_side(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     # the broadcast join must be the ONLY join (no shuffled postings join)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_reservoir_topk_is_take_ordered(spark, sf_dir):
+    # A-ES top-k must be TakeOrderedAndProject (per-partition heaps),
+    # not a global Sort+Limit, and the scan must not shuffle first
+    plan = plan_of(QUERIES["sample_weighted_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    pre = plan[: plan.index("TakeOrderedAndProject")]
+    assert "Exchange hashpartitioning" not in pre
+
+
+def test_pagerank_iteration_joins_are_hash_or_broadcast(spark, sf_dir):
+    # no nested-loop joins anywhere in the unrolled 3-iteration plan;
+    # edges come from the in-row basket expansion (Generate), not an
+    # |lineitem| x |lineitem| self-join
+    plan = plan_of(QUERIES["graph_pagerank"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # edges were materialized once via localCheckpoint: every
+    # iteration reads the checkpointed RDD, lineitem is NOT re-scanned
+    # per iteration
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_boilerplate_set_is_broadcast_anti_join(spark, sf_dir):
+    # membership against the (small) boilerplate block set must be a
+    # broadcast LeftAnti — the corpus must not shuffle for it
+    plan = plan_of(QUERIES["text_boilerplate_scrub"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+
+
+def test_trend_fit_single_aggregate_with_partials(spark, sf_dir):
+    # closed-form OLS: customer dim broadcast, one partial+final
+    # HashAggregate pair on the segment key, no extra shuffles
+    plan = plan_of(QUERIES["trend_linear_fit"](spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # the only hash shuffle is the segment-key aggregate exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    # one orders scan feeds all five columns' profiles (multi-distinct
+    # via Expand), no self-union of scans
+    plan = plan_of(QUERIES["audit_column_profile"](spark, sf_dir), mode="simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
