@@ -192,3 +192,170 @@ ORACLES = {
     "dsir_importance": ORACLE_DSIR,
     "lm_bigram_surprise": ORACLE_SURPRISE,
 }
+
+
+# --- Cross-source trigram LM with stupid backoff ----------------------
+
+_O_TRI = (
+    "list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || "
+    "string_split(text,' ')[i+2])"
+)
+
+BACKOFF_NUM, BACKOFF_DEN = 2, 5  # stupid-backoff alpha = 0.4 as an exact ratio
+
+
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram score under a CROSS-SOURCE LM with stupid
+    backoff (Brants et al. 2007): every doc is scored against the
+    n-gram counts of all OTHER sources (total minus own-source — the
+    leave-one-source-out trick that makes backoff actually fire, since
+    a corpus scored on its own LM never sees an unseen n-gram). Per
+    trigram occurrence, integer-scaled:
+
+      seen trigram:  1e6·C3/C2(ctx)
+      -> bigram:     0.4·1e6·C2/C1(ctx)      = (2·1e6·C2) div (5·C1)
+      -> unigram:    0.4²·1e6·C1/N           = (4·1e6·C1) div (25·N)
+      -> unseen:     0
+
+    The score is the domain-shift signal of a curation pipeline (how
+    "expected" is this doc under everything else), and the branch
+    counters expose the backoff mix per doc.
+
+    Scale shape: three count tables (tri/bi/uni), each kept twice
+    (total, per-source) — all map-side-combined aggregates over one
+    corpus scan each; scoring joins the per-doc trigram table against
+    them on the n-gram key (hash joins on n-gram hash keys; the uni
+    and totals sides are small and broadcast-eligible). Everything
+    integer ⇒ byte-exact oracle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+
+    per = (
+        docs.select("doc_id", "source", F.explode(shingles(tok, 3)).alias("tg"))
+        .withColumn("w12", F.concat_ws(" ", F.split("tg", " ")[0], F.split("tg", " ")[1]))
+        .withColumn("w23", F.concat_ws(" ", F.split("tg", " ")[1], F.split("tg", " ")[2]))
+        .withColumn("w2", F.split("tg", " ")[1])
+        .withColumn("w3", F.split("tg", " ")[2])
+        .groupBy("doc_id", "source", "tg", "w12", "w23", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = docs.select("source", F.explode(shingles(tok, 2)).alias("bg"))
+    uni = docs.select("source", F.explode(tok).alias("w"))
+
+    c3t = per.groupBy("tg").agg(F.sum("c").alias("c3t"))
+    c3s = per.groupBy("tg", "source").agg(F.sum("c").alias("c3s"))
+    c2t = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2t"))
+    c2s = bi.groupBy("bg", "source").agg(F.count(F.lit(1)).alias("c2s"))
+    c1t = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1t"))
+    c1s = uni.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c1s"))
+    nt = uni.agg(F.count(F.lit(1)).alias("nt"))
+    ns = uni.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+
+    j = (
+        per.join(c3t, "tg")
+        .join(c3s, ["tg", "source"], "left")
+        .join(c2t.withColumnRenamed("bg", "w12"), "w12")
+        .join(c2s.withColumnRenamed("bg", "w12").withColumnRenamed("c2s", "c2s_ctx"), ["w12", "source"], "left")
+        .join(c2t.withColumnRenamed("bg", "w23").withColumnRenamed("c2t", "c2t_lo"), "w23", "left")
+        .join(c2s.withColumnRenamed("bg", "w23").withColumnRenamed("c2s", "c2s_lo"), ["w23", "source"], "left")
+        .join(c1t.withColumnRenamed("w", "w2").withColumnRenamed("c1t", "c1t_ctx"), "w2")
+        .join(c1s.withColumnRenamed("w", "w2").withColumnRenamed("c1s", "c1s_ctx"), ["w2", "source"], "left")
+        .join(c1t.withColumnRenamed("w", "w3").withColumnRenamed("c1t", "c1t_lo"), "w3", "left")
+        .join(c1s.withColumnRenamed("w", "w3").withColumnRenamed("c1s", "c1s_lo"), ["w3", "source"], "left")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nt))
+    )
+    o = lambda tot, own: f"({tot} - coalesce({own}, 0))"
+    score = (
+        f"CASE WHEN {o('c3t', 'c3s')} > 0 THEN ({SCALE} * {o('c3t', 'c3s')}) DIV {o('c2t', 'c2s_ctx')} "
+        f"WHEN {o('coalesce(c2t_lo, 0)', 'c2s_lo')} > 0 THEN ({BACKOFF_NUM} * {SCALE} * {o('coalesce(c2t_lo, 0)', 'c2s_lo')}) DIV ({BACKOFF_DEN} * {o('c1t_ctx', 'c1s_ctx')}) "
+        f"WHEN {o('coalesce(c1t_lo, 0)', 'c1s_lo')} > 0 THEN ({BACKOFF_NUM * BACKOFF_NUM} * {SCALE} * {o('coalesce(c1t_lo, 0)', 'c1s_lo')}) DIV ({BACKOFF_DEN * BACKOFF_DEN} * (nt - ns)) "
+        f"ELSE 0 END"
+    )
+    branch = (
+        f"CASE WHEN {o('c3t', 'c3s')} > 0 THEN 3 "
+        f"WHEN {o('coalesce(c2t_lo, 0)', 'c2s_lo')} > 0 THEN 2 "
+        f"WHEN {o('coalesce(c1t_lo, 0)', 'c1s_lo')} > 0 THEN 1 ELSE 0 END"
+    )
+    scored = j.withColumn("s", F.expr(score)).withColumn("br", F.expr(branch))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("s")).cast("long").alias("score_sum"),
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("br") == 3, F.col("c")).otherwise(0)).cast("long").alias("n_tri_hit"),
+            F.sum(F.when(F.col("br") == 2, F.col("c")).otherwise(0)).cast("long").alias("n_bi_backoff"),
+            F.sum(F.when(F.col("br") == 1, F.col("c")).otherwise(0)).cast("long").alias("n_uni_backoff"),
+            F.sum(F.when(F.col("br") == 0, F.col("c")).otherwise(0)).cast("long").alias("n_unseen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TRIGRAM = f"""
+WITH per AS (
+  SELECT doc_id, source, tg,
+         string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2] AS w12,
+         string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3] AS w23,
+         string_split(tg, ' ')[2] AS w2,
+         string_split(tg, ' ')[3] AS w3,
+         COUNT(*) AS c
+  FROM (SELECT doc_id, source, unnest({_O_TRI}) AS tg FROM documents)
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+), c3t AS (SELECT tg, SUM(c) AS c3t FROM per GROUP BY 1),
+c3s AS (SELECT tg, source, SUM(c) AS c3s FROM per GROUP BY 1, 2),
+bi AS (SELECT source, unnest({_O_BG}) AS bg FROM documents),
+c2t AS (SELECT bg, COUNT(*) AS c2t FROM bi GROUP BY 1),
+c2s AS (SELECT bg, source, COUNT(*) AS c2s FROM bi GROUP BY 1, 2),
+uni AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+c1t AS (SELECT w, COUNT(*) AS c1t FROM uni GROUP BY 1),
+c1s AS (SELECT w, source, COUNT(*) AS c1s FROM uni GROUP BY 1, 2),
+nt AS (SELECT COUNT(*) AS nt FROM uni),
+ns AS (SELECT source, COUNT(*) AS ns FROM uni GROUP BY 1),
+j AS (
+  SELECT per.*,
+         (c3t.c3t - COALESCE(x3.c3s, 0)) AS c3o,
+         (c2a.c2t - COALESCE(x2a.c2s, 0)) AS c2o_ctx,
+         (COALESCE(c2b.c2t, 0) - COALESCE(x2b.c2s, 0)) AS c2o_lo,
+         (c1a.c1t - COALESCE(x1a.c1s, 0)) AS c1o_ctx,
+         (COALESCE(c1b.c1t, 0) - COALESCE(x1b.c1s, 0)) AS c1o_lo,
+         (nt.nt - ns.ns) AS no
+  FROM per
+  JOIN c3t ON per.tg = c3t.tg
+  LEFT JOIN c3s x3 ON per.tg = x3.tg AND per.source = x3.source
+  JOIN c2t c2a ON per.w12 = c2a.bg
+  LEFT JOIN c2s x2a ON per.w12 = x2a.bg AND per.source = x2a.source
+  LEFT JOIN c2t c2b ON per.w23 = c2b.bg
+  LEFT JOIN c2s x2b ON per.w23 = x2b.bg AND per.source = x2b.source
+  JOIN c1t c1a ON per.w2 = c1a.w
+  LEFT JOIN c1s x1a ON per.w2 = x1a.w AND per.source = x1a.source
+  LEFT JOIN c1t c1b ON per.w3 = c1b.w
+  LEFT JOIN c1s x1b ON per.w3 = x1b.w AND per.source = x1b.source
+  JOIN ns ON per.source = ns.source
+  CROSS JOIN nt
+), sc AS (
+  SELECT doc_id, c,
+         CASE WHEN c3o > 0 THEN ({SCALE} * c3o) // c2o_ctx
+              WHEN c2o_lo > 0 THEN ({BACKOFF_NUM} * {SCALE} * c2o_lo) // ({BACKOFF_DEN} * c1o_ctx)
+              WHEN c1o_lo > 0 THEN ({BACKOFF_NUM * BACKOFF_NUM} * {SCALE} * c1o_lo) // ({BACKOFF_DEN * BACKOFF_DEN} * no)
+              ELSE 0 END AS s,
+         CASE WHEN c3o > 0 THEN 3 WHEN c2o_lo > 0 THEN 2
+              WHEN c1o_lo > 0 THEN 1 ELSE 0 END AS br
+  FROM j
+)
+SELECT doc_id,
+       CAST(SUM(c * s) AS BIGINT) AS score_sum,
+       CAST(SUM(c) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN br = 3 THEN c ELSE 0 END) AS BIGINT) AS n_tri_hit,
+       CAST(SUM(CASE WHEN br = 2 THEN c ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+       CAST(SUM(CASE WHEN br = 1 THEN c ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+       CAST(SUM(CASE WHEN br = 0 THEN c ELSE 0 END) AS BIGINT) AS n_unseen
+FROM sc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["lm_trigram_backoff"] = lm_trigram_backoff
+ORACLES["lm_trigram_backoff"] = ORACLE_TRIGRAM

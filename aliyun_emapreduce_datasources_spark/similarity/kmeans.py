@@ -1,0 +1,172 @@
+"""Distributed Lloyd's k-means over the embeddings table — the full
+training loop, not just the capped-sample quantizer fit in ivf.py.
+
+Each iteration is the classic two-job Spark shape:
+
+- **Assign**: the k centroids are bytes (k x dims integers), so they
+  ride into the plan as an in-plan literal (broadcast in spirit — same
+  pattern as similarity/assign.py); distance is an in-row integer
+  zip_with/aggregate fold and the arg-min is a per-vector window over
+  k candidate rows. No join against a centroid table, no shuffle of
+  vector payloads beyond the k-row expansion.
+- **Update**: members explode to (cluster, dim, component) and one
+  hash shuffle on (cluster, dim) produces component sums/counts; the
+  new centroid component is the truncating integer division
+  sum DIV count. The k x dims result is collected to the driver
+  (bytes — the same "one legitimate driver hop" as assign.py) and
+  becomes the next iteration's literal.
+
+Determinism: embeddings quantize to integer micro-units
+(floor(x * 1e6)); squared L2, sums, and truncating division are all
+exact int64 in both engines, and ties (distance, then cluster id)
+break identically — so the ENTIRE 4-iteration run is byte-exact and
+the DuckDB oracle is the same loop UNROLLED into CTEs (assignment
+join on dim, update group-by), like the unrolled PageRank oracle in
+operators/graph.py. Clusters that lose all members are dropped (both
+engines derive the next centroid set from the surviving groups).
+
+100 TB shape: per iteration one scan + one (cluster, dim)-key shuffle
+of exploded components; k*dims stays driver-sized for any practical
+k. For billion-vector corpora you'd mini-batch the update — the plan
+shape per batch is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "ORACLES", "emb_kmeans_train"]
+
+K = 8
+ITERS = 4
+QSCALE = 1_000_000.0
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * F.lit(QSCALE)).cast("long")).alias("q"),
+    )
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    protos = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("cluster"),
+                F.array(*[F.lit(int(v)).cast("long") for v in qc]).alias("qc"),
+            )
+            for c, qc in cents
+        ]
+    )
+    cand = q.select("vec_id", "q", F.explode(protos).alias("p")).select(
+        "vec_id",
+        "q",
+        F.col("p.cluster").alias("cluster"),
+        F.aggregate(
+            F.zip_with("q", "p.qc", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: 4 Lloyd iterations, k=8, init = the k smallest
+    vec_ids; output per surviving cluster (cluster, n_points,
+    inertia) — all exact integers."""
+    q = _quantized(spark, sf_dir).localCheckpoint()  # one scan, reused 2*ITERS times
+    init = q.orderBy("vec_id").limit(K).collect()
+    cents = [(i, list(r.q)) for i, r in enumerate(init)]
+    if not cents:  # empty corpus: no clusters (an empty literal array is untyped)
+        return spark.createDataFrame([], schema="cluster long, n_points long, inertia long")
+
+    for _ in range(ITERS):
+        assigned = _assign(q, cents)
+        upd = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("cluster", "dim", F.expr("s DIV n").alias("qc"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "qc"))).alias("qs"))
+            .select("cluster", F.col("qs.qc").alias("qc"))
+            .collect()
+        )
+        cents = sorted((int(r.cluster), list(r.qc)) for r in upd)
+
+    final = _assign(q, cents)
+    return (
+        final.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_points"), F.sum("d").cast("long").alias("inertia"))
+        .orderBy("cluster")
+    )
+
+
+def _oracle() -> str:
+    tdiv = lambda num, den: f"CASE WHEN {num} < 0 THEN -((-({num})) // ({den})) ELSE ({num}) // ({den}) END"
+    parts = [
+        f"""
+WITH emb_exp AS (
+  SELECT vec_id,
+         CAST(i - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e AS DOUBLE) * {int(QSCALE)}.0) AS BIGINT) AS qe
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), init_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+  FROM (SELECT DISTINCT vec_id FROM emb_exp ORDER BY vec_id LIMIT {K})
+), c0 AS (
+  SELECT i.cluster, e.dim, e.qe AS qc
+  FROM init_ids i JOIN emb_exp e ON i.vec_id = e.vec_id
+)"""
+    ]
+    for i in range(ITERS):
+        parts.append(
+            f""", a{i} AS (
+  SELECT e.vec_id, c.cluster, CAST(SUM((e.qe - c.qc) * (e.qe - c.qc)) AS BIGINT) AS d
+  FROM emb_exp e JOIN c{i} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cluster
+), asg{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+), c{i + 1} AS (
+  SELECT s.cluster, e.dim,
+         CAST({tdiv('SUM(e.qe)', 'COUNT(*)')} AS BIGINT) AS qc
+  FROM asg{i} s JOIN emb_exp e ON s.vec_id = e.vec_id
+  GROUP BY s.cluster, e.dim
+)"""
+        )
+    parts.append(
+        f""", afinal AS (
+  SELECT e.vec_id, c.cluster, CAST(SUM((e.qe - c.qc) * (e.qe - c.qc)) AS BIGINT) AS d
+  FROM emb_exp e JOIN c{ITERS} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cluster
+), afinal_min AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM afinal
+  ) WHERE rn = 1
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points, CAST(SUM(d) AS BIGINT) AS inertia
+FROM afinal_min
+GROUP BY cluster
+ORDER BY cluster"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS = _oracle()
+
+QUERIES = {"emb_kmeans_train": emb_kmeans_train}
+ORACLES = {"emb_kmeans_train": ORACLE_KMEANS}

@@ -7,6 +7,7 @@ from aliyun_emapreduce_datasources_spark.similarity import (
     bruteforce,
     centroid,
     ivf,
+    kmeans,
     lsh,
     pq,
     quantize,
@@ -22,6 +23,7 @@ QUERIES = {
     "emb_label_centroid": centroid.QUERY,
     "emb_assign_prototype": assign.QUERY,
     "emb_contrastive_triplets": triplets.QUERY,
+    **kmeans.QUERIES,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -32,4 +34,5 @@ ORACLES = {
     "emb_label_centroid": centroid.ORACLE,
     "emb_assign_prototype": assign.ORACLE,
     "emb_contrastive_triplets": triplets.ORACLE,
+    **kmeans.ORACLES,
 }

@@ -27,6 +27,11 @@ EMPTY_SAFE = [
     "text_token_stats",
     "text_quality_score",
     "emb_label_centroid",
+    "sample_weighted_reservoir",
+    "text_boilerplate_scrub",
+    "bpe_train_merges",
+    "emb_kmeans_train",
+    "lm_trigram_backoff",
 ]
 
 
