@@ -729,18 +729,30 @@ def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = j.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count("*").cast("decimal(20,0)").alias("n"),
+        F.sum("x").cast("decimal(20,0)").alias("sx"),
+        F.sum("y").cast("decimal(20,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(20,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(20,0)").alias("sxy"),
     )
-    return agg.select(
-        "c_mktsegment",
-        F.col("n").cast("long").alias("n_orders"),
-        F.expr("(n * sxy - sx * sy) DIV (n * sxx - sx * sx)").cast("long").alias("slope_milli_per_day"),
-        F.expr("(sy - ((n * sxy - sx * sy) DIV (n * sxx - sx * sx)) * sx) DIV n").cast("long").alias("intercept_milli"),
-    ).orderBy("c_mktsegment")
+    # moment products exceed int64 at sf >= 0.1 (n·Σxy ~ 1e20), so the
+    # final arithmetic runs in decimal(38,0) — DuckDB mirrors with
+    # HUGEINT. Truncating division q = (a - a % b) / b is exact and
+    # identical in both engines (both % are C-style truncated), unlike
+    # `//` (floors) vs DIV (truncates) on negatives.
+    return (
+        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .withColumn("slope", F.expr("(num - num % den) / den"))
+        .withColumn("ib_t", F.expr("sy - slope * sx"))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("slope").cast("long").alias("slope_milli_per_day"),
+            F.expr("(ib_t - ib_t % n) / n").cast("long").alias("intercept_milli"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 ORACLE_TREND = """
@@ -750,12 +762,14 @@ WITH pts AS (
          CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000 AS BIGINT) AS y
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ), s AS (
+  -- sums stay HUGEINT (no BIGINT cast): the moment products exceed
+  -- int64 at sf >= 0.1, mirroring the decimal(38,0) Spark side
   SELECT c_mktsegment,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(y) AS sy,
+         SUM(x * x) AS sxx,
+         SUM(x * y) AS sxy
   FROM pts GROUP BY c_mktsegment
 ), d AS (
   SELECT *,
@@ -763,16 +777,13 @@ WITH pts AS (
          n * sxx - sx * sx AS den
   FROM s
 ), sl AS (
-  SELECT *,
-         CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS slope
+  SELECT *, (num - num % den) // den AS slope
   FROM d
 )
 SELECT c_mktsegment,
-       n AS n_orders,
+       CAST(n AS BIGINT) AS n_orders,
        CAST(slope AS BIGINT) AS slope_milli_per_day,
-       CAST(CASE WHEN (sy - slope * sx) < 0
-                 THEN -((-(sy - slope * sx)) // n)
-                 ELSE (sy - slope * sx) // n END AS BIGINT) AS intercept_milli
+       CAST(((sy - slope * sx) - (sy - slope * sx) % n) // n AS BIGINT) AS intercept_milli
 FROM sl
 ORDER BY c_mktsegment
 """

@@ -44,7 +44,29 @@ def get_session(app_name: str = "emr-datasources-spark", master: str | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A long-lived session that plans hundreds of distinct queries
+        # (the bench sweep, a notebook day, a Thrift server) generates
+        # thousands of codegen classes: the JVM's default 240 MB
+        # reserved code cache fills, the JIT stops compiling, and every
+        # subsequent query runs interpreted — observed as a 4x
+        # whole-sweep slowdown. Same story for unreferenced
+        # localCheckpoint/broadcast blocks, which are only reclaimed
+        # when a JVM GC runs (ContextCleaner's default periodic GC is
+        # 30 min — longer than the whole sweep).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=2g",
+        )
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        # the SQL/app status stores retain full plan graphs and task
+        # infos for up to 1000 executions even with the UI off —
+        # hundreds of distinct queries per session turn that into
+        # listener-bus lag that delays every subsequent job submission
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         # INT96 (Spark's legacy default for TIMESTAMP_LTZ) carries no

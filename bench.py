@@ -49,7 +49,7 @@ def main() -> None:
     QUERIES["pyds_kv_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
+    for i, (name, fn) in enumerate(sorted(QUERIES.items())):
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
@@ -59,6 +59,12 @@ def main() -> None:
         # GC pressure, not their own plan (r01->r02 diffs showed ±4s
         # noise on untouched queries from exactly this)
         spark.catalog.clearCache()
+        if i % 20 == 19:
+            # unreferenced localCheckpoint/broadcast blocks are only
+            # enqueued for ContextCleaner on a JVM GC; without one the
+            # sweep measures earlier entries' heap debt (observed as a
+            # 2-4x inflation of late-alphabet entries)
+            spark.sparkContext._jvm.System.gc()
 
     detail = {
         "metric": "catalog_total",

@@ -28,6 +28,12 @@ COMMENT = {
     "emb_contrastive_triplets": "Label-window passes share one label shuffle; sizes/label-rank side tables are BroadcastExchange; output is one row per anchor — no pair-explosion join.",
     "pseudonymize_join": "Pseudonymization is a per-row md5 projection on both sides; the join keeps its hash/broadcast strategy — key type widens, plan shape does not.",
     "batch_plan_length_bucketed": "One hashpartitioning Exchange on the length bucket serves both the batch-id window and the manifest rollup.",
+    "sample_weighted_reservoir": "A-ES top-k is TakeOrderedAndProject (per-partition size-k heaps merged on the driver) directly over the scan — no Exchange before it, no global sort.",
+    "text_boilerplate_scrub": "Block extraction is an in-row expression before the Generate; the boilerplate set joins back as BroadcastHashJoin LeftAnti — the corpus never shuffles for membership; rebuild is one doc_id shuffle.",
+    "trend_linear_fit": "Customer dim is BroadcastExchange; the five OLS moments fold into ONE partial+final HashAggregate pair on the segment key — the closed-form fit adds no shuffle beyond the aggregate.",
+    "audit_column_profile": "A single orders scan fans out through Expand (multi-distinct rewrite) into one partial+final aggregate; min/max/count for all five columns ride the same pass.",
+    "graph_pagerank": "Edges come from in-row basket pair expansion, materialized ONCE (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; every iteration joins rank->deg->edges hash/broadcast, never nested-loop.",
+    "emb_kmeans_train": "Centroids flow as a broadcast one-row pack (BroadcastNestedLoopJoin of bytes), identical generated code every iteration; assignment arg-min is a per-vector window; update is one (cluster, dim) hashpartitioning Exchange.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
