@@ -127,3 +127,76 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"bpe_train_merges": bpe_train_merges}
 ORACLES: dict[str, str] = {}
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential BPE encode of one word: apply the merge list in
+    training order (the reference tokenizer-apply semantics)."""
+    syms = list(word) + [EOW]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = merge_word(syms, left, right)
+    return syms
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode every document with the merges trained
+    by ``train_merges`` and report per-doc token accounting — chars,
+    whitespace words, BPE symbols, and the compression ratio in
+    exact milli units. The serving-side half of the tokenizer story
+    (train on the corpus, then encode the corpus for packing/batching).
+
+    Scale shape: training collapses to the word table as before; the
+    ENCODE runs per distinct word — not per occurrence — over the word
+    table (an Arrow-batched mapInPandas with the merge list broadcast
+    in the closure), and documents get their symbol counts back via an
+    in-row lookup join of their words against the encoded vocabulary:
+    explode doc words (map-side combined counts) → hash join on word →
+    per-doc rollup. 100 TB of text encodes through a vocabulary-sized
+    UDF, never a corpus-sized one.
+
+    Rows-only (iterative training upstream); differential-tested
+    against the pure-Python encoder in tests/test_bpe_train.py.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # reused: train scans it per merge, encode once
+    )
+    merges = [(l, r) for l, r, _ in train_merges(words, N_MERGES)]
+
+    def _encode(pdf_iter):
+        for pdf in pdf_iter:
+            pdf = pdf[["w"]].copy()
+            pdf["n_syms"] = pdf["w"].map(lambda w: len(encode_word(w, merges)))
+            yield pdf
+
+    vocab_syms = words.select("w").mapInPandas(_encode, schema="w string, n_syms long")
+
+    per_doc_words = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc_words.join(vocab_syms, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_syms")).cast("long").alias("n_bpe_symbols"),
+            F.sum(F.col("c") * (F.length("w") + 1)).cast("long").alias("n_chars_eow"),
+        )
+        .withColumn(
+            "compression_milli",
+            F.expr("(1000 * n_chars_eow) DIV n_bpe_symbols").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["bpe_encode_corpus"] = bpe_encode_corpus

@@ -888,3 +888,85 @@ QUERIES["trend_linear_fit"] = trend_linear_fit
 ORACLES["trend_linear_fit"] = ORACLE_TREND
 QUERIES["audit_column_profile"] = audit_column_profile
 ORACLES["audit_column_profile"] = ORACLE_PROFILE
+
+
+# --- Cohort LTV curves ------------------------------------------------
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: customers
+    cohort by their FIRST order's quarter; each cohort row reports,
+    per quarters-since-acquisition age, how much cumulative revenue
+    the cohort has produced per member (milli-money, exact). The
+    classic warehouse retention/LTV grid.
+
+    Scale shape: first-order cohorting is one window (or min-agg) on
+    o_custkey; the grid is one (cohort, age) aggregate; the running
+    cumulative is a window over the GRID (cohorts x ages rows — tiny,
+    whatever the order count); cohort sizes join back broadcast-sized.
+    Revenue stays decimal-exact until the final integer milli
+    division, so the oracle matches byte-for-byte.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("long").alias("q"),
+    )
+    first_q = orders.groupBy("o_custkey").agg(F.min("q").alias("cohort_q"))
+    cohort_sizes = first_q.groupBy("cohort_q").agg(F.count("*").alias("n_customers"))
+    grid = (
+        orders.join(first_q, "o_custkey")
+        .withColumn("age", (F.col("q") - F.col("cohort_q")).cast("long"))
+        .groupBy("cohort_q", "age")
+        .agg(F.sum(m("o_totalprice")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(cohort_sizes), "cohort_q")
+        .select(
+            "cohort_q",
+            "age",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.expr("CAST(CAST(cum_rev * 1000 AS BIGINT) DIV n_customers AS BIGINT)").alias(
+                "cum_ltv_milli"
+            ),
+        )
+        .orderBy("cohort_q", "age")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS price,
+         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS q
+  FROM orders
+), first_q AS (
+  SELECT o_custkey, MIN(q) AS cohort_q FROM o GROUP BY 1
+), sizes AS (
+  SELECT cohort_q, COUNT(*) AS n_customers FROM first_q GROUP BY 1
+), grid AS (
+  SELECT f.cohort_q, o.q - f.cohort_q AS age, SUM(o.price) AS rev
+  FROM o JOIN first_q f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_q, age,
+         SUM(rev) OVER (PARTITION BY cohort_q ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM grid
+)
+SELECT c.cohort_q,
+       CAST(c.age AS BIGINT) AS age,
+       CAST(s.n_customers AS BIGINT) AS n_customers,
+       CAST(CAST(c.cum_rev * 1000 AS BIGINT) // s.n_customers AS BIGINT) AS cum_ltv_milli
+FROM cum c JOIN sizes s ON c.cohort_q = s.cohort_q
+ORDER BY c.cohort_q, c.age
+"""
+
+
+QUERIES["cohort_ltv"] = cohort_ltv
+ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV

@@ -444,3 +444,83 @@ ORACLES = {
     "events_transitions": ORACLE_TRANSITIONS,
     "events_retention": ORACLE_RETENTION,
 }
+
+
+# --- Distribution drift monitor (total-variation distance) ------------
+
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution drift of `value` between a
+    reference period (first half of January) and the current period
+    (second half), measured as total-variation distance over fixed
+    50-unit value bins:
+
+        TV = 1/2 · Σ_b |a_b/A − b_b/B|
+           = Σ_b |a_b·B − b_b·A| / (2·A·B)
+
+    TV is the drift metric that stays EXACT in integer arithmetic
+    (PSI/KL need logarithms): the output is milli-TV via one cross-
+    multiplied floor division, byte-identical to the oracle. This is
+    the scheduled data-quality job that pages you when a source's
+    value distribution shifts.
+
+    Scale shape: one events scan → conditional-count aggregate on
+    (event_type, bucket) (map-side combined; bins are bounded so the
+    aggregate is tiny) → per-type totals joined back broadcast-sized →
+    one more bounded aggregate. Values bin by EXACT centi-integers
+    (decimal cast), so bucket boundaries don't depend on float
+    division in either engine.
+    """
+    ev = t(spark, sf_dir, "events")
+    bucket = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) DIV 5000")
+    is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bins = (
+        ev.select("event_type", bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("b"),
+        )
+    )
+    tot = bins.groupBy("event_type").agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    return (
+        bins.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").cast("long").alias("n_ref"),
+            F.max("tb").cast("long").alias("n_cur"),
+            F.sum(F.abs(F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))).alias("num"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr("(1000 * num) DIV (2 * n_ref * n_cur)").cast("long").alias("tv_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DRIFT_TV = """
+WITH bins AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) // 5000 AS bucket,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS b
+  FROM events
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(a) AS ta, SUM(b) AS tb FROM bins GROUP BY 1
+)
+SELECT bins.event_type,
+       CAST(MAX(tot.ta) AS BIGINT) AS n_ref,
+       CAST(MAX(tot.tb) AS BIGINT) AS n_cur,
+       CAST((1000 * SUM(ABS(bins.a * tot.tb - bins.b * tot.ta)))
+            // (2 * MAX(tot.ta) * MAX(tot.tb)) AS BIGINT) AS tv_milli
+FROM bins JOIN tot ON bins.event_type = tot.event_type
+GROUP BY bins.event_type
+ORDER BY bins.event_type
+"""
+
+
+QUERIES["events_drift_tv"] = events_drift_tv
+ORACLES["events_drift_tv"] = ORACLE_DRIFT_TV

@@ -94,3 +94,44 @@ def test_merge_word_overlapping_runs():
     assert merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
     assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
     assert merge_word(["x"], "a", "b") == ["x"]
+
+
+def test_bpe_encode_corpus_matches_reference(spark, sf_dir):
+    """Distributed encode accounting equals the pure-Python tokenizer
+    run over the same docs with the same trained merges."""
+    from pyspark.sql import functions as F
+
+    from aliyun_emapreduce_datasources_spark.functions.bpe_train import (
+        bpe_encode_corpus,
+        encode_word,
+    )
+    from aliyun_emapreduce_datasources_spark.functions.text import tokens
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = {
+        r["doc_id"]: [w for w in r["ws"] if w]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .collect()
+    }
+    wc: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    merges = [(l, r) for l, r, _ in py_bpe(wc, 8)]
+    enc_len = {w: len(encode_word(w, merges)) for w in wc}
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_symbols"], r["n_chars_eow"])
+        for r in bpe_encode_corpus(spark, sf_dir).collect()
+    }
+    want = {
+        d: (
+            len(ws),
+            sum(enc_len[w] for w in ws),
+            sum(len(w) + 1 for w in ws),
+        )
+        for d, ws in docs.items()
+        if ws
+    }
+    assert got == want

@@ -32,6 +32,8 @@ EMPTY_SAFE = [
     "bpe_train_merges",
     "emb_kmeans_train",
     "lm_trigram_backoff",
+    "events_drift_tv",
+    "bpe_encode_corpus",
 ]
 
 
