@@ -671,3 +671,49 @@ ORDER BY doc_id
 
 QUERIES["text_boilerplate_scrub"] = boilerplate_scrub
 ORACLES["text_boilerplate_scrub"] = ORACLE_BOILERPLATE
+
+
+BLOCKLIST = ("slow", "big", "merge")  # stand-in safety/blocked-term list
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term blocklist content filter (the safety-filter verb of
+    a curation pipeline): count blocked-term hits per document, list
+    which distinct terms hit (sorted), and emit the keep decision
+    (keep iff hit tokens are under 2% of the document). Real
+    blocklists are thousands of terms — the mechanics are identical:
+    the list rides into the plan as a literal/broadcast array and the
+    scan stays in-row (array_intersect membership + filter count), no
+    join, no shuffle before the final sort. Keep-rule is an integer
+    cross-multiply (50·hits <= tokens), so the oracle is byte-exact.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST])
+    hits = F.size(F.filter(tok, lambda x: F.array_contains(bl, x)))
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_intersect(F.array_distinct(tok), bl)), ",").alias(
+            "hit_terms"
+        ),
+        (F.lit(50) * hits <= F.size(tok)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_O_BL = "['slow', 'big', 'merge']"
+
+ORACLE_BLOCKLIST = f"""
+SELECT doc_id,
+       CAST(len({_O_TOK}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter({_O_TOK}, x -> list_contains({_O_BL}, x))) AS BIGINT) AS n_hits,
+       COALESCE(array_to_string(list_sort(list_filter(list_distinct({_O_TOK}), x -> list_contains({_O_BL}, x))), ','), '') AS hit_terms,
+       50 * len(list_filter({_O_TOK}, x -> list_contains({_O_BL}, x))) <= len({_O_TOK}) AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES["text_blocklist_filter"] = blocklist_filter
+ORACLES["text_blocklist_filter"] = ORACLE_BLOCKLIST

@@ -970,3 +970,76 @@ ORDER BY c.cohort_q, c.age
 
 QUERIES["cohort_ltv"] = cohort_ltv
 ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV
+
+
+# --- k-anonymity audit (privacy release gate) -------------------------
+
+K_ANON = 10
+
+
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table for the
+    quasi-identifier set (nation, market segment, account-balance
+    band): how many equivalence classes fall below k=10, and what
+    fraction of ROWS would need suppression to release the table.
+    The privacy gate that runs next to pseudonymize_join / pii_redact
+    before any data release.
+
+    Output: per nation — class count, under-k class count, row count,
+    rows-at-risk, and suppression rate in exact milli units.
+
+    Scale shape: one scan → one (quasi-id) aggregate (map-side
+    combined) → one nation-level rollup of class-sized rows. The
+    balance band is an exact centi-integer division, so class
+    boundaries are engine-identical.
+    """
+    cust = t(spark, sf_dir, "customer")
+    # +1000.00 shift keeps the dividend positive (balances go to
+    # -999.xx), where Spark's truncating DIV and DuckDB's flooring //
+    # agree; band width stays $1000
+    band = F.expr("(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) + 100000) DIV 100000")
+    classes = (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            "c_mktsegment",
+            band.alias("bal_band"),
+        )
+        .groupBy("nation", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        classes.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0)).cast("long").alias("n_under_k"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        )
+        .withColumn("suppress_milli", F.expr("(1000 * rows_at_risk) DIV n_rows").cast("long"))
+        .orderBy("nation")
+    )
+
+
+ORACLE_K_ANON = f"""
+WITH classes AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment,
+         (CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_under_k,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST((1000 * SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)) // SUM(n) AS BIGINT) AS suppress_milli
+FROM classes
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+QUERIES["audit_k_anonymity"] = audit_k_anonymity
+ORACLES["audit_k_anonymity"] = ORACLE_K_ANON

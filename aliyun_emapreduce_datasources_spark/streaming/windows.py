@@ -67,3 +67,47 @@ def windowed_agg(
         F.col("w.end").alias("window_end"),
         *[c for c in out.columns if c != "w"],
     )
+
+
+def windowed_value_histogram(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    duration: str = "1 week",
+    band_centi: int = 5000,
+    watermark: str = "1 hour",
+    start_time: str | None = None,
+) -> DataFrame:
+    """Streaming half of the drift monitor (batch twin:
+    operators/events.events_drift_tv): per (window, type, value band)
+    event counts, bands on EXACT centi-integers so a streaming run and
+    the batch recomputation bin identically. Downstream a foreachBatch
+    (or the monitoring query itself) joins the reference histogram and
+    cross-multiplies the integer TV distance per window.
+
+    Scale: one windowed aggregate — state is windows x types x bands
+    rows (bounded by the watermark), shuffle is map-side combined.
+    """
+    bucket = F.expr(
+        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT) DIV {band_centi}"
+    )
+    out = delay(df, time_col, watermark)
+    return (
+        out.groupBy(
+            (
+                F.window(time_col, duration, duration, start_time)
+                if start_time
+                else F.window(time_col, duration)
+            ).alias("w"),
+            F.col(type_col).alias("event_type"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+        )
+    )

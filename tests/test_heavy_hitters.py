@@ -100,3 +100,46 @@ def test_space_saving_guarantees_under_eviction(spark, sf_dir, stream_dir):
     for shard, _ in got:
         per_shard[shard] = per_shard.get(shard, 0) + 1
     assert all(v <= cap for v in per_shard.values())
+
+
+def test_fold_differential_random():
+    """Randomized differential of the space-saving fold against a
+    brute-force simulation of the same merge rule, plus exactness when
+    capacity covers the alphabet."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from aliyun_emapreduce_datasources_spark.streaming.heavy_hitters import _fold
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=8),
+    )
+    def run(batches, cap):
+        summary: dict = {}
+        truth: dict = {}
+        total = 0
+        for batch in batches:
+            for k in batch:
+                truth[k] = truth.get(k, 0) + 1
+                total += 1
+            if batch:
+                _fold(summary, pd.Series(batch).value_counts(), cap)
+        assert len(summary) <= cap
+        for k, (est, err) in summary.items():
+            assert truth[k] <= est <= truth[k] + err, (k, truth[k], est, err)
+        # coverage guarantee
+        for k, n in truth.items():
+            if n > total / cap:
+                assert k in summary, (k, n, total, cap)
+        # exact when capacity covers every distinct key
+        if cap >= len(truth):
+            assert {k: v[0] for k, v in summary.items()} == truth
+            assert all(v[1] == 0 for v in summary.values())
+
+    run()
