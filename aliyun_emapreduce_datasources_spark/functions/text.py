@@ -595,14 +595,12 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin.
     """
     docs = t(spark, sf_dir, "documents")
-    toks = tokens("text")
     blocks = F.expr(
         "transform(sequence(0, (size(split(text, ' ')) + 1) DIV 2 - 1), "
         "i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' '))"
     )
     exploded = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tok"),
         F.posexplode(blocks).alias("bpos", "btext"),
     )
     freq = exploded.groupBy("btext").agg(F.countDistinct("doc_id").alias("ndocs"))

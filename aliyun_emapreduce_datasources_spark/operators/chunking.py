@@ -59,19 +59,27 @@ def chunk_documents(
     ).orderBy("doc_id", "chunk_idx")
 
 
+# ONE chunk-expansion SQL fragment — ORACLE_CHUNK and the
+# rag_index_build oracle both build on it, so the window math can
+# never desynchronize between the two oracles.
+_O_CHUNKS = f"""
+  SELECT doc_id,
+         CAST(k AS BIGINT) AS chunk_idx,
+         CAST(k * {STRIDE} + 1 AS BIGINT) AS start_token,
+         CAST(len(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW})) AS BIGINT) AS n_tokens,
+         array_to_string(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW}), ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS tok,
+           (greatest(len(string_split(text, ' ')) - {WINDOW}, 0) + {STRIDE} - 1)
+             // {STRIDE} + 1 AS n_chunks
+    FROM documents
+  ), unnest(generate_series(0, n_chunks - 1)) AS u(k)
+"""
+
 ORACLE_CHUNK = f"""
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS tok,
-         (greatest(len(string_split(text, ' ')) - {WINDOW}, 0) + {STRIDE} - 1)
-           // {STRIDE} + 1 AS n_chunks
-  FROM documents
-)
-SELECT doc_id,
-       CAST(k AS BIGINT) AS chunk_idx,
-       CAST(k * {STRIDE} + 1 AS BIGINT) AS start_token,
-       CAST(len(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW})) AS BIGINT) AS n_tokens,
-       array_to_string(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW}), ' ') AS chunk_text
-FROM base, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+WITH chunks AS ({_O_CHUNKS})
+SELECT doc_id, chunk_idx, start_token, n_tokens, chunk_text
+FROM chunks
 ORDER BY doc_id, chunk_idx
 """
 
@@ -142,19 +150,6 @@ def rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shard")
     )
 
-
-_O_CHUNKS = f"""
-  SELECT doc_id,
-         CAST(k AS BIGINT) AS chunk_idx,
-         CAST(len(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW})) AS BIGINT) AS n_tokens,
-         array_to_string(list_slice(tok, k * {STRIDE} + 1, k * {STRIDE} + {WINDOW}), ' ') AS chunk_text
-  FROM (
-    SELECT doc_id, string_split(text, ' ') AS tok,
-           (greatest(len(string_split(text, ' ')) - {WINDOW}, 0) + {STRIDE} - 1)
-             // {STRIDE} + 1 AS n_chunks
-    FROM documents
-  ), unnest(generate_series(0, n_chunks - 1)) AS u(k)
-"""
 
 ORACLE_RAG_INDEX = f"""
 WITH chunks AS ({_O_CHUNKS}

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE", "centi_band", "o_centi_band"]
 
 DEC = "decimal(18,6)"
 
@@ -129,3 +129,25 @@ def revenue() -> Column:
 
 
 O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"
+
+
+def centi_band(value_col: str, width_centi: int):
+    """Fixed-width value band on EXACT centi-integers, engine-portable
+    for NEGATIVE values too: truncating division toward zero on both
+    sides (Spark DIV natively; o_centi_band mirrors with a sign CASE
+    because DuckDB's // floors). One definition shared by the batch
+    drift monitor (operators/events.events_drift_tv) and its streaming
+    twin (streaming/windows.windowed_value_histogram) so the two can
+    never bin differently."""
+    return F.expr(
+        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT) DIV {width_centi}"
+    )
+
+
+def o_centi_band(value_col: str, width_centi: int) -> str:
+    """DuckDB twin of centi_band (truncating division via sign CASE)."""
+    c = f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    return (
+        f"CASE WHEN {c} < 0 THEN -((-({c})) // {width_centi}) "
+        f"ELSE ({c}) // {width_centi} END"
+    )

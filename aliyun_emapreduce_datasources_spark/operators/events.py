@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import centi_band, o_centi_band, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -471,7 +471,7 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     division in either engine.
     """
     ev = t(spark, sf_dir, "events")
-    bucket = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) DIV 5000")
+    bucket = centi_band("value", 5000)
     is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     bins = (
         ev.select("event_type", bucket.alias("bucket"), is_ref.alias("is_ref"))
@@ -503,7 +503,7 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT_TV = """
 WITH bins AS (
   SELECT event_type,
-         CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) // 5000 AS bucket,
+         {O_BUCKET} AS bucket,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS b
   FROM events
@@ -519,7 +519,7 @@ SELECT bins.event_type,
 FROM bins JOIN tot ON bins.event_type = tot.event_type
 GROUP BY bins.event_type
 ORDER BY bins.event_type
-"""
+""".replace("{O_BUCKET}", o_centi_band("value", 5000))
 
 
 QUERIES["events_drift_tv"] = events_drift_tv

@@ -58,8 +58,9 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _fold(summary: dict, batch_counts: pd.Series, capacity: int) -> None:
-    """Fold (key -> c) batch counts into {key: [est, err]} in place,
+def _fold(summary: dict, batch_counts, capacity: int) -> None:
+    """Fold (key -> c) batch counts (any mapping with .items()) into
+    {key: [est, err]} in place,
     space-saving eviction: deterministic iteration order (key-sorted)
     so replays reproduce the identical summary."""
     for key, c in sorted(batch_counts.items()):
@@ -101,9 +102,16 @@ def heavy_hitters_stream(
             summary = {k: [int(c), int(e)] for k, c, e in zip(keys, counts, errors)}
         else:
             seq, summary = 0, {}
+        # accumulate the WHOLE micro-batch before folding: Arrow chunk
+        # boundaries (and their row order) are nondeterministic, so a
+        # per-chunk fold would evict differently across replays — one
+        # combined fold per batch is what makes recovery reproducible
+        batch_counts: dict = {}
         for pdf in pdfs:
-            if len(pdf):
-                _fold(summary, pdf["key"].value_counts(), capacity)
+            for k, c in pdf["key"].value_counts().items():
+                batch_counts[k] = batch_counts.get(k, 0) + int(c)
+        if batch_counts:
+            _fold(summary, batch_counts, capacity)
         seq += 1
         ks = sorted(summary)
         state.update((seq, ks, [summary[k][0] for k in ks], [summary[k][1] for k in ks]))

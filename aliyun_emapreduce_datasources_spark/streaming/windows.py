@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling", "hopping", "delay", "windowed_agg"]
+__all__ = ["tumbling", "hopping", "delay", "windowed_agg", "windowed_value_histogram"]
 
 
 def tumbling(col: str | Column, duration: str) -> Column:
@@ -89,9 +89,9 @@ def windowed_value_histogram(
     Scale: one windowed aggregate — state is windows x types x bands
     rows (bounded by the watermark), shuffle is map-side combined.
     """
-    bucket = F.expr(
-        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT) DIV {band_centi}"
-    )
+    from aliyun_emapreduce_datasources_spark.operators.common import centi_band
+
+    bucket = centi_band(value_col, band_centi)
     out = delay(df, time_col, watermark)
     return (
         out.groupBy(

@@ -315,8 +315,10 @@ def test_reservoir_topk_is_take_ordered(spark, sf_dir):
     # not a global Sort+Limit, and the scan must not shuffle first
     plan = plan_of(QUERIES["sample_weighted_reservoir"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    pre = plan[: plan.index("TakeOrderedAndProject")]
-    assert "Exchange hashpartitioning" not in pre
+    # explain prints root-first: everything upstream of the top-k (the
+    # scan side) appears AFTER it in the text — check that suffix
+    upstream = plan[plan.index("TakeOrderedAndProject") :]
+    assert "Exchange hashpartitioning" not in upstream
 
 
 def test_pagerank_iteration_joins_are_hash_or_broadcast(spark, sf_dir):
