@@ -1043,3 +1043,137 @@ ORDER BY nation
 
 QUERIES["audit_k_anonymity"] = audit_k_anonymity
 ORACLES["audit_k_anonymity"] = ORACLE_K_ANON
+
+
+# --- Fuzzy entity matching (record linkage, blocked self-join) --------
+
+ER_MAX_DIST = 4
+
+
+def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage / entity-resolution verb: find part records whose
+    names are near-identical, with the standard two-phase shape —
+    (1) BLOCK on a cheap key (the name's noun = last token) so the
+    self-join is hash-equi on the block key instead of all-pairs,
+    (2) VERIFY candidates with an edit-distance bound
+    (levenshtein <= 4). Output is the per-block match summary a
+    linkage pipeline reviews before merging entities.
+
+    Scale shape: the self-join shuffles each side once on the block
+    key — pair volume is Σ_b n_b², bounded by the blocking choice, not
+    |parts|²; a hot block is exactly the AQE skew-join / salting case
+    (operators/skew.py). Ties and distances are integers; Spark and
+    DuckDB implement the same unit-cost Levenshtein, so the summary is
+    byte-exact.
+
+    Reference tie-in: "beyond the reference" warehouse verb; the
+    blocked-pair plan shape is the same as dedup/ngram.py's postings
+    self-join.
+    """
+    parts = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.element_at(F.split(F.lower(F.col("p_name")), " "), -1).alias("blk"),
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.pk") < F.col("b.pk"))).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_checked"),
+            F.sum(F.when(F.col("dist") <= ER_MAX_DIST, 1).otherwise(0)).cast("long").alias("n_matches"),
+            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+            F.min("dist").cast("long").alias("min_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+        )
+        .orderBy("blk")
+    )
+
+
+ORACLE_ER_FUZZY = f"""
+WITH parts AS (
+  SELECT p_partkey AS pk, lower(p_name) AS name,
+         string_split(lower(p_name), ' ')[-1] AS blk
+  FROM part
+), pairs AS (
+  SELECT a.blk, levenshtein(a.name, b.name) AS dist
+  FROM parts a JOIN parts b ON a.blk = b.blk AND a.pk < b.pk
+)
+SELECT blk,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs_checked,
+       CAST(SUM(CASE WHEN dist <= {ER_MAX_DIST} THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist
+FROM pairs
+GROUP BY blk
+ORDER BY blk
+"""
+
+
+QUERIES["er_fuzzy_match_parts"] = er_fuzzy_match_parts
+ORACLES["er_fuzzy_match_parts"] = ORACLE_ER_FUZZY
+
+
+# --- Pareto / revenue-concentration curve -----------------------------
+
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: rank customers by total
+    spend, bucket into deciles of the CUSTOMER COUNT, and report each
+    decile's share of total revenue in exact milli units — the "top
+    10% of customers drive X% of revenue" report.
+
+    Scale shape: one orders aggregate to customer grain; the decile
+    assignment is ntile over a rank-ordered window (one shuffle of
+    customer-grain rows); shares are decimal-exact sums
+    cross-multiplied against the broadcast grand total. Customer-grain
+    windows at 100 TB: same cost class as any per-customer rollup.
+    """
+    by_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(m("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    deciled = by_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    total = by_cust.agg(F.sum("spend").alias("total"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.expr("CAST(CAST(rev * 1000 AS BIGINT) AS BIGINT)").alias("rev_milli"),
+            F.expr("CAST((1000 * CAST(rev * 1000 AS BIGINT)) DIV CAST(total * 1000 AS BIGINT) AS BIGINT)").alias("share_milli"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_PARETO = """
+WITH by_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders GROUP BY 1
+), deciled AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+  FROM by_cust
+), tot AS (SELECT SUM(spend) AS total FROM by_cust)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(spend) * 1000 AS BIGINT) AS BIGINT) AS rev_milli,
+       CAST((1000 * CAST(SUM(spend) * 1000 AS BIGINT)) // CAST(MAX(tot.total) * 1000 AS BIGINT) AS BIGINT) AS share_milli
+FROM deciled CROSS JOIN tot
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+QUERIES["pareto_revenue"] = pareto_revenue
+ORACLES["pareto_revenue"] = ORACLE_PARETO
