@@ -128,3 +128,56 @@ def test_lr_scorer_matches_manual(spark):
     z1 = 2.0 * 0.5 + 4.0 * -0.25 + 0.1
     assert abs(rows[1].prob - 1 / (1 + math.exp(-z1))) < 1e-12
     assert rows[1].pred_class == 1 and rows[2].pred_class == 0
+
+
+def test_json_ingest_permissive_corrupt_records(spark, tmp_path):
+    """Malformed-line handling on the Loghub-style JSON read path
+    (LoghubSourceRDD parse behavior: bad wire records must not kill
+    the batch): PERMISSIVE mode parks unparseable lines in
+    _corrupt_record, DROPMALFORMED yields only the clean rows, and
+    counts reconcile."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    p = tmp_path / "mixed.json"
+    good = [{"k": i, "v": f"r{i}"} for i in range(8)]
+    lines = [_json.dumps(g) for g in good]
+    bad = ['{"k": 3, "v": unquoted}', "not json at all", '{"k": }']
+    for i, b in enumerate(bad):
+        lines.insert(2 * i + 1, b)
+    p.write_text("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    ).cache()  # SPARK-21610: corrupt-record queries need the full scan
+    try:
+        n_bad = df.where(F.col("_corrupt_record").isNotNull()).count()
+        n_good = df.where(F.col("_corrupt_record").isNull()).count()
+        assert n_bad == len(bad)
+        assert n_good == len(good)
+        got = {
+            (r.k, r.v)
+            for r in df.where(F.col("_corrupt_record").isNull()).collect()
+        }
+        assert got == {(g["k"], g["v"]) for g in good}
+    finally:
+        df.unpersist()
+
+    dropped = (
+        spark.read.schema(T.StructType(schema.fields[:2]))
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert dropped.count() == len(good)
