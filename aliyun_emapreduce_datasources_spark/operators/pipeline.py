@@ -908,3 +908,103 @@ ORDER BY doc_id
 
 QUERIES["sample_weighted_reservoir"] = sample_weighted_reservoir
 ORACLES["sample_weighted_reservoir"] = ORACLE_RESERVOIR
+
+
+# --- Point-in-time feature matrix (leakage-free training assembly) ----
+
+def feature_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature-store verb
+    that guards against label leakage: for every order (the label
+    spine row), attach the customer's event features AS OF the order
+    timestamp — (a) the last event value at-or-before it, (b) the
+    event count in the trailing 7 days — never anything later.
+
+    Scale shape (same family as asof_join_events): union the tagged
+    spine and event timelines, ONE shuffle on user_id, and both
+    features come from window frames over that single sort — a running
+    ``last(ignorenulls)`` and a RANGE frame count on epoch micros. No
+    spine x events range join, no per-feature re-shuffle; adding more
+    trailing-window features is adding columns to the same window
+    pass. Events sort before the spine on timestamp ties ("at or
+    before" includes same-instant events).
+
+    Determinism: epoch-micro RANGE bounds and integer counts; the last
+    value is exact-decimal → milli integer. Oracle mirrors the same
+    union + frames.
+    """
+    events = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").cast("long").alias("seq"),
+        (m("value") * 1000).cast("long").alias("val_milli"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("order_key"),
+    )
+    spine = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.lit(None).cast("long").alias("seq"),
+        F.lit(None).cast("long").alias("val_milli"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    tl = events.unionByName(spine)
+    order_cols = [F.col("us"), F.col("is_event").desc(), F.col("seq"), F.col("order_key")]
+    w_last = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_7d = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return (
+        tl.withColumn("last_val_milli", F.last("val_milli", ignorenulls=True).over(w_last))
+        .withColumn("n_events_7d", F.sum("is_event").over(w_7d).cast("long"))
+        .where(F.col("is_event") == 0)
+        .select(
+            "order_key",
+            "user_id",
+            "last_val_milli",
+            F.coalesce("n_events_7d", F.lit(0)).alias("n_events_7d"),
+        )
+        .orderBy("order_key")
+    )
+
+
+ORACLE_PIT = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS seq,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS val_milli,
+         1 AS is_event, CAST(NULL AS BIGINT) AS order_key
+  FROM events
+), sp AS (
+  SELECT o_custkey AS user_id, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+         CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BIGINT) AS val_milli,
+         0 AS is_event, o_orderkey AS order_key
+  FROM orders
+), tl AS (
+  SELECT * FROM ev UNION ALL BY NAME SELECT * FROM sp
+), feat AS (
+  SELECT *,
+         last_value(val_milli IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY us, is_event DESC, seq, order_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val_milli,
+         SUM(is_event) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_events_7d
+  FROM tl
+)
+SELECT order_key, user_id, last_val_milli,
+       CAST(COALESCE(n_events_7d, 0) AS BIGINT) AS n_events_7d
+FROM feat
+WHERE is_event = 0
+ORDER BY order_key
+"""
+
+
+QUERIES["feature_matrix_pit"] = feature_matrix_pit
+ORACLES["feature_matrix_pit"] = ORACLE_PIT
