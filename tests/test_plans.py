@@ -356,3 +356,27 @@ def test_column_profile_single_scan(spark, sf_dir):
     plan = plan_of(QUERIES["audit_column_profile"](spark, sf_dir), mode="simple")
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_pit_features_single_user_shuffle(spark, sf_dir):
+    # both PIT features ride ONE union + user_id window pass — no
+    # spine-x-events join of any kind in the plan
+    plan = plan_of(QUERIES["feature_matrix_pit"](spark, sf_dir), mode="simple")
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "Union" in plan and "Window" in plan
+
+
+def test_er_blocking_join_is_hash_equi(spark, sf_dir):
+    # the blocked self-join must plan hash-equi on the block key, not
+    # a nested loop over all part pairs
+    plan = plan_of(QUERIES["er_fuzzy_match_parts"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_trigram_lm_count_tables_have_partials(spark, sf_dir):
+    # every n-gram count table must combine map-side before its shuffle
+    plan = plan_of(QUERIES["lm_trigram_backoff"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -34,6 +34,8 @@ COMMENT = {
     "audit_column_profile": "A single orders scan fans out through Expand (multi-distinct rewrite) into one partial+final aggregate; min/max/count for all five columns ride the same pass.",
     "graph_pagerank": "Edges come from in-row basket pair expansion, materialized ONCE (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; every iteration joins rank->deg->edges hash/broadcast, never nested-loop.",
     "emb_kmeans_train": "Centroids flow as a broadcast one-row pack (BroadcastNestedLoopJoin of bytes), identical generated code every iteration; assignment arg-min is a per-vector window; update is one (cluster, dim) hashpartitioning Exchange.",
+    "feature_matrix_pit": "Tagged spine+event union, ONE hashpartitioning Exchange on user_id; both features (running last-ignorenulls + 7-day RANGE count) ride the same Window pass — no spine-events join anywhere.",
+    "er_fuzzy_match_parts": "Blocking turns the name-similarity self-join into a hash-equi join on the block key (SortMergeJoin/ShuffledHashJoin on blk) — never a nested loop over part pairs; Levenshtein verifies only co-blocked candidates.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
