@@ -110,6 +110,34 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
 )
 
 
+def _auto_front() -> list[str]:
+    """Front-of-window names, auto-rotated: oracle-backed entries that
+    no prior round's CORRECTNESS_r*.json records as driver-checked
+    come first (insertion order preserved), so the driver's bounded
+    window sweeps a fresh slice every round without manual edits.
+    Falls back to the hand-rotated static list when no driver files
+    are readable (fresh clone, first round)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            checked |= set(data)
+    if not checked:
+        return [k for k in _FRONT_OF_WINDOW if k in QUERIES]
+    return [k for k in QUERIES if k in ORACLES and k not in checked]
+
+
 def _merge(mod) -> None:
     for k, v in mod.QUERIES.items():
         if k in QUERIES:
@@ -163,7 +191,7 @@ def _load() -> None:
 
     # reorder: front-of-window names first (driver checks in insertion
     # order), remaining entries keep their original relative order
-    front = {k: QUERIES[k] for k in _FRONT_OF_WINDOW if k in QUERIES}
+    front = {k: QUERIES[k] for k in _auto_front()}
     rest = {k: v for k, v in QUERIES.items() if k not in front}
     QUERIES.clear()
     QUERIES.update(front)
