@@ -244,27 +244,68 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = docs.select("source", F.explode(shingles(tok, 2)).alias("bg"))
     uni = docs.select("source", F.explode(tok).alias("w"))
 
-    c3t = per.groupBy("tg").agg(F.sum("c").alias("c3t"))
-    c3s = per.groupBy("tg", "source").agg(F.sum("c").alias("c3s"))
-    c2t = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2t"))
-    c2s = bi.groupBy("bg", "source").agg(F.count(F.lit(1)).alias("c2s"))
-    c1t = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1t"))
-    c1s = uni.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c1s"))
+    # every (ngram, source) the scorer needs EXISTS in the per-source
+    # count table (the n-gram came from a doc of that source), so each
+    # lookup level is ONE inner join on (ngram, source) against a
+    # table that carries both the own-source count and the corpus
+    # total (window sum over the same aggregate — no second join).
+    # This halves the join chain vs separate total+source joins:
+    # 5 shuffled joins of the trigram table instead of 10.
+    from pyspark.sql import Window as W
+
+    def counts(df, key, cname):
+        agg = df.groupBy(key, "source").agg(F.count(F.lit(1)).alias(f"{cname}s"))
+        return agg.withColumn(
+            f"{cname}t", F.sum(f"{cname}s").over(W.partitionBy(key))
+        )
+
+    c3 = per.groupBy("tg", "source").agg(F.sum("c").alias("c3s")).withColumn(
+        "c3t", F.sum("c3s").over(W.partitionBy("tg"))
+    )
+    c2 = counts(bi, "bg", "c2")
+    c1 = counts(uni, "w", "c1")
     nt = uni.agg(F.count(F.lit(1)).alias("nt"))
     ns = uni.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
 
     j = (
-        per.join(c3t, "tg")
-        .join(c3s, ["tg", "source"], "left")
-        .join(c2t.withColumnRenamed("bg", "w12"), "w12")
-        .join(c2s.withColumnRenamed("bg", "w12").withColumnRenamed("c2s", "c2s_ctx"), ["w12", "source"], "left")
-        .join(c2t.withColumnRenamed("bg", "w23").withColumnRenamed("c2t", "c2t_lo"), "w23", "left")
-        .join(c2s.withColumnRenamed("bg", "w23").withColumnRenamed("c2s", "c2s_lo"), ["w23", "source"], "left")
-        .join(c1t.withColumnRenamed("w", "w2").withColumnRenamed("c1t", "c1t_ctx"), "w2")
-        .join(c1s.withColumnRenamed("w", "w2").withColumnRenamed("c1s", "c1s_ctx"), ["w2", "source"], "left")
-        .join(c1t.withColumnRenamed("w", "w3").withColumnRenamed("c1t", "c1t_lo"), "w3", "left")
-        .join(c1s.withColumnRenamed("w", "w3").withColumnRenamed("c1s", "c1s_lo"), ["w3", "source"], "left")
-        .join(ns, "source")
+        per.join(c3, ["tg", "source"])
+        .join(
+            c2.select(
+                F.col("bg").alias("w12"),
+                "source",
+                F.col("c2s").alias("c2s_ctx"),
+                F.col("c2t"),
+            ),
+            ["w12", "source"],
+        )
+        .join(
+            c2.select(
+                F.col("bg").alias("w23"),
+                "source",
+                F.col("c2s").alias("c2s_lo"),
+                F.col("c2t").alias("c2t_lo"),
+            ),
+            ["w23", "source"],
+        )
+        .join(
+            c1.select(
+                F.col("w").alias("w2"),
+                "source",
+                F.col("c1s").alias("c1s_ctx"),
+                F.col("c1t").alias("c1t_ctx"),
+            ),
+            ["w2", "source"],
+        )
+        .join(
+            c1.select(
+                F.col("w").alias("w3"),
+                "source",
+                F.col("c1s").alias("c1s_lo"),
+                F.col("c1t").alias("c1t_lo"),
+            ),
+            ["w3", "source"],
+        )
+        .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(nt))
     )
     o = lambda tot, own: f"({tot} - coalesce({own}, 0))"
