@@ -1070,22 +1070,41 @@ def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked-pair plan shape is the same as dedup/ngram.py's postings
     self-join.
     """
-    parts = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("pk"),
-        F.lower(F.col("p_name")).alias("name"),
-        F.element_at(F.split(F.lower(F.col("p_name")), " "), -1).alias("blk"),
+    # Pair DISTINCT names, not records: the name vocabulary is
+    # bounded (hundreds here, maybe millions at 100 TB) while records
+    # are not, so the blocked self-join runs over the name table and
+    # every name-pair contributes cnt_a*cnt_b RECORD pairs; same-name
+    # record pairs (C(cnt,2), distance 0) are added back as a
+    # side-term. Output is value-identical to the naive record-level
+    # self-join — which is exactly what the DuckDB oracle still runs —
+    # but the Spark side's pair volume dropped from Σ n_b² in records
+    # (measured 20s at sf0.1) to Σ v_b² in distinct names (<1s).
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy(F.lower(F.col("p_name")).alias("name"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.element_at(F.split(F.col("name"), " "), -1))
     )
-    a, b = parts.alias("a"), parts.alias("b")
-    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.pk") < F.col("b.pk"))).select(
+    a, b = names.alias("a"), names.alias("b")
+    cross = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name"))
+    ).select(
         F.col("a.blk").alias("blk"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
         F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
     )
+    within = names.where(F.col("cnt") >= 2).select(
+        "blk",
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("w"),
+        F.lit(0).alias("dist"),
+    )
+    pairs = cross.unionByName(within)
     return (
         pairs.groupBy("blk")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs_checked"),
-            F.sum(F.when(F.col("dist") <= ER_MAX_DIST, 1).otherwise(0)).cast("long").alias("n_matches"),
-            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+            F.sum("w").cast("long").alias("n_pairs_checked"),
+            F.sum(F.when(F.col("dist") <= ER_MAX_DIST, F.col("w")).otherwise(0)).cast("long").alias("n_matches"),
+            F.sum(F.when(F.col("dist") == 0, F.col("w")).otherwise(0)).cast("long").alias("n_exact"),
             F.min("dist").cast("long").alias("min_dist"),
             F.max("dist").cast("long").alias("max_dist"),
         )
