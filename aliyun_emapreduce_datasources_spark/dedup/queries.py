@@ -5,6 +5,7 @@ from __future__ import annotations
 from aliyun_emapreduce_datasources_spark.dedup import (
     bloom,
     clusters,
+    containment,
     decontaminate,
     embedding,
     exact,
@@ -32,6 +33,7 @@ QUERIES = {
     "dedup_bloom_decontaminate": bloom.QUERY,
     "dedup_minhash_clusters": clusters.minhash_cluster_resolve,
     "dedup_incremental": incremental.QUERY,
+    "dedup_containment": containment.QUERY,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that
@@ -46,4 +48,5 @@ ORACLES = {
     "dedup_embedding_cosine": embedding.ORACLE,
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
+    "dedup_containment": containment.ORACLE,
 }

@@ -6,6 +6,7 @@ from aliyun_emapreduce_datasources_spark.functions import (
     bm25,
     bpe_train,
     hybrid,
+    keyness,
     lm,
     sketch,
     text,
@@ -20,6 +21,7 @@ QUERIES = {
     **bm25.QUERIES,
     **hybrid.QUERIES,
     **bpe_train.QUERIES,
+    **keyness.QUERIES,
 }
 ORACLES = {
     **text.ORACLES,
@@ -29,4 +31,5 @@ ORACLES = {
     **bm25.ORACLES,
     **hybrid.ORACLES,
     **bpe_train.ORACLES,
+    **keyness.ORACLES,
 }

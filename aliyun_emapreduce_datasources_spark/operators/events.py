@@ -524,3 +524,112 @@ ORDER BY bins.event_type
 
 QUERIES["events_drift_tv"] = events_drift_tv
 ORACLES["events_drift_tv"] = ORACLE_DRIFT_TV
+
+
+# --- two-sample Kolmogorov–Smirnov drift (continuous, bin-free) -------
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS statistic of the ``value`` distribution vs
+    the pooled corpus: sup |F_type(v) − F_all(v)|.
+
+    The binned TV monitor above answers "how different" on a fixed
+    grid; KS is its bin-free companion — sensitive to location shifts
+    a coarse grid can hide. The sup over step functions is attained at
+    jump points, so it suffices to evaluate both CDFs on the distinct
+    global value grid × the (tiny, broadcast) type list.
+
+    Exactness: the comparison is done on cross-multiplied integers
+    (|cum_t·n_all − cum_all·n_t|); only the final division is a single
+    IEEE double op, so Spark and DuckDB agree bit-for-bit. Products
+    stay < 2⁵³ up to ~10⁸ events per side; beyond that, pre-bin to
+    centi-bands first (events_drift_tv) or promote to decimal.
+
+    Scale shape: one corpus shuffle for the (value, type) counts; the
+    grid is |distinct values| × |types| (types is a handful — the
+    cross join is a broadcast), and the cumulative sums are windows
+    partitioned by type over that aggregate, never over raw events.
+    The per-type partitions are sequential within the window — with
+    billions of distinct values, range-partitioned two-phase prefix
+    sums replace the window; at any realistic value-grid size this is
+    vocabulary-scale work."""
+    ev = t(spark, sf_dir, "events")
+    pertype = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vtot = pertype.groupBy("value").agg(F.sum("cnt").alias("tv"))
+    types = ev.select("event_type").distinct()
+    g = (
+        vtot.crossJoin(F.broadcast(types))
+        .join(pertype, ["value", "event_type"], "left")
+        .withColumn("cnt0", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_part = Window.partitionBy("event_type")
+    scored = (
+        g.withColumn("cum_t", F.sum("cnt0").over(w_cum))
+        .withColumn("cum_all", F.sum("tv").over(w_cum))
+        .withColumn("n_t", F.sum("cnt0").over(w_part))
+        .withColumn("n_all", F.sum("tv").over(w_part))
+        .withColumn(
+            "diff",
+            F.abs(F.col("cum_t") * F.col("n_all") - F.col("cum_all") * F.col("n_t")),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("diff").alias("maxdiff"),
+            F.max("n_t").alias("n_t"),
+            F.max("n_all").alias("n_all"),
+        )
+        .select(
+            "event_type",
+            F.col("n_t").cast("long").alias("n_events"),
+            (
+                F.col("maxdiff").cast("double")
+                / (F.col("n_t") * F.col("n_all")).cast("double")
+            ).alias("ks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH pertype AS (
+  SELECT value, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), vtot AS (
+  SELECT value, SUM(cnt) AS tv FROM pertype GROUP BY 1
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), g AS (
+  SELECT v.value, ty.event_type,
+         CAST(COALESCE(p.cnt, 0) AS BIGINT) AS cnt0,
+         CAST(v.tv AS BIGINT) AS tv
+  FROM vtot v CROSS JOIN types ty
+  LEFT JOIN pertype p ON p.value = v.value AND p.event_type = ty.event_type
+), c AS (
+  SELECT event_type,
+         SUM(cnt0) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+         SUM(tv) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+         SUM(cnt0) OVER (PARTITION BY event_type) AS n_t,
+         SUM(tv) OVER (PARTITION BY event_type) AS n_all
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(n_t) AS BIGINT) AS n_events,
+       CAST(MAX(ABS(cum_t * n_all - cum_all * n_t)) AS DOUBLE)
+         / CAST(MAX(n_t) * MAX(n_all) AS DOUBLE) AS ks
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["events_ks_drift"] = events_ks_drift
+ORACLES["events_ks_drift"] = ORACLE_KS_DRIFT

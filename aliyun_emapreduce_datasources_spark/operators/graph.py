@@ -13,15 +13,15 @@ every step — integer sums are accumulation-order-free, so Spark and
 the unrolled-CTE DuckDB oracle agree byte-for-byte (the float form of
 PageRank would diverge across engines by summation order alone).
 
-Scale shape (100 TB): edges are materialized ONCE
-(``localCheckpoint`` — lineage truncated so K iterations don't re-scan
-lineitem K times) and each iteration is one shuffle of edge-sized
-contributions into vertex-sized ranks, joined on the same ``src`` key
-every round — on a real cluster edges are pre-partitioned by src once
-and every subsequent join is co-located; ``deg``/ranks are
-vertex-table-sized (orders of magnitude smaller than edges) and
-broadcast-eligible. N (node count) is one scalar aggregate collected
-to the driver, like the convergence scalar in dedup/clusters.py.
+Scale shape (100 TB): the graph is materialized ONCE as a
+vertex-sized adjacency table (``src``, out-neighbor array, degree;
+``localCheckpoint`` truncates lineage so K iterations don't re-scan
+lineitem K times). Each iteration is then a |V|×|V| join (ranks ⋈
+adjacency on ``src`` — co-located after the first shuffle on a real
+cluster) + in-row explode + the one unavoidable edge-sized
+contribution shuffle into vertex-sized ranks. N (node count) is one
+scalar aggregate collected to the driver, like the convergence scalar
+in dedup/clusters.py.
 
 Reference tie-in: the reference has no graph operator — this is a
 "beyond the reference" entry in the training-data/analytics extension
@@ -72,17 +72,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # materialize once; K iterations reuse it
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    n = deg.count()  # scalar: vertex cardinality (driver-safe)
+    )
+    # fold degree + out-neighbor list into ONE vertex-sized adjacency
+    # table, materialized once: each iteration is then a vertex×vertex
+    # join (ranks ⋈ adjacency, both |V|-sized) + explode + the
+    # unavoidable edge-sized contribution shuffle — instead of two
+    # edge×vertex joins per step. Adjacency arrays are bounded by a
+    # node's distinct co-purchase degree; a pathological hot node at
+    # 100 TB would be capped/chunked upstream (same guard family as
+    # operators/skew.py), noted rather than paid here.
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("d"))
+        .localCheckpoint()  # materialize once; K iterations reuse it
+    )
+    n = adj.count()  # scalar: vertex cardinality (driver-safe)
     base = (DAMP_DEN - DAMP_NUM) * (SCALE // n) // DAMP_DEN
 
-    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE // n).cast("long").alias("r"))
+    ranks = adj.select(F.col("src").alias("node"), F.lit(SCALE // n).cast("long").alias("r"))
     for _ in range(ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst"), F.expr("r DIV d").alias("c"))
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.explode("dsts").alias("dst"), F.expr("r DIV d").alias("c"))
         )
         ranks = (
             contrib.groupBy("dst")

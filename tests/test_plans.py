@@ -380,3 +380,37 @@ def test_trigram_lm_count_tables_have_partials(spark, sf_dir):
     # every n-gram count table must combine map-side before its shuffle
     plan = plan_of(QUERIES["lm_trigram_backoff"](spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_keyness_topk_is_window_group_limit(spark, sf_dir):
+    # per-source top-k must compile to WindowGroupLimit (per-partition
+    # heaps), the corpus grand total must be a broadcast (1-row scalar
+    # crossJoin, never a shuffled join), and no nested loops beyond it
+    plan = plan_of(QUERIES["text_keyness_lift"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar only
+    assert "CartesianProduct" not in plan
+    # the (source, token) count aggregate combines map-side
+    assert "partial_count" in plan
+
+
+def test_ks_drift_grid_join_shapes(spark, sf_dir):
+    # the type list is broadcast onto the value grid; the pertype
+    # lookup is a hash-equi left join; cumulative sums run as Window
+    # over the aggregate, and raw events reduce with map-side partials
+    plan = plan_of(QUERIES["events_ks_drift"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny type list cross
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "partial_count" in plan
+
+
+def test_containment_join_is_hash_equi_on_postings(spark, sf_dir):
+    # the candidate join must be hash-equi on (source, shingle-hash) —
+    # never a nested loop over doc pairs — and the stop-shingle DF cut
+    # plus set sizes must come from Window over the postings, not
+    # re-joins of the corpus
+    plan = plan_of(QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan

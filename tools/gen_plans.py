@@ -32,7 +32,10 @@ COMMENT = {
     "text_boilerplate_scrub": "Block extraction is an in-row expression before the Generate; the boilerplate set joins back as BroadcastHashJoin LeftAnti — the corpus never shuffles for membership; rebuild is one doc_id shuffle.",
     "trend_linear_fit": "Customer dim is BroadcastExchange; the five OLS moments fold into ONE partial+final HashAggregate pair on the segment key — the closed-form fit adds no shuffle beyond the aggregate.",
     "audit_column_profile": "A single orders scan fans out through Expand (multi-distinct rewrite) into one partial+final aggregate; min/max/count for all five columns ride the same pass.",
-    "graph_pagerank": "Edges come from in-row basket pair expansion, materialized ONCE (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; every iteration joins rank->deg->edges hash/broadcast, never nested-loop.",
+    "graph_pagerank": "Graph materialized ONCE as a vertex-sized adjacency table (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; each iteration is one |V|-sized hash join (ranks x adjacency) + in-row explode + the edge-sized contribution aggregate, never nested-loop.",
+    "text_keyness_lift": "One corpus shuffle for (source, token) counts with map-side partials; per-source and per-token totals are Window sums over the vocabulary-sized aggregate; the grand total rides a 1-row BroadcastNestedLoopJoin; the per-source top-k compiles to WindowGroupLimit.",
+    "events_ks_drift": "Raw events reduce with partial HashAggregate; the type list is a tiny BroadcastNestedLoopJoin onto the distinct-value grid; both CDFs are cumulative Window sums over the grid, never over raw events.",
+    "dedup_containment": "Postings self-join is hash-equi on (source, shingle-hash); stop-shingle DF cut and pruned set sizes come from Window over the postings — no nested loop over doc pairs, worst case bounded by the MAX_DF cap.",
     "emb_kmeans_train": "Centroids flow as a broadcast one-row pack (BroadcastNestedLoopJoin of bytes), identical generated code every iteration; assignment arg-min is a per-vector window; update is one (cluster, dim) hashpartitioning Exchange.",
     "feature_matrix_pit": "Tagged spine+event union, ONE hashpartitioning Exchange on user_id; both features (running last-ignorenulls + 7-day RANGE count) ride the same Window pass — no spine-events join anywhere.",
     "er_fuzzy_match_parts": "Blocking turns the name-similarity self-join into a hash-equi join on the block key (SortMergeJoin/ShuffledHashJoin on blk) — never a nested loop over part pairs; Levenshtein verifies only co-blocked candidates.",
