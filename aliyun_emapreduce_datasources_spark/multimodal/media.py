@@ -26,7 +26,9 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "attach_fake_audio",
     "attach_fake_media",
+    "audio_features",
     "decode_features",
     "frame_sample",
     "resize_media",
@@ -197,3 +199,83 @@ def frame_sample(media: DataFrame, every_n: int = 4, n_frames: int = 16) -> Data
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+# --- audio path --------------------------------------------------------
+
+SR = 16000           # samples/second the stub "decoder" emits
+FRAME = 400          # 25 ms analysis window
+HOP = 160            # 10 ms hop
+
+
+def attach_fake_audio(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """Audio twin of attach_fake_media: payload bytes stand in for a
+    WAV blob; duration_ms is metadata (1–6 s, derived from the id so
+    the frame count is oracle-derivable)."""
+    payload = F.to_binary(F.sha2(F.col(seed_col).cast("string"), 256), F.lit("hex"))
+    meta = F.struct(
+        F.lit("audio").alias("modality"),
+        F.lit("wav").alias("format"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"),
+        (F.pmod(F.col(id_col), F.lit(5000)) + 1000).cast("long").alias("duration_ms"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col(seed_col).cast("string"), 256).alias("digest"),
+    )
+    return df.select(F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+def _decode_audio_stub(payload: bytes, duration_ms: int, sr: int = SR) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-PCM (int16) from the payload
+    digest, length = duration_ms × sr / 1000. Replace with e.g.
+    soundfile.read(io.BytesIO(payload)). Raises like a real decoder
+    on empty payloads."""
+    if not payload:
+        raise ValueError("empty media payload")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    n = int(duration_ms) * sr // 1000
+    return rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_rms", T.DoubleType()),
+        T.StructField("mean_zcr", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, sr: int = SR, frame: int = FRAME, hop: int = HOP
+) -> DataFrame:
+    """Decode → frame (25 ms window / 10 ms hop) → per-frame RMS energy
+    and zero-crossing rate → per-media pooling, via mapInPandas.
+
+    The framing is a numpy stride view (no copy of the PCM per frame)
+    and the per-frame stats are vectorized over the frame axis — the
+    exact shape a librosa/torchaudio swap keeps. Frame count
+    ``1 + (n_samples - frame) // hop`` is metadata-derivable, which is
+    what the catalog oracle pins; the pooled stats are stub-RNG values
+    (deterministic, covered by tests/test_multimodal.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "n_frames": [], "mean_rms": [], "mean_zcr": []}
+            for _, row in pdf.iterrows():
+                pcm = _decode_audio_stub(row["payload"], row["meta"]["duration_ms"], sr)
+                frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop]
+                x = frames.astype(np.float64)
+                rms = np.sqrt((x * x).mean(axis=1))
+                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                out["media_id"].append(row["media_id"])
+                out["n_samples"].append(int(pcm.size))
+                out["n_frames"].append(int(frames.shape[0]))
+                out["mean_rms"].append(float(rms.mean()))
+                out["mean_zcr"].append(float(zcr.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

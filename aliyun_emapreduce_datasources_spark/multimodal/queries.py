@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.multimodal.media import (
+    attach_fake_audio,
     attach_fake_media,
+    audio_features,
     decode_features,
     frame_sample,
 )
@@ -48,5 +50,33 @@ FROM documents
 """
 
 
-QUERIES = {"media_pipeline": media_pipeline}
-ORACLES = {"media_pipeline": ORACLE_MEDIA}
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → fake audio blobs → frame (25 ms / 10 ms hop) →
+    per-media frame accounting. n_samples/n_frames are
+    metadata-derived (duration_ms × SR, sliding-window count), so the
+    oracle pins that every row went through the PCM decode + stride
+    framing with the right shapes; the pooled RMS/ZCR stats are
+    stub-RNG values covered by tests/test_multimodal.py."""
+    docs = t(spark, sf_dir, "documents")
+    audio = attach_fake_audio(docs, "doc_id", "text")
+    return audio_features(audio).select("media_id", "n_samples", "n_frames")
+
+
+# mirrors attach_fake_audio metadata (duration_ms = doc_id%5000+1000,
+# SR=16000) and audio_features framing (1 + (n-400) // 160).
+ORACLE_AUDIO = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 5000 + 1000) * 16 AS BIGINT) AS n_samples,
+       CAST(1 + ((doc_id % 5000 + 1000) * 16 - 400) // 160 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {
+    "media_pipeline": media_pipeline,
+    "media_audio_features": media_audio_features,
+}
+ORACLES = {
+    "media_pipeline": ORACLE_MEDIA,
+    "media_audio_features": ORACLE_AUDIO,
+}

@@ -33,6 +33,9 @@ EMPTY_SAFE = [
     "emb_kmeans_train",
     "lm_trigram_backoff",
     "events_drift_tv",
+    "events_ks_drift",
+    "text_keyness_lift",
+    "dedup_containment",
     "bpe_encode_corpus",
 ]
 
