@@ -633,3 +633,129 @@ ORDER BY event_type
 
 QUERIES["events_ks_drift"] = events_ks_drift
 ORACLES["events_ks_drift"] = ORACLE_KS_DRIFT
+
+
+# --- robust outlier cut: integer-exact median/MAD --------------------
+
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier accounting: median and MAD
+    (median absolute deviation) of ``value``, and how many events sit
+    outside median ± 3·MAD — the robust z-score cut a mean/stddev
+    filter gets wrong the moment the tail it should remove drags the
+    mean toward itself.
+
+    Everything is integer-exact: values become centi-integers (the
+    shared drift-monitor conversion), the median is carried DOUBLED
+    (``med2`` = sum of the two middle order statistics — one exact
+    BIGINT whether n is odd or even), the MAD doubles again (``mad4``),
+    and the cut |v−med| > 3·MAD compares as ``2·dev2 > 3·mad4`` — no
+    float appears anywhere, so Spark and DuckDB agree byte-for-byte
+    (interpolated percentile_cont/median would differ in the last ulp
+    between engines).
+
+    Scale shape: raw events reduce ONCE to the (type, centi-value)
+    grid with map-side partials; both median passes are weighted order
+    statistics on that grid — cumulative window sums + a conditional
+    MIN at the (n+k) DIV 2 crossing — and the per-type med/MAD tables
+    broadcast back. Nothing after the first aggregate touches event
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    vc = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+    agg = (
+        ev.select("event_type", vc.alias("v_c"))
+        .groupBy("event_type", "v_c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = agg.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    med = c.groupBy("event_type").agg(
+        (
+            F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN v_c END"))
+            + F.min(F.expr("CASE WHEN cum >= (n + 2) DIV 2 THEN v_c END"))
+        ).alias("med2"),
+        F.max("n").alias("n"),
+    )
+    dev = agg.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v_c") - F.col("med2"))
+    )
+    w_dcum = (
+        Window.partitionBy("event_type")
+        .orderBy("dev2", "v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = dev.withColumn("dcum", F.sum("cnt").over(w_dcum))
+    mad = d.groupBy("event_type").agg(
+        (
+            F.min(F.expr("CASE WHEN dcum >= (n + 1) DIV 2 THEN dev2 END"))
+            + F.min(F.expr("CASE WHEN dcum >= (n + 2) DIV 2 THEN dev2 END"))
+        ).alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("med2").cast("long").alias("med2_centi"),
+            F.max("mad4").cast("long").alias("mad4_centi"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_O_VC = "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"
+
+ORACLE_ROBUST = f"""
+WITH agg AS (
+  SELECT event_type, {_O_VC} AS v_c, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM agg
+), med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN v_c END)
+           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v_c END) AS med2,
+         MAX(n) AS n
+  FROM c GROUP BY 1
+), dev AS (
+  SELECT agg.event_type, agg.v_c, agg.cnt, med.n, med.med2,
+         ABS(2 * agg.v_c - med.med2) AS dev2
+  FROM agg JOIN med USING (event_type)
+), d AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev2, v_c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum
+  FROM dev
+), mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN dcum >= (n + 1) // 2 THEN dev2 END)
+           + MIN(CASE WHEN dcum >= (n + 2) // 2 THEN dev2 END) AS mad4
+  FROM d GROUP BY 1
+)
+SELECT dev.event_type,
+       CAST(MAX(dev.n) AS BIGINT) AS n_events,
+       CAST(MAX(dev.med2) AS BIGINT) AS med2_centi,
+       CAST(MAX(mad.mad4) AS BIGINT) AS mad4_centi,
+       CAST(SUM(CASE WHEN 2 * dev.dev2 > 3 * mad.mad4 THEN dev.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["events_robust_outliers"] = events_robust_outliers
+ORACLES["events_robust_outliers"] = ORACLE_ROBUST

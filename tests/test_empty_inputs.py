@@ -34,6 +34,7 @@ EMPTY_SAFE = [
     "lm_trigram_backoff",
     "events_drift_tv",
     "events_ks_drift",
+    "events_robust_outliers",
     "text_keyness_lift",
     "dedup_containment",
     "bpe_encode_corpus",

@@ -149,3 +149,58 @@ def test_ks_zero_for_identical_distribution(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
     [r] = events_ks_drift(spark, sf_dir).collect()
     assert r.event_type == "only" and r.ks == 0.0
+
+
+def ref_robust(rows):
+    # rows: (event_type, value) — centi conversion mirrors the operator
+    from decimal import Decimal
+
+    by_t = {}
+    for ty, v in rows:
+        c = int(Decimal(str(v)).scaleb(2).to_integral_value(rounding="ROUND_HALF_UP"))
+        by_t.setdefault(ty, []).append(c)
+    out = {}
+    for ty, cs in by_t.items():
+        s = sorted(cs)
+        n = len(s)
+        med2 = s[(n - 1) // 2] + s[n // 2]
+        dev = sorted(abs(2 * c - med2) for c in cs)
+        mad4 = dev[(n - 1) // 2] + dev[n // 2]
+        n_out = sum(1 for c in cs if 2 * abs(2 * c - med2) > 3 * mad4)
+        out[ty] = (n, med2, mad4, n_out)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-10000, max_value=10000),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_robust_outliers_match_reference(spark, tmp_path_factory, vals):
+    from aliyun_emapreduce_datasources_spark.operators.events import (
+        events_robust_outliers,
+    )
+
+    # integer-centi inputs (v/100) keep the Decimal conversion exact
+    rows = [(i, ty, v / 100.0) for i, (ty, v) in enumerate(vals)]
+    sf_dir = str(tmp_path_factory.mktemp("mad"))
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r.event_type: (r.n_events, r.med2_centi, r.mad4_centi, r.n_outliers)
+        for r in events_robust_outliers(spark, sf_dir).collect()
+    }
+    want = ref_robust([(ty, v / 100.0) for ty, v in vals])
+    assert got == want

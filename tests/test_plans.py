@@ -414,3 +414,13 @@ def test_containment_join_is_hash_equi_on_postings(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_robust_outliers_reduces_before_windows(spark, sf_dir):
+    # events must reduce to the (type, centi-value) grid with map-side
+    # partials BEFORE any window; med/MAD tables join back broadcast
+    plan = plan_of(QUERIES["events_robust_outliers"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
