@@ -1,0 +1,168 @@
+"""kNN label-noise detection over the embedding table.
+
+The data-centric-AI audit (Confident-Learning family): a vector whose
+nearest neighbors mostly carry a DIFFERENT label is a likely
+mislabel — flag it before it poisons a classifier or a
+quality-score model. For every vector: exact top-K neighbors by
+similarity, majority vote of neighbor labels, ``is_noisy`` when the
+own label is in the strict minority (2·n_same < K).
+
+Determinism / oracle parity: similarity is the INNER PRODUCT of
+integer micro-quantized vectors (``floor(double(x)·1e6)`` — the
+centroid.py/kmeans.py portable quantization). Dots are exact int64
+(|q| ≤ ~5·10⁵, dim 64 ⇒ |dot| ≲ 2·10¹³ ≪ 2⁵³, asserted in tests), so
+Spark's numpy int64 matmul and DuckDB's list_inner_product agree
+byte-for-byte and top-K membership cannot flip on a last-ulp tie the
+way float cosine can; remaining ties break on neighbor id.
+
+Scale shape: exact kNN is O(n²) compute by definition — the point is
+to DISTRIBUTE it without materializing n² rows: the same block-matrix
+cogroup as dedup/embedding.py neardup_blocked (each side replicated
+B times, numpy matmul per block pair), but each block pair emits only
+its per-query partial top-K, so the shuffle into the global top-K
+window carries n·B·K rows, never n². At 100 TB the shortlist step
+swaps for the IVF/LSH probe (similarity/ivf.py, lsh.py) with this
+exact variant as the recall reference — the same split the ANN
+entries already make.
+
+Testdata note: the driver's synthetic labels are geometry-free
+(top-5 neighbor label agreement ≈ 10% ≈ chance at 10 labels, measured
+under cosine too), so nearly every vector flags as noisy here — the
+operator's checkable content is the exact top-K membership, the
+self-exclusion, and the vote arithmetic, which the oracle and the
+randomized differential pin exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401  (doc parity with siblings)
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["emb_label_noise_knn", "QUERIES", "ORACLES"]
+
+K_NN = 5
+N_BLOCKS = 8
+
+_CAND_SCHEMA = "vec_id long, label int, nbr long, nbr_label int, dot long"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    return emb.select(
+        "vec_id", F.col("label").cast("int").alias("label"), q.alias("qe")
+    )
+
+
+def emb_label_noise_knn(
+    spark: SparkSession, sf_dir: str, k: int = K_NN, n_blocks: int = N_BLOCKS
+) -> DataFrame:
+    """(vec_id, label, n_same, is_noisy): exact top-`k` integer-dot
+    neighbors, neighbor-label agreement count, strict-minority flag."""
+
+    def replicated(side: str) -> DataFrame:
+        base = _quantized(spark, sf_dir).withColumn(
+            "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+        )
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
+            "blk_l int, blk_r int",
+        )
+        return base.join(F.broadcast(grid), base.blk == grid[side]).select(
+            "blk_l", "blk_r", "vec_id", "label", "qe"
+        )
+
+    left, right = replicated("blk_l"), replicated("blk_r")
+
+    def partial_topk(key, pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+        if pl.empty or pr.empty:
+            return pd.DataFrame(
+                {c: [] for c in ("vec_id", "label", "nbr", "nbr_label", "dot")}
+            )
+        ids_l = pl["vec_id"].to_numpy(dtype=np.int64)
+        ids_r = pr["vec_id"].to_numpy(dtype=np.int64)
+        lab_l = pl["label"].to_numpy(dtype=np.int32)
+        lab_r = pr["label"].to_numpy(dtype=np.int32)
+        ml = np.vstack(pl["qe"].map(lambda a: np.asarray(a, dtype=np.int64)).to_numpy())
+        mr = np.vstack(pr["qe"].map(lambda a: np.asarray(a, dtype=np.int64)).to_numpy())
+        dots = ml @ mr.T  # exact int64
+        out = {c: [] for c in ("vec_id", "label", "nbr", "nbr_label", "dot")}
+        kk = min(k, dots.shape[1])
+        for i in range(dots.shape[0]):
+            row = dots[i]
+            # self never qualifies as its own neighbor
+            self_mask = ids_r == ids_l[i]
+            # (dot desc, nbr asc) via lexsort (last key is primary)
+            order = np.lexsort((ids_r, -row))
+            order = order[~self_mask[order]][:kk]
+            out["vec_id"].extend([ids_l[i]] * len(order))
+            out["label"].extend([lab_l[i]] * len(order))
+            out["nbr"].extend(ids_r[order].tolist())
+            out["nbr_label"].extend(lab_r[order].tolist())
+            out["dot"].extend(row[order].tolist())
+        return pd.DataFrame(out)
+
+    cands = (
+        left.groupBy("blk_l", "blk_r")
+        .cogroup(right.groupBy("blk_l", "blk_r"))
+        .applyInPandas(partial_topk, _CAND_SCHEMA)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("nbr"))
+    topk = cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        topk.groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("nbr_label") == F.col("label"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_same")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_same",
+            (F.lit(2) * F.col("n_same") < F.lit(k)).alias("is_noisy"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_LABEL_NOISE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS i, a.label AS la, b.vec_id AS nbr, b.label AS lb,
+         CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS dot
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dot DESC, nbr) AS rn
+  FROM pairs
+)
+SELECT i AS vec_id,
+       CAST(la AS INTEGER) AS label,
+       CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       2 * SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) < {K_NN} AS is_noisy
+FROM topk
+WHERE rn <= {K_NN}
+GROUP BY i, la
+ORDER BY i
+"""
+
+
+QUERIES = {"emb_label_noise_knn": emb_label_noise_knn}
+ORACLES = {"emb_label_noise_knn": ORACLE_LABEL_NOISE}

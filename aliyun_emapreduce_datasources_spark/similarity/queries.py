@@ -8,6 +8,7 @@ from aliyun_emapreduce_datasources_spark.similarity import (
     centroid,
     ivf,
     kmeans,
+    label_noise,
     lsh,
     pq,
     quantize,
@@ -24,6 +25,7 @@ QUERIES = {
     "emb_assign_prototype": assign.QUERY,
     "emb_contrastive_triplets": triplets.QUERY,
     **kmeans.QUERIES,
+    **label_noise.QUERIES,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -35,4 +37,5 @@ ORACLES = {
     "emb_assign_prototype": assign.ORACLE,
     "emb_contrastive_triplets": triplets.ORACLE,
     **kmeans.ORACLES,
+    **label_noise.ORACLES,
 }

@@ -31,6 +31,7 @@ EMPTY_SAFE = [
     "text_boilerplate_scrub",
     "bpe_train_merges",
     "emb_kmeans_train",
+    "emb_label_noise_knn",
     "lm_trigram_backoff",
     "events_drift_tv",
     "events_ks_drift",

@@ -424,3 +424,15 @@ def test_robust_outliers_reduces_before_windows(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_noise_knn_is_blocked_cogroup(spark, sf_dir):
+    # exact kNN must run as the block-matrix cogroup (replication via
+    # broadcast of the block grid) — never a row-level self-join or
+    # cartesian pair materialization; global top-k is a Window over
+    # the n·B·K candidate rows
+    plan = plan_of(QUERIES["emb_label_noise_knn"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # block-grid replication joins
+    assert "Window" in plan

@@ -39,6 +39,7 @@ COMMENT = {
     "dedup_containment": "Postings self-join is hash-equi on (source, shingle-hash); stop-shingle DF cut and pruned set sizes come from Window over the postings — no nested loop over doc pairs, worst case bounded by the MAX_DF cap.",
     "emb_kmeans_train": "Centroids flow as a broadcast one-row pack (BroadcastNestedLoopJoin of bytes), identical generated code every iteration; assignment arg-min is a per-vector window; update is one (cluster, dim) hashpartitioning Exchange.",
     "feature_matrix_pit": "Tagged spine+event union, ONE hashpartitioning Exchange on user_id; both features (running last-ignorenulls + 7-day RANGE count) ride the same Window pass — no spine-events join anywhere.",
+    "emb_label_noise_knn": "Exact kNN as block-matrix FlatMapCoGroupsInPandas (grid replication via BroadcastHashJoin); each block pair emits per-query partial top-K so the Window top-K shuffles n.B.K candidate rows, never n² pairs.",
     "er_fuzzy_match_parts": "Blocking turns the name-similarity self-join into a hash-equi join on the block key (SortMergeJoin/ShuffledHashJoin on blk) — never a nested loop over part pairs; Levenshtein verifies only co-blocked candidates.",
 }
 
