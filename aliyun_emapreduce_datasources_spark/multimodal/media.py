@@ -210,7 +210,7 @@ HOP = 160            # 10 ms hop
 
 def attach_fake_audio(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     """Audio twin of attach_fake_media: payload bytes stand in for a
-    WAV blob; duration_ms is metadata (1–6 s, derived from the id so
+    WAV blob; duration_ms is metadata (0.5–2.5 s, derived from the id so
     the frame count is oracle-derivable)."""
     payload = F.to_binary(F.sha2(F.col(seed_col).cast("string"), 256), F.lit("hex"))
     meta = F.struct(
@@ -218,7 +218,7 @@ def attach_fake_audio(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
         F.lit("wav").alias("format"),
         F.lit(0).cast("int").alias("width"),
         F.lit(0).cast("int").alias("height"),
-        (F.pmod(F.col(id_col), F.lit(5000)) + 1000).cast("long").alias("duration_ms"),
+        (F.pmod(F.col(id_col), F.lit(2000)) + 500).cast("long").alias("duration_ms"),
         F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(F.col(seed_col).cast("string"), 256).alias("digest"),
     )

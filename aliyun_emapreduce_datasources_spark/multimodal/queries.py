@@ -62,12 +62,12 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(audio).select("media_id", "n_samples", "n_frames")
 
 
-# mirrors attach_fake_audio metadata (duration_ms = doc_id%5000+1000,
+# mirrors attach_fake_audio metadata (duration_ms = doc_id%2000+500,
 # SR=16000) and audio_features framing (1 + (n-400) // 160).
 ORACLE_AUDIO = """
 SELECT doc_id AS media_id,
-       CAST((doc_id % 5000 + 1000) * 16 AS BIGINT) AS n_samples,
-       CAST(1 + ((doc_id % 5000 + 1000) * 16 - 400) // 160 AS BIGINT) AS n_frames
+       CAST((doc_id % 2000 + 500) * 16 AS BIGINT) AS n_samples,
+       CAST(1 + ((doc_id % 2000 + 500) * 16 - 400) // 160 AS BIGINT) AS n_frames
 FROM documents
 """
 
