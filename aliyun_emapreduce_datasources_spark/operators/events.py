@@ -759,3 +759,67 @@ ORDER BY 1
 
 QUERIES["events_robust_outliers"] = events_robust_outliers
 ORACLES["events_robust_outliers"] = ORACLE_ROBUST
+
+
+# --- recency-decayed engagement (integer-exact half-life) -------------
+
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with exponential recency decay
+    (half-life = 7 days): Σ value · 2^(−weeks_old) — the standard
+    feature-engineering companion to the point-in-time matrix
+    (feature_matrix_pit), where yesterday's purchase should count
+    double next week's nothing.
+
+    Integer-exact: values become centi-integers, the decay weight is a
+    POWER OF TWO carried as a bit shift — ``v_c << (10 − weeks_old)``
+    at scale 2¹⁰ — so no float pow/exp appears and the DuckDB oracle
+    matches byte-for-byte (2^(−age/7) via exp/ln would drift in the
+    last ulp). Weeks beyond 10 clamp to weight 1 (the smallest
+    representable step at this scale; ≈ 0.1% of a fresh event).
+
+    Scale shape: one scalar aggregate for "now" (max event date,
+    broadcast as a 1-row crossJoin literal — the anchor must be data-
+    derived so the score is reproducible), then ONE map-side-combined
+    aggregate shuffling on user_id. Nothing else."""
+    ev = t(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.to_date("ts")).alias("now"))
+    vc = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+    aged = ev.crossJoin(F.broadcast(now)).select(
+        "user_id",
+        vc.alias("v_c"),
+        F.least(
+            F.expr("datediff(now, to_date(ts)) DIV 7").cast("long"), F.lit(10)
+        ).alias("wk"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("shiftleft(v_c, CAST(10 - wk AS INT))"))
+            .cast("long")
+            .alias("score_scaled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_DECAYED = f"""
+WITH now_t AS (
+  SELECT MAX(CAST(ts AS DATE)) AS now FROM events
+), aged AS (
+  SELECT user_id,
+         {_O_VC} AS v_c,
+         LEAST(CAST(datediff('day', CAST(ts AS DATE), now_t.now) // 7 AS BIGINT), 10) AS wk
+  FROM events CROSS JOIN now_t
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v_c * (1::BIGINT << CAST(10 - wk AS INTEGER))) AS BIGINT) AS score_scaled
+FROM aged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES["events_decayed_engagement"] = events_decayed_engagement
+ORACLES["events_decayed_engagement"] = ORACLE_DECAYED

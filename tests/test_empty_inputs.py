@@ -36,6 +36,7 @@ EMPTY_SAFE = [
     "events_drift_tv",
     "events_ks_drift",
     "events_robust_outliers",
+    "events_decayed_engagement",
     "text_keyness_lift",
     "dedup_containment",
     "bpe_encode_corpus",

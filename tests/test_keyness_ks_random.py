@@ -204,3 +204,30 @@ def test_robust_outliers_match_reference(spark, tmp_path_factory, vals):
     }
     want = ref_robust([(ty, v / 100.0) for ty, v in vals])
     assert got == want
+
+
+def test_decayed_engagement_halves_per_week(spark, tmp_path_factory):
+    from aliyun_emapreduce_datasources_spark.operators.events import (
+        events_decayed_engagement,
+    )
+    from datetime import datetime
+
+    # user 1: value 8.00 today; user 2: the same value 7 days earlier;
+    # user 3: 70+ days earlier (clamped to weight 1 = 2^0)
+    rows = [
+        (1, 1, datetime(2024, 3, 1, 12), 8.0),
+        (2, 2, datetime(2024, 2, 23, 12), 8.0),
+        (3, 3, datetime(2023, 12, 1, 12), 8.0),
+        (4, 1, datetime(2024, 3, 1, 13), 0.0),  # pins "now" per user 1
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("decay"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.user_id: r.score_scaled
+        for r in events_decayed_engagement(spark, sf_dir).collect()
+    }
+    assert got[1] == 800 << 10          # fresh: full 2^10 weight
+    assert got[2] == (800 << 10) // 2   # one half-life: exactly half
+    assert got[3] == 800                # clamped tail: weight 1
