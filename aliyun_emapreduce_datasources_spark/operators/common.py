@@ -133,20 +133,23 @@ O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"
 
 def centi_band(value_col: str, width_centi: int):
     """Fixed-width value band on EXACT centi-integers, engine-portable
-    for NEGATIVE values too: truncating division toward zero on both
-    sides (Spark DIV natively; o_centi_band mirrors with a sign CASE
-    because DuckDB's // floors). One definition shared by the batch
+    for NEGATIVE and HALF-CENTI values too: the double->centi step is
+    an explicit ROUND (ties away from zero in BOTH engines; a plain
+    decimal->BIGINT cast truncates in Spark but rounds in DuckDB), and
+    the band division truncates toward zero on both sides (Spark DIV
+    natively; o_centi_band mirrors with a sign CASE because DuckDB's
+    // floors). One definition shared by the batch
     drift monitor (operators/events.events_drift_tv) and its streaming
     twin (streaming/windows.windowed_value_histogram) so the two can
     never bin differently."""
     return F.expr(
-        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT) DIV {width_centi}"
+        f"CAST(ROUND(CAST({value_col} AS DECIMAL(18,6)) * 100) AS BIGINT) DIV {width_centi}"
     )
 
 
 def o_centi_band(value_col: str, width_centi: int) -> str:
     """DuckDB twin of centi_band (truncating division via sign CASE)."""
-    c = f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    c = f"CAST(ROUND(CAST({value_col} AS DECIMAL(18,6)) * 100) AS BIGINT)"
     return (
         f"CASE WHEN {c} < 0 THEN -((-({c})) // {width_centi}) "
         f"ELSE ({c}) // {width_centi} END"

@@ -660,11 +660,15 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. Nothing after the first aggregate touches event
     rows."""
     ev = t(spark, sf_dir, "events")
-    vc = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+    vc = F.expr("CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)")
     agg = (
         ev.select("event_type", vc.alias("v_c"))
         .groupBy("event_type", "v_c")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # the grid feeds three branches (median,
+        # MAD, outlier count) — materialize once so the corpus-sized
+        # scan+reduce is paid once, not per branch (same rule as the
+        # iterative operators' loop-invariant materialization)
     )
     w_cum = (
         Window.partitionBy("event_type")
@@ -716,7 +720,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_O_VC = "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"
+_O_VC = "CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)"
 
 ORACLE_ROBUST = f"""
 WITH agg AS (
@@ -783,7 +787,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shuffling on user_id. Nothing else."""
     ev = t(spark, sf_dir, "events")
     now = ev.agg(F.max(F.to_date("ts")).alias("now"))
-    vc = F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+    vc = F.expr("CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)")
     aged = ev.crossJoin(F.broadcast(now)).select(
         "user_id",
         vc.alias("v_c"),

@@ -936,7 +936,7 @@ def feature_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("us"),
         F.col("event_id").cast("long").alias("seq"),
-        (m("value") * 1000).cast("long").alias("val_milli"),
+        F.expr("CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 1000) AS BIGINT)").alias("val_milli"),
         F.lit(1).alias("is_event"),
         F.lit(None).cast("long").alias("order_key"),
     )
@@ -977,7 +977,7 @@ def feature_matrix_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIT = """
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS seq,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS val_milli,
+         CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 1000) AS BIGINT) AS val_milli,
          1 AS is_event, CAST(NULL AS BIGINT) AS order_key
   FROM events
 ), sp AS (

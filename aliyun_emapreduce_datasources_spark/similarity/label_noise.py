@@ -69,16 +69,33 @@ def emb_label_noise_knn(
     """(vec_id, label, n_same, is_noisy): exact top-`k` integer-dot
     neighbors, neighbor-label agreement count, strict-minority flag."""
 
+    # ONE scan+quantize feeds both cogroup sides (localCheckpoint —
+    # without it each side re-reads and re-quantizes the table); the
+    # block grid is built once and broadcast to both replication joins
+    base = (
+        _quantized(spark, sf_dir)
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .localCheckpoint()
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
+        "blk_l int, blk_r int",
+    )
+
     def replicated(side: str) -> DataFrame:
-        base = _quantized(spark, sf_dir).withColumn(
-            "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
-        )
-        grid = spark.createDataFrame(
-            [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
-            "blk_l int, blk_r int",
-        )
-        return base.join(F.broadcast(grid), base.blk == grid[side]).select(
-            "blk_l", "blk_r", "vec_id", "label", "qe"
+        # both sides derive from the SAME checkpointed base — alias the
+        # datasets and re-alias every projected column (fresh exprIds)
+        # so the self-join ambiguity check resolves each side
+        tag = "l" if side == "blk_l" else "r"
+        b, g = base.alias(f"b{tag}"), grid.alias(f"g{tag}")
+        return b.join(
+            F.broadcast(g), F.col(f"b{tag}.blk") == F.col(f"g{tag}.{side}")
+        ).select(
+            F.col(f"g{tag}.blk_l").alias("blk_l"),
+            F.col(f"g{tag}.blk_r").alias("blk_r"),
+            F.col(f"b{tag}.vec_id").alias("vec_id"),
+            F.col(f"b{tag}.label").alias("label"),
+            F.col(f"b{tag}.qe").alias("qe"),
         )
 
     left, right = replicated("blk_l"), replicated("blk_r")

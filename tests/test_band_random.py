@@ -14,9 +14,12 @@ from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators.common import centi_band, o_centi_band
 
-# 2-decimal money-like values, both signs, crossing band boundaries
+# quarter-centi values, both signs, crossing band boundaries — odd
+# multiples of 1/200 are exact half-centi ties, pinning the explicit
+# ROUND in the conversion (a plain decimal→BIGINT cast truncates in
+# Spark but rounds in DuckDB, so ties would bin differently)
 VALUES = st.lists(
-    st.integers(min_value=-100000, max_value=100000).map(lambda c: c / 100.0),
+    st.integers(min_value=-200000, max_value=200000).map(lambda c: c / 200.0),
     min_size=1,
     max_size=40,
 )

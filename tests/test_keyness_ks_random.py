@@ -152,7 +152,10 @@ def test_ks_zero_for_identical_distribution(spark, tmp_path_factory):
 
 
 def ref_robust(rows):
-    # rows: (event_type, value) — centi conversion mirrors the operator
+    # rows: (event_type, value) — centi conversion mirrors the operator:
+    # decimal(18,6) quantize then ROUND half away from zero (the
+    # engine-portable form; a plain decimal→BIGINT cast truncates in
+    # Spark but rounds in DuckDB)
     from decimal import Decimal
 
     by_t = {}
@@ -191,8 +194,9 @@ def test_robust_outliers_match_reference(spark, tmp_path_factory, vals):
         events_robust_outliers,
     )
 
-    # integer-centi inputs (v/100) keep the Decimal conversion exact
-    rows = [(i, ty, v / 100.0) for i, (ty, v) in enumerate(vals)]
+    # v/200 generates HALF-CENTI values (odd v → .005 ties), pinning
+    # the round-away-from-zero conversion on the engine side too
+    rows = [(i, ty, v / 200.0) for i, (ty, v) in enumerate(vals)]
     sf_dir = str(tmp_path_factory.mktemp("mad"))
     spark.createDataFrame(
         rows, "event_id long, event_type string, value double"
@@ -202,7 +206,7 @@ def test_robust_outliers_match_reference(spark, tmp_path_factory, vals):
         r.event_type: (r.n_events, r.med2_centi, r.mad4_centi, r.n_outliers)
         for r in events_robust_outliers(spark, sf_dir).collect()
     }
-    want = ref_robust([(ty, v / 100.0) for ty, v in vals])
+    want = ref_robust([(ty, v / 200.0) for ty, v in vals])
     assert got == want
 
 

@@ -417,10 +417,13 @@ def test_containment_join_is_hash_equi_on_postings(spark, sf_dir):
 
 
 def test_robust_outliers_reduces_before_windows(spark, sf_dir):
-    # events must reduce to the (type, centi-value) grid with map-side
-    # partials BEFORE any window; med/MAD tables join back broadcast
+    # events reduce ONCE to the (type, centi-value) grid, materialized
+    # via localCheckpoint (Scan ExistingRDD) so the three consumer
+    # branches (median, MAD, outlier count) never re-scan the corpus;
+    # med/MAD tables join back broadcast
     plan = plan_of(QUERIES["events_robust_outliers"](spark, sf_dir))
-    assert "partial_count" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
