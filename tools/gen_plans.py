@@ -35,7 +35,7 @@ COMMENT = {
     "graph_pagerank": "Graph materialized ONCE as a vertex-sized adjacency table (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; each iteration is one |V|-sized hash join (ranks x adjacency) + in-row explode + the edge-sized contribution aggregate, never nested-loop.",
     "text_keyness_lift": "One corpus shuffle for (source, token) counts with map-side partials; per-source and per-token totals are Window sums over the vocabulary-sized aggregate; the grand total rides a 1-row BroadcastNestedLoopJoin; the per-source top-k compiles to WindowGroupLimit.",
     "events_ks_drift": "Raw events reduce with partial HashAggregate; the type list is a tiny BroadcastNestedLoopJoin onto the distinct-value grid; both CDFs are cumulative Window sums over the grid, never over raw events.",
-    "events_robust_outliers": "Events reduce once to the (type, centi-value) grid (partial HashAggregate); both weighted-median passes are Window cumulative sums over that grid; med/MAD per-type tables come back as BroadcastHashJoin — event rows are never touched after the first aggregate.",
+    "events_robust_outliers": "Events reduce once to the (type, centi-value) grid, materialized via localCheckpoint (Scan ExistingRDD — the median, MAD, and outlier branches never re-scan the corpus); weighted-median passes are Window cumulative sums over the grid; med/MAD tables come back as BroadcastHashJoin.",
     "dedup_containment": "Postings self-join is hash-equi on (source, shingle-hash); stop-shingle DF cut and pruned set sizes come from Window over the postings — no nested loop over doc pairs, worst case bounded by the MAX_DF cap.",
     "emb_kmeans_train": "Centroids flow as a broadcast one-row pack (BroadcastNestedLoopJoin of bytes), identical generated code every iteration; assignment arg-min is a per-vector window; update is one (cluster, dim) hashpartitioning Exchange.",
     "feature_matrix_pit": "Tagged spine+event union, ONE hashpartitioning Exchange on user_id; both features (running last-ignorenulls + 7-day RANGE count) ride the same Window pass — no spine-events join anywhere.",
