@@ -29,7 +29,11 @@ doc_id for pruned set size, then the postings self-join on
 (source, shingle-hash) whose output is bounded by MAX_DF² per shingle
 per source (the cap is what makes the worst case finite). All
 integer sizes; the single double division is bit-identical across
-engines. xxhash64 collision caveat as in dedup/ngram.py.
+engines. xxhash64 collision caveat as in dedup/ngram.py — and note
+the DF cap is applied to the RAW shingle string BEFORE hashing, so a
+collision can only merge postings for pair identity, never change
+which shingles survive the MAX_DF cut (keeps the cut byte-identical
+with the oracle, which has no hash).
 """
 
 from __future__ import annotations
@@ -54,18 +58,19 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = ensure_parallelism(docs).select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.array_distinct(shingles(tokens("text"))),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("s"),
+        F.explode(F.array_distinct(shingles(tokens("text")))).alias("s_raw"),
     )
+    # df is computed on the RAW shingle string (exactly what the
+    # oracle caps over) and only the surviving postings are hashed for
+    # the self-join — a hash collision can therefore still merge two
+    # postings lists (the pair-identity caveat below) but can never
+    # shift the DF cut itself
     kept = (
         post.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("source", "s"))
+            "df", F.count(F.lit(1)).over(Window.partitionBy("source", "s_raw"))
         )
         .where(F.col("df") <= MAX_DF)
+        .select("doc_id", "source", F.xxhash64("s_raw").alias("s"))
         .withColumn(
             "n_kept", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )

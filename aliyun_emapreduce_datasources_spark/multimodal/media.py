@@ -267,6 +267,18 @@ def audio_features(
             out = {"media_id": [], "n_samples": [], "n_frames": [], "mean_rms": [], "mean_zcr": []}
             for _, row in pdf.iterrows():
                 pcm = _decode_audio_stub(row["payload"], row["meta"]["duration_ms"], sr)
+                if pcm.size < frame:
+                    # a clip shorter than one analysis window has no
+                    # frames — emit zero-frame metadata with null stats
+                    # instead of letting sliding_window_view raise an
+                    # opaque ValueError (reachable once the stub is
+                    # swapped for a real decoder on arbitrary clips)
+                    out["media_id"].append(row["media_id"])
+                    out["n_samples"].append(int(pcm.size))
+                    out["n_frames"].append(0)
+                    out["mean_rms"].append(None)
+                    out["mean_zcr"].append(None)
+                    continue
                 frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop]
                 x = frames.astype(np.float64)
                 rms = np.sqrt((x * x).mean(axis=1))

@@ -551,8 +551,13 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-type partitions are sequential within the window — with
     billions of distinct values, range-partitioned two-phase prefix
     sums replace the window; at any realistic value-grid size this is
-    vocabulary-scale work."""
-    ev = t(spark, sf_dir, "events")
+    vocabulary-scale work.
+
+    NULL ``value`` rows are dropped up front on BOTH engines: Spark
+    windows sort NULLS FIRST while DuckDB sorts NULLS LAST, and the
+    grid left-join treats a NULL key asymmetrically, so a single NULL
+    would silently diverge the cumulative CDFs between engines."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     pertype = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -599,12 +604,14 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KS_DRIFT = """
-WITH pertype AS (
-  SELECT value, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+WITH ev AS (
+  SELECT value, event_type FROM events WHERE value IS NOT NULL
+), pertype AS (
+  SELECT value, event_type, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
 ), vtot AS (
   SELECT value, SUM(cnt) AS tv FROM pertype GROUP BY 1
 ), types AS (
-  SELECT DISTINCT event_type FROM events
+  SELECT DISTINCT event_type FROM ev
 ), g AS (
   SELECT v.value, ty.event_type,
          CAST(COALESCE(p.cnt, 0) AS BIGINT) AS cnt0,
@@ -658,8 +665,12 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics on that grid — cumulative window sums + a conditional
     MIN at the (n+k) DIV 2 crossing — and the per-type med/MAD tables
     broadcast back. Nothing after the first aggregate touches event
-    rows."""
-    ev = t(spark, sf_dir, "events")
+    rows.
+
+    NULL ``value`` rows are dropped up front on BOTH engines (same
+    rationale as events_ks_drift: NULLS FIRST vs NULLS LAST window
+    ordering would shift every order statistic)."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vc = F.expr("CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)")
     agg = (
         ev.select("event_type", vc.alias("v_c"))
@@ -724,7 +735,8 @@ _O_VC = "CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)"
 
 ORACLE_ROBUST = f"""
 WITH agg AS (
-  SELECT event_type, {_O_VC} AS v_c, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+  SELECT event_type, {_O_VC} AS v_c, COUNT(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,

@@ -10,7 +10,9 @@ own label is in the strict minority (2·n_same < K).
 Determinism / oracle parity: similarity is the INNER PRODUCT of
 integer micro-quantized vectors (``floor(double(x)·1e6)`` — the
 centroid.py/kmeans.py portable quantization). Dots are exact int64
-(|q| ≤ ~5·10⁵, dim 64 ⇒ |dot| ≲ 2·10¹³ ≪ 2⁵³, asserted in tests), so
+(|q| ≤ ~5·10⁵, dim 64 ⇒ |dot| ≲ 2·10¹³ ≪ 2⁵³; a runtime guard in
+``partial_topk`` raises ``OverflowError`` before any matmul whose
+worst-case ``dim·max|ql|·max|qr|`` could wrap int64), so
 Spark's numpy int64 matmul and DuckDB's list_inner_product agree
 byte-for-byte and top-K membership cannot flip on a last-ulp tie the
 way float cosine can; remaining ties break on neighbor id.
@@ -111,6 +113,20 @@ def emb_label_noise_knn(
         lab_r = pr["label"].to_numpy(dtype=np.int32)
         ml = np.vstack(pl["qe"].map(lambda a: np.asarray(a, dtype=np.int64)).to_numpy())
         mr = np.vstack(pr["qe"].map(lambda a: np.asarray(a, dtype=np.int64)).to_numpy())
+        # runtime wrap guard: numpy int64 matmul overflows SILENTLY, so
+        # bound the worst-case |dot| = dim·max|ql|·max|qr| before
+        # computing — inputs ≳ ~600 absolute value at dim 64 would
+        # otherwise corrupt top-K membership with no error
+        max_l = int(np.abs(ml).max(initial=0))
+        max_r = int(np.abs(mr).max(initial=0))
+        worst = ml.shape[1] * max_l * max_r
+        if worst >= 2**62:
+            raise OverflowError(
+                "label_noise: quantized dot product may exceed int64 "
+                f"(dim={ml.shape[1]}, max|ql|={max_l}, max|qr|={max_r}, "
+                f"worst-case |dot|={worst}); reduce the quantization "
+                "scale or input magnitude"
+            )
         dots = ml @ mr.T  # exact int64
         out = {c: [] for c in ("vec_id", "label", "nbr", "nbr_label", "dot")}
         kk = min(k, dots.shape[1])

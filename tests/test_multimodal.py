@@ -120,3 +120,30 @@ def test_audio_features_deterministic_and_framed(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         _decode_audio_stub(b"", 1000, SR)
+
+
+def test_audio_features_short_clip_yields_zero_frames(spark, sf_dir):
+    """A clip shorter than one 25 ms analysis window must surface as
+    n_frames=0 with null pooled stats, not an opaque numpy error —
+    reachable once the stub decoder is swapped for a real one."""
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        SR,
+        attach_fake_audio,
+        audio_features,
+    )
+    from pyspark.sql import functions as F
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").limit(3)
+    audio = attach_fake_audio(docs, "doc_id", "text")
+    # force sub-window durations (10 ms < 25 ms frame at 16 kHz)
+    short = audio.withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", F.lit(10).cast("long")),
+    )
+    out = audio_features(short).toPandas()
+    assert len(out) == 3
+    assert (out["n_frames"] == 0).all()
+    assert (out["n_samples"] == 10 * SR // 1000).all()
+    assert out["mean_rms"].isna().all()
+    assert out["mean_zcr"].isna().all()
