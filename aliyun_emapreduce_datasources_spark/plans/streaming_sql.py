@@ -306,17 +306,19 @@ class StreamingSqlSession:
 
                 url = sink.get("url", "")
                 db_path = url.split("jdbc:sqlite:", 1)[-1] if url else sink["db"]
-                if sink.get("writer") == "partition":
-                    # executor-side data path (foreachPartition, no
-                    # driver collect) — the scale variant of S23
+                if sink.get("writer") == "driver":
+                    # single-connection protocol demo (driver collect
+                    # per micro-batch) — opt-in only; never the default
+                    writer_sink = SQLiteExactlyOnceSink(
+                        db_path, sink.get("dbtable", target), df.columns
+                    )
+                else:
+                    # DEFAULT: executor-side data path (foreachPartition,
+                    # no driver collect) — the scale variant of S23
                     writer_sink = ExecutorExactlyOnceSink(
                         functools.partial(sqlite_connection, db_path),
                         sink.get("dbtable", target),
                         df.columns,
-                    )
-                else:
-                    writer_sink = SQLiteExactlyOnceSink(
-                        db_path, sink.get("dbtable", target), df.columns
                     )
                 writer = df.writeStream.foreachBatch(writer_sink).outputMode(mode)
                 if "checkpointLocation" in sink:

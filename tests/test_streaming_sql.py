@@ -572,7 +572,9 @@ SELECT event_id, event_type FROM ev_jdbc WHERE event_type = 'purchase'
 def test_jdbc2_sink_sql_script_exactly_once(spark, sf_dir, stream_dir, tmp_path):
     """JdbcSourceProvider's `USING jdbc2` surface (JdbcSink.scala:50-70):
     the DDL-declared sink routes through the two-phase batchId commit
-    log — all rows land exactly once."""
+    log — all rows land exactly once — and the DEFAULT writer is the
+    executor-side foreachPartition variant (no driver collect); the
+    single-connection demo is opt-in via `writer 'driver'`."""
     import sqlite3
 
     db = str(tmp_path / "sink.db")
@@ -594,6 +596,11 @@ def test_jdbc2_sink_sql_script_exactly_once(spark, sf_dir, stream_dir, tmp_path)
         }
     assert n == nd == want  # every purchase exactly once
     assert statuses == {"COMMITTED"}
+    # the default writer must be the executor-side sink: its data table
+    # carries the per-partition idempotence tag the driver demo lacks
+    with sqlite3.connect(db) as con:
+        cols = {r[1] for r in con.execute("PRAGMA table_info(purchases)")}
+    assert "_partition_id" in cols
 
 
 # --- SESSION window extension (session_window rewrite) ----------------
