@@ -38,6 +38,8 @@ QUERIES = {
 
 # minhash/simhash/winnow use engine-specific hash functions that
 # DuckDB cannot reproduce → rows-only checks for those.
+# embedding_cosine is LSH-blocked (recall < 1 by design) → rows-only;
+# its exact blocked twin is oracle-checked in tests/test_dedup.py.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
     "dedup_decontaminate": decontaminate.ORACLE,
@@ -45,7 +47,6 @@ ORACLES = {
     "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
-    "dedup_embedding_cosine": embedding.ORACLE,
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
     "dedup_containment": containment.ORACLE,

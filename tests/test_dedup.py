@@ -255,3 +255,68 @@ def test_incremental_dedup_random_differential(spark, tmp_path):
             for r in incremental_dedup(spark, str(d)).collect()
         }
         assert got == expect, (trial, got, expect)
+
+
+# --- embedding near-dup: LSH headline vs exact blocked twin ----------
+
+
+def test_embedding_lsh_recovers_high_cosine_pairs(spark, sf_dir, oracle):
+    """The cataloged LSH variant's contract (mirrors the minhash-LSH
+    test): every pair comfortably above threshold (cosine >= 0.5 vs the
+    0.4 cut) must be recovered — near-threshold pairs are the
+    documented recall loss. Deterministic: hyperplanes are fixed."""
+    from aliyun_emapreduce_datasources_spark.dedup import embedding
+
+    hi = set(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT a.vec_id, b.vec_id FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.5
+        """
+            ).fetchall(),
+        )
+    )
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding.embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    missed = hi - lsh
+    assert not missed, f"LSH missed high-cosine pairs: {sorted(missed)[:5]}"
+
+
+def test_embedding_lsh_recall_and_precision_vs_exact(spark, sf_dir):
+    """Overall recall vs the exact blocked twin must stay >= 0.85
+    (measured 0.915 sf0.01 / 0.93 sf0.1 with 3 planes x 16 tables),
+    and precision must be EXACTLY 1.0 — candidates are verified with
+    the exact cosine, so LSH output is a subset of the exact pairs."""
+    from aliyun_emapreduce_datasources_spark.dedup import embedding
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding.embedding_neardup_blocked(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding.embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.85, f"LSH recall {recall:.3f} < 0.85"
+
+
+def test_embedding_blocked_matches_oracle(spark, sf_dir, oracle):
+    """The exact blocked variant stays the oracle cross-check now that
+    the catalog entry is the LSH path: pair set must equal the O(n^2)
+    DuckDB join bit-for-bit."""
+    from aliyun_emapreduce_datasources_spark.dedup import embedding
+
+    want = set(map(tuple, oracle.execute(embedding.ORACLE).fetchall()))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding.embedding_neardup_blocked(spark, sf_dir).collect()
+    }
+    assert got == want
