@@ -327,6 +327,10 @@ def _money(expr):
     return F.round(expr, 2).cast("double")
 
 
+BIG_TICKET_OFFSET = 2_000_000_000  # synthetic q34 tickets, disjoint key space
+BIG_TICKET_EVERY = 199  # ~0.5% of orders become 15-20-item tickets
+
+
 def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _fact_base(spark, sf_dir)
     n = _n_customers(spark, sf_dir)
@@ -342,7 +346,7 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (= per order here); the occasional NULL store/addr rows feed
     # q76's channel-null branches, per line so both cases coexist
     # inside a ticket.
-    return b.select(
+    base = b.select(
         _date_sk(F.col("_sold_date")).alias("ss_sold_date_sk"),
         F.pmod(ok * 59 + ln * 131, F.lit(1440)).alias("ss_sold_time_sk"),
         F.col("l_partkey").alias("ss_item_sk"),
@@ -371,6 +375,60 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(ext * F.col("l_discount")).alias("ss_coupon_amt"),
         _money(ext * (F.lit(0.2) - F.col("l_discount"))).alias("ss_net_profit"),
     )
+
+    # --- q34 big-ticket slice (reference queries/q34.sql) -----------
+    # TPC-H caps orders at 7 line items, so `cnt BETWEEN 15 AND 20`
+    # over per-order tickets is structurally empty. A deterministic
+    # ~0.5% slice of orders is re-keyed into a disjoint ticket space
+    # and its items replicated ceil(15/c) times (c = items in the
+    # order, 7-item orders excluded since no multiple of 7 lands in
+    # 15..20), yielding 15-20-item tickets. Their date/store/hdemo FKs
+    # are pinned to known q34-qualifying dim rows (d_dom=1 in 1999,
+    # s_county='Williamson County' at store 4, hd 13 = 'unknown' with
+    # dep/vehicle = 3 > 1.2) so the band is non-empty by construction,
+    # not by data accident.
+    from pyspark.sql import Window
+
+    q34_date_sk = F.datediff(
+        F.lit("1999-03-01").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    big_src = (
+        b.where(F.pmod(ok, F.lit(BIG_TICKET_EVERY)) == 0)
+        .withColumn(
+            "_n_items", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .where(F.col("_n_items") <= 6)
+        .withColumn(
+            "_rep",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.ceil(F.lit(15) / F.col("_n_items")).cast("int")
+                )
+            ),
+        )
+    )
+    big = big_src.select(
+        q34_date_sk.alias("ss_sold_date_sk"),
+        F.pmod(ok * 59 + ln * 131, F.lit(1440)).alias("ss_sold_time_sk"),
+        F.col("l_partkey").alias("ss_item_sk"),
+        F.col("o_custkey").alias("ss_customer_sk"),
+        F.pmod(F.col("o_custkey") * 11, F.lit(N_CDEMO)).alias("ss_cdemo_sk"),
+        F.lit(13).cast("bigint").alias("ss_hdemo_sk"),
+        (F.pmod(F.col("o_custkey") * 13 + ok * 29, F.lit(n)) + 1).alias("ss_addr_sk"),
+        F.lit(4).cast("bigint").alias("ss_store_sk"),
+        F.pmod(F.col("l_partkey") + F.col("l_suppkey"), F.lit(10)).alias("ss_promo_sk"),
+        (ok + F.lit(BIG_TICKET_OFFSET)).alias("ss_ticket_number"),
+        F.col("l_quantity").cast("int").alias("ss_quantity"),
+        _money(ext / F.col("l_quantity")).alias("ss_list_price"),
+        _money(ext / F.col("l_quantity") * (1 - F.col("l_discount"))).alias("ss_sales_price"),
+        _money(ext * (1 - F.col("l_discount"))).alias("ss_ext_sales_price"),
+        _money(ext).alias("ss_ext_list_price"),
+        _money(ext * F.col("l_tax")).alias("ss_ext_tax"),
+        _money(ext * 0.8).alias("ss_ext_wholesale_cost"),
+        _money(ext * F.col("l_discount")).alias("ss_coupon_amt"),
+        _money(ext * (F.lit(0.2) - F.col("l_discount"))).alias("ss_net_profit"),
+    )
+    return base.unionByName(big)
 
 
 def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,11 +47,12 @@ SCRIPTS = [
 
 # Scripts whose literal predicates are non-empty against the adapter
 # data at sf0.01 (surveyed once, then pinned — a regression to zero
-# rows means an adapter or front-end bug, not a data accident). q34 is
-# structurally empty: its `cnt BETWEEN 15 AND 20` needs 15-item
-# tickets, and the testdata caps orders at 7 line items; the
-# streaming-vs-batch equality still exercises its full recompute path.
-NONEMPTY = set(SCRIPTS) - {"q34"}
+# rows means an adapter or front-end bug, not a data accident). q34's
+# `cnt BETWEEN 15 AND 20` band is fed by the adapter's deterministic
+# big-ticket slice (tpcds_adapter._store_sales: ~0.5% of orders
+# replicated into 15-20-item tickets with q34-qualifying dim FKs) —
+# 66 result rows at sf0.01.
+NONEMPTY = set(SCRIPTS)
 
 # The corpus statements' monthly+demographic slices need sf0.01 to be
 # non-vacuous (a month of sf0.001 facts is ~75 rows); independent of
