@@ -1,0 +1,203 @@
+"""Driver-visible property oracles for the approximate dedup family.
+
+The hash-based operators (minhash/winnow/bloom/embedding-LSH) cannot
+be value-matched by a DuckDB oracle — their signatures use engine
+hash functions — so their catalog rows are rows-only. These companion
+entries close that gap the way the judge's containment-test pattern
+does, but as CATALOG entries the external driver hash-checks: each
+one computes the VIOLATIONS of a property the approximate operator
+guarantees deterministically, through an INDEPENDENT code path (raw
+strings / JVM expressions, never the operator's own hashes), and its
+oracle pins the result to the empty set. A silent regression in the
+approximate operator (emitting a wrong pair, dropping a guaranteed
+detection, a hash collision shifting a verdict) surfaces as a
+non-empty Spark result hash-mismatching the empty oracle — a
+falsifiable check, not a row count.
+
+Properties pinned (each cites the guarantee):
+
+- **Bloom decontamination has NO false negatives** (a Bloom filter
+  can only over-report): every doc the exact postings operator flags
+  must be bloom-flagged with an equal-or-higher shingle count.
+- **MinHash-LSH verified pairs are truly above threshold**: the
+  entry's own verify uses hashed shingle sets; recomputing Jaccard
+  from RAW shingle strings must agree — a hash collision inflating
+  the hashed Jaccard past the cut would surface here.
+- **Winnowing pairs share a real substring**: two docs sharing a
+  window-min fingerprint share a k-gram hash; the raw-text check
+  pins that they share an actual KGRAM-char substring.
+- **Embedding-LSH pairs are true near-dups (precision = 1)**: the
+  bucket-local numpy-BLAS verification is re-checked with the JVM
+  expression cosine (independent arithmetic path); every emitted
+  pair must clear the threshold with 1e-9 slack for fold-order ulps.
+- **BPE encode is lossless**: concatenating a word's BPE symbols
+  must reproduce the word + end-of-word marker byte-for-byte, for
+  every distinct corpus word (merges only ever concatenate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.dedup import (
+    bloom,
+    decontaminate,
+    embedding,
+    minhash,
+    winnow,
+)
+from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
+from aliyun_emapreduce_datasources_spark.functions.vector import cosine
+from aliyun_emapreduce_datasources_spark.operators.common import t
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def bloom_no_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs the exact decontaminator flags that bloom misses or
+    under-counts — guaranteed empty (Bloom filters only over-report)."""
+    exact = decontaminate.QUERY(spark, sf_dir)  # (doc_id, n_shared)
+    flagged = bloom.QUERY(spark, sf_dir)  # (doc_id, n_flagged)
+    return (
+        exact.join(flagged, "doc_id", "left")
+        .where(
+            F.col("n_flagged").isNull() | (F.col("n_flagged") < F.col("n_shared"))
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def minhash_precision_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-verified pairs whose Jaccard over RAW shingle strings
+    falls below the 0.5 cut — empty unless a hash collision (or a
+    verify bug) inflated the hashed-set Jaccard."""
+    pairs = minhash.QUERY(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"))).alias("sh_raw")
+    )
+    raw_jac = F.size(F.array_intersect("a_sh", "b_sh")).cast("double") / F.size(
+        F.array_distinct(F.concat("a_sh", "b_sh"))
+    )
+    return (
+        pairs.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "sh_raw": "a_sh"}), "doc_a"
+        )
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh_raw": "b_sh"}), "doc_b")
+        .where(raw_jac < F.lit(0.5))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnow_containment_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow near-dup pairs that share NO raw KGRAM-char substring —
+    empty by the winnowing guarantee (shared window-min fingerprint ⇒
+    shared k-gram) unless a rolling-hash collision produced the pair."""
+    k = winnow.KGRAM
+    pairs = winnow.QUERY(spark, sf_dir).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+                    f" i -> substring(text, i, {k}))"
+                )
+            )
+        ).alias("g"),
+    )
+    # pairs minus pairs-with-a-shared-gram: the pair's doc_a grams
+    # equi-join doc_b's grams on (doc_b, g), then anti-join back
+    shared_pairs = (
+        pairs.join(grams.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(grams.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "g"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        pairs.join(shared_pairs, ["doc_a", "doc_b"], "left_anti")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_lsh_precision_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs whose JVM-expression cosine (independent of
+    the numpy bucket matmul) is below threshold − 1e-9 — empty by the
+    exact-verify construction."""
+    pairs = embedding.QUERY(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        pairs.join(
+            emb.withColumnsRenamed({"vec_id": "vec_a", "embedding": "ea"}), "vec_a"
+        )
+        .join(emb.withColumnsRenamed({"vec_id": "vec_b", "embedding": "eb"}), "vec_b")
+        .where(cosine("ea", "eb") < F.lit(embedding.COS_THRESHOLD) - F.lit(1e-9))
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct corpus words whose BPE symbol sequence does not concat
+    back to word+EOW — empty (merges only concatenate adjacent syms)."""
+    import pandas as pd
+
+    from aliyun_emapreduce_datasources_spark.functions.bpe_train import (
+        EOW,
+        N_MERGES,
+        encode_word,
+        train_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    merges = [(left, right) for left, right, _ in train_merges(words, N_MERGES)]
+
+    def _check(pdf_iter):
+        for pdf in pdf_iter:
+            bad = [
+                w
+                for w in pdf["w"]
+                if "".join(encode_word(w, merges)) != w + EOW
+            ]
+            yield pd.DataFrame({"w": bad})
+
+    return (
+        words.select("w").mapInPandas(_check, schema="w string").orderBy("w")
+    )
+
+
+_EMPTY_PAIRS = (
+    "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE FALSE"
+)
+
+QUERIES = {
+    "dedup_bloom_no_false_negatives": bloom_no_false_negatives,
+    "dedup_minhash_precision_check": minhash_precision_violations,
+    "dedup_winnow_containment_check": winnow_containment_violations,
+    "dedup_embedding_lsh_precision_check": embedding_lsh_precision_violations,
+    "bpe_roundtrip_check": bpe_roundtrip_violations,
+}
+
+ORACLES = {
+    "dedup_bloom_no_false_negatives": (
+        "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
+    ),
+    "dedup_minhash_precision_check": _EMPTY_PAIRS,
+    "dedup_winnow_containment_check": _EMPTY_PAIRS,
+    "dedup_embedding_lsh_precision_check": (
+        "SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b"
+        " WHERE FALSE"
+    ),
+    "bpe_roundtrip_check": "SELECT CAST(NULL AS VARCHAR) AS w WHERE FALSE",
+}

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from aliyun_emapreduce_datasources_spark.dedup import (
     bloom,
+    properties,
     clusters,
     containment,
     decontaminate,
@@ -34,6 +35,7 @@ QUERIES = {
     "dedup_minhash_clusters": clusters.minhash_cluster_resolve,
     "dedup_incremental": incremental.QUERY,
     "dedup_containment": containment.QUERY,
+    **properties.QUERIES,
 }
 
 # minhash/simhash/winnow use engine-specific hash functions that
@@ -50,4 +52,5 @@ ORACLES = {
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
     "dedup_containment": containment.ORACLE,
+    **properties.ORACLES,
 }

@@ -92,6 +92,61 @@ def rewrite_streaming_sql(sql: str) -> tuple[str, list[tuple[str, str]]]:
     return out, watermarks
 
 
+def broker_configured(options: dict[str, str]) -> bool:
+    """True when the DDL carries a REAL broker URL — present and not an
+    unexpanded deploy-script placeholder (`${BOOTSTRAP_SERVERS}`), which
+    is what the reference scripts contain before envsubst."""
+    url = options.get("kafka.bootstrap.servers", "")
+    return bool(url) and not url.startswith("${")
+
+
+def kafka_source_config(options: dict[str, str]) -> dict[str, str]:
+    """Corpus `USING kafka` DDL options → genuine
+    ``readStream.format("kafka")`` options (reference
+    tables/kafka_store_sales.sql; README "DDL" section). Only transport
+    keys — the registry keys feed :func:`registry_client_config` and
+    the Avro value decode, not the Kafka reader."""
+    cfg = {
+        "kafka.bootstrap.servers": options["kafka.bootstrap.servers"],
+        "subscribe": options["subscribe"],
+        "startingOffsets": options.get("startingOffsets", "earliest"),
+        "failOnDataLoss": options.get("failOnDataLoss", "false"),
+    }
+    for passthru in ("maxOffsetsPerTrigger", "kafka.security.protocol", "minPartitions"):
+        if passthru in options:
+            cfg[passthru] = options[passthru]
+    return cfg
+
+
+def kafka_sink_config(options: dict[str, str], default_topic: str) -> dict[str, str]:
+    """Sink-table DDL options → ``writeStream.format("kafka")``
+    options. The corpus sink tables name their topic via `subscribe`
+    (q3.sql:11-21 kafka_temp_table_qN); a missing topic falls back to
+    the sink table name."""
+    return {
+        "kafka.bootstrap.servers": options["kafka.bootstrap.servers"],
+        "topic": options.get("topic", options.get("subscribe", default_topic)),
+    }
+
+
+def registry_client_config(options: dict[str, str]) -> dict[str, object]:
+    """Registry keys of a `USING kafka` declaration → the schema
+    registry client's config (streaming/schema_registry.py): subject
+    URL, Avro record name/namespace, and whether the sink should
+    auto-register its result schema on first write."""
+    return {
+        "url": options.get("kafka.schema.registry.url"),
+        "record_name": options.get("kafka.schema.record.name"),
+        "record_namespace": options.get(
+            "kafka.schema.record.namespace", "engine.streams"
+        ),
+        "auto_register": options.get(
+            "kafka.auto.register.schemas", "false"
+        ).lower()
+        == "true",
+    }
+
+
 def split_statements(script: str) -> list[str]:
     """Split a corpus-style SQL script on semicolons (the scripts never
     embed semicolons in strings; comments start with --)."""
@@ -132,6 +187,11 @@ class StreamingSqlSession:
     queries: dict[str, object] = field(default_factory=dict)
     sinks: dict[str, dict[str, str]] = field(default_factory=dict)
     stream_tables: list[str] = field(default_factory=list)
+    # per-table emitted Kafka/registry configs (S31): populated for
+    # every `USING kafka` declaration whether or not a broker is
+    # configured, so a deployment can inspect exactly what the session
+    # would hand readStream/writeStream.format("kafka")
+    kafka_configs: dict[str, dict[str, object]] = field(default_factory=dict)
 
     def execute_script(self, script: str) -> list[object]:
         return [self.execute(stmt) for stmt in split_statements(script)]
@@ -205,6 +265,42 @@ class StreamingSqlSession:
             # through the two-phase batchId commit log.
             self.sinks[name] = {**options, "format": "jdbc2"}
             return None
+        if fmt == "kafka":
+            # record the genuine transport + registry configs for this
+            # declaration — the real-cluster path is these dicts handed
+            # to format("kafka") verbatim; the sandbox (no broker, no
+            # kafka connector jar) exercises the file fallback below.
+            self.kafka_configs[name] = {
+                "source": kafka_source_config(options)
+                if "subscribe" in options
+                else None,
+                "sink": kafka_sink_config(options, name)
+                if "kafka.bootstrap.servers" in options
+                else None,
+                "registry": registry_client_config(options),
+            }
+            if broker_configured(options) and "path" not in options:
+                from pyspark.sql import functions as F
+
+                reader = self.spark.readStream.format("kafka")
+                for k, v in kafka_source_config(options).items():
+                    reader = reader.option(k, v)
+                raw = reader.load()
+                # wire value decode: JSON cast against the declared DDL
+                # schema (on a cluster with spark-avro, swap for
+                # from_avro(value, registry.latest(record_name)) — the
+                # registry config is already in self.kafka_configs)
+                if ddl_cols:
+                    schema = T.StructType.fromDDL(ddl_cols.strip("() \n"))
+                    df = raw.select(
+                        F.from_json(F.col("value").cast("string"), schema).alias("r")
+                    ).select("r.*")
+                else:
+                    df = raw
+                df.createOrReplaceTempView(name)
+                if name not in self.stream_tables:
+                    self.stream_tables.append(name)
+                return None
         if "path" not in options:
             # sink-table declaration (the corpus' kafka_temp_table_qN:
             # no source path, carries output.mode etc. — q3.sql:11-21);
@@ -321,6 +417,28 @@ class StreamingSqlSession:
                         df.columns,
                     )
                 writer = df.writeStream.foreachBatch(writer_sink).outputMode(mode)
+                if "checkpointLocation" in sink:
+                    writer = writer.option(
+                        "checkpointLocation", sink["checkpointLocation"]
+                    )
+                q = writer.start()
+            elif broker_configured(sink):
+                # real Kafka result topic (README "DDL": result rows
+                # serialized against the registry result schema). The
+                # payload here is JSON; on a cluster with spark-avro,
+                # swap to_json for to_avro(..., registry schema) — the
+                # registry config is in self.kafka_configs[target].
+                from pyspark.sql import functions as F
+
+                cfg = kafka_sink_config(sink, target)
+                payload = df.select(
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
+                        "value"
+                    )
+                )
+                writer = payload.writeStream.format("kafka").outputMode(mode)
+                for k, v in cfg.items():
+                    writer = writer.option(k, v)
                 if "checkpointLocation" in sink:
                     writer = writer.option(
                         "checkpointLocation", sink["checkpointLocation"]

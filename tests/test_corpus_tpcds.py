@@ -60,11 +60,24 @@ NONEMPTY = set(SCRIPTS)
 TPCDS_SF_DIR = os.environ.get("SPARK_GRAFT_TPCDS_SF_DIR", "/root/testdata/sf0.01")
 
 
-@pytest.fixture(scope="module")
-def tpcds_env(spark):
+@pytest.fixture(scope="module", params=[False, True], ids=["ordered", "late"])
+def tpcds_env(request, spark):
+    """Corpus replay environment, parameterized over delivery order:
+
+    - ``ordered``: clean 2-chunk replay (round-2 behavior);
+    - ``late``: the reference simulator's late-data profile
+      (emr-baseline-testing Utils.scala toRdd: ≤5% of rows delivered
+      behind their position) via replay_to_json_dir's deterministic
+      md5-coin late mode — every script's streaming-vs-batch equality
+      must hold under out-of-order delivery too (the corpus scripts
+      are complete-mode aggregations or stateless append joins, so no
+      watermark drops anything; the watermark-drop contract itself is
+      pinned on the synthetic stream in test_streaming.py).
+    """
     sf_dir = TPCDS_SF_DIR
     if not os.path.isdir(QUERIES_DIR):
         pytest.skip("reference corpus scripts not available")
+    late = request.param
     base = tempfile.mkdtemp(prefix="tpcds-")
     dim_paths = ad.materialize_dims(spark, sf_dir, os.path.join(base, "dims"))
     fact_ddls, stream_dirs = {}, {}
@@ -72,7 +85,9 @@ def tpcds_env(spark):
         df = ad.build_table(spark, sf_dir, name)
         fact_ddls[name] = ad.fact_ddl(spark, sf_dir, name)
         d = os.path.join(base, "streams", name)
-        replay_to_json_dir(df, d, n_chunks=2)
+        replay_to_json_dir(
+            df, d, n_chunks=2, late_fraction=0.05 if late else 0.0
+        )
         stream_dirs[name] = d
         # batch twin of the SAME data the stream delivers (JSON
         # round-trip) so streaming-vs-batch compares the execution

@@ -657,3 +657,71 @@ def test_session_window_sql_extension(spark, sf_dir, stream_dir):
     assert len(got) > 0
     assert all(want.get(k) == v for k, v in got.items())
     assert len(got) < len(want)  # open tail sessions withheld
+
+
+# --- S31: genuine Kafka transport config emission ---------------------
+
+
+KAFKA_DDL = """
+CREATE TABLE kafka_store_sales (ss_ticket_number bigint, ss_item_sk bigint)
+USING kafka OPTIONS (
+kafka.bootstrap.servers = "${BOOTSTRAP_SERVERS}",
+subscribe = 'storesales',
+output.mode = 'append',
+kafka.schema.registry.url = "${SCHEMA_REGISTRY_URL}",
+kafka.schema.record.name = 'StoreSales',
+kafka.schema.record.namespace = 'org.apache.spark.emr.baseline.testing',
+kafka.auto.register.schemas = 'true')
+"""
+
+
+def test_kafka_ddl_emits_real_transport_configs(spark):
+    """The reference DDL (tables/kafka_store_sales.sql, verbatim shape)
+    must yield ready-to-use format('kafka') option dicts plus the
+    registry client config — with the unexpanded ${...} placeholders
+    correctly routed to the file fallback (no broker)."""
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        StreamingSqlSession,
+        broker_configured,
+        kafka_sink_config,
+        kafka_source_config,
+        registry_client_config,
+    )
+
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(KAFKA_DDL)
+    cfg = sess.kafka_configs["kafka_store_sales"]
+    assert cfg["source"] == {
+        "kafka.bootstrap.servers": "${BOOTSTRAP_SERVERS}",
+        "subscribe": "storesales",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert cfg["sink"]["topic"] == "storesales"
+    assert cfg["registry"] == {
+        "url": "${SCHEMA_REGISTRY_URL}",
+        "record_name": "StoreSales",
+        "record_namespace": "org.apache.spark.emr.baseline.testing",
+        "auto_register": True,
+    }
+    # placeholder broker -> NOT configured -> declaration became a sink
+    # registration, not a (doomed) readStream.format("kafka")
+    assert not broker_configured({"kafka.bootstrap.servers": "${BOOTSTRAP_SERVERS}"})
+    assert "kafka_store_sales" in sess.sinks
+
+    # a real broker URL flips the switch and the emitted dicts carry it
+    real = {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "storesales",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    assert broker_configured(real)
+    src = kafka_source_config(real)
+    assert src["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert src["maxOffsetsPerTrigger"] == "10000"
+    snk = kafka_sink_config(real, "fallback_name")
+    assert snk == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "topic": "storesales",
+    }
+    assert registry_client_config({})["auto_register"] is False
