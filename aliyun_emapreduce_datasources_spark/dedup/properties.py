@@ -73,9 +73,15 @@ def minhash_precision_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-verified pairs whose Jaccard over RAW shingle strings
     falls below the 0.5 cut — empty unless a hash collision (or a
     verify bug) inflated the hashed-set Jaccard."""
-    pairs = minhash.QUERY(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash.QUERY(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # shingle only the pair members (pairs ≪ corpus)
+    sh = docs.join(F.broadcast(members), "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(shingles(tokens("text"))).alias("sh_raw")
     )
     raw_jac = F.size(F.array_intersect("a_sh", "b_sh")).cast("double") / F.size(
@@ -97,8 +103,17 @@ def winnow_containment_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     empty by the winnowing guarantee (shared window-min fingerprint ⇒
     shared k-gram) unless a rolling-hash collision produced the pair."""
     k = winnow.KGRAM
-    pairs = winnow.QUERY(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = winnow.QUERY(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     docs = t(spark, sf_dir, "documents")
+    # only pair members need gram explosion — the near-dup pair set is
+    # tiny next to the corpus, so semi-joining first keeps the k-gram
+    # blowup O(|pairs|·doclen), not O(corpus·doclen)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(F.broadcast(members), "doc_id", "left_semi")
     grams = docs.select(
         "doc_id",
         F.explode(

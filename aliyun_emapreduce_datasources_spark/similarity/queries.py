@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from aliyun_emapreduce_datasources_spark.similarity import (
     assign,
+    properties,
     bruteforce,
     centroid,
     ivf,
@@ -26,6 +27,7 @@ QUERIES = {
     "emb_contrastive_triplets": triplets.QUERY,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
+    **properties.QUERIES,
 }
 
 # The LSH/IVF/int8 variants are approximate by design → rows-only
@@ -38,4 +40,5 @@ ORACLES = {
     "emb_contrastive_triplets": triplets.ORACLE,
     **kmeans.ORACLES,
     **label_noise.ORACLES,
+    **properties.ORACLES,
 }
