@@ -186,8 +186,10 @@ def embedding_neardup_lsh(
     # signature_tables (sign flips only possible on exact-zero dots,
     # and blocking needs only internal consistency) but ~10x cheaper
     # than 48 per-row F.aggregate folds at 3 planes x 16 tables
-    dim = emb.select(F.size("embedding")).limit(1).collect()[0][0]
-    sig = _corpus_signatures(emb, n_planes, n_tables, dim)
+    first = emb.select(F.size("embedding")).limit(1).collect()
+    if not first:  # empty corpus: no pairs, keep the output schema
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    sig = _corpus_signatures(emb, n_planes, n_tables, int(first[0][0]))
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -126,6 +126,7 @@ def replay_to_json_dir(
     order_col: str | None = None,
     late_fraction: float = 0.0,
     late_chunk_shift: int = 1,
+    max_rows_per_chunk: int | None = None,
 ) -> list[str]:
     """Materialize a batch DataFrame as n_chunks JSON files so the file
     source replays it as micro-batches (the test-harness equivalent of
@@ -140,6 +141,14 @@ def replay_to_json_dir(
     on the row payload, so the same input always produces the same
     late set (the simulator uses an RNG; a differential-test harness
     cannot). Stragglers past the final chunk create trailing chunks.
+
+    ``max_rows_per_chunk`` mirrors the simulator's per-partition
+    ``ThroughputThrottler`` (Utils.scala replicateToKafka: producer
+    capped at `throughput` records/sec): any chunk above the cap is
+    split into consecutive same-order files, so with
+    ``maxFilesPerTrigger 1`` the file source's per-trigger intake is
+    rate-bounded the way the Kafka consumer's was — deterministically,
+    instead of by wall clock.
 
     Timestamps are written as ISO strings readable by the JSON source.
     """
@@ -166,15 +175,21 @@ def replay_to_json_dir(
         by_chunk.setdefault(ci, []).append(r)
     paths = []
     base_mtime = int(os.path.getmtime(out_dir))
-    for seq, ci in enumerate(sorted(by_chunk)):
-        p = os.path.join(out_dir, f"chunk-{ci:04d}.json")
-        with open(p, "w") as fh:
-            fh.write("\n".join(by_chunk[ci]))
-        # FileStreamSource batches files by MODIFICATION TIME, not name:
-        # strictly increasing mtimes make replay order = chunk order
-        # (otherwise same-second writes replay in arbitrary order and
-        # "earlier" chunks arrive behind the watermark).
-        mt = base_mtime + seq
-        os.utime(p, (mt, mt))
-        paths.append(p)
+    seq = 0
+    for ci in sorted(by_chunk):
+        rows_ci = by_chunk[ci]
+        cap = max_rows_per_chunk or len(rows_ci) or 1
+        for part0 in range(0, max(len(rows_ci), 1), cap):
+            p = os.path.join(out_dir, f"chunk-{ci:04d}-{part0 // cap:03d}.json")
+            with open(p, "w") as fh:
+                fh.write("\n".join(rows_ci[part0 : part0 + cap]))
+            # FileStreamSource batches files by MODIFICATION TIME, not
+            # name: strictly increasing mtimes make replay order =
+            # chunk order (otherwise same-second writes replay in
+            # arbitrary order and "earlier" chunks arrive behind the
+            # watermark).
+            mt = base_mtime + seq
+            os.utime(p, (mt, mt))
+            paths.append(p)
+            seq += 1
     return paths

@@ -439,3 +439,16 @@ def test_label_noise_knn_is_blocked_cogroup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # block-grid replication joins
     assert "Window" in plan
+
+
+def test_embedding_lsh_plan_is_bucket_grouped(spark, sf_dir):
+    # the cataloged near-dup headline must be the LSH shape: signature
+    # MapInPandas -> one hashpartitioning Exchange into the per-bucket
+    # grouped verify -> pair distinct. No all-pairs stage of any kind:
+    # no cartesian, no nested-loop, no self-join replication.
+    plan = plan_of(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "MapInPandas" in plan  # matmul signature generation
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket BLAS verify
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
