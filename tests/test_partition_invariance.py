@@ -1,0 +1,62 @@
+"""Results must not depend on the session's partitioning knobs.
+
+The external driver supplies its OWN SparkSession — any
+`spark.sql.shuffle.partitions` / input-split layout it likes — so a
+catalog entry whose VALUES shift with partition count would pass every
+fixed-config oracle run and still fail in the field. The oracle-backed
+entries get this for free from the DuckDB comparison across differently
+configured runs (driver local[16] vs test local[*]); this test pins the
+contract explicitly for the ROWS-ONLY entries, where partition-sensitive
+nondeterminism (reservoir order, per-partition tie-breaks, numpy batch
+boundaries in mapInPandas) has no oracle to catch it.
+
+Representative set: every approximate/hash family plus the entries with
+per-partition numerics (signatures, sampling, training loops). The whole
+catalog at two configs would double suite time for little extra signal —
+these are the entries whose implementation touches partition boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+# rows-only entries + the iterative/sampled oracle-backed ones whose
+# mechanics are most partition-shaped
+ENTRIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_winnow_fingerprint",
+    "dedup_bloom_decontaminate",
+    "dedup_minhash_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_int8_topk",
+    "ann_pq_topk",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "emb_kmeans_train",
+    "mix_sample_weighted",
+    "split_train_eval",
+    "stable_global_ids",
+]
+
+
+def _rows(df):
+    cols = df.columns
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_rows_only_entries_partition_invariant(spark, sf_dir, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partition count"
