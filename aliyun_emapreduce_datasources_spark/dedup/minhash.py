@@ -141,7 +141,9 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     shingle-Jaccard. The signature table is persisted eagerly — the
     band self-join and the two verify joins all read it (at cluster
     scale this is a checkpointed intermediate)."""
-    docs = t(spark, sf_dir, "documents")
+        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    # would crash on None; skip them like every per-text operator
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     with_sig = _with_signatures(docs).persist()
     with_sig.count()
     cand = lsh_candidate_pairs(with_sig)

@@ -115,7 +115,9 @@ def simhash_candidates(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    # would crash on None; skip them like every per-text operator
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = simhash64(docs).persist()
     fps.count()  # materialize once; both self-join sides read the cache
     return simhash_candidates(fps)

@@ -83,7 +83,9 @@ def winnow_dedup_pairs(
     """(doc_a, doc_b, containment) pairs whose shared winnowing
     fingerprints cover ≥ min_containment of the smaller doc's
     fingerprint set — near-dup candidates via fingerprint equi-join."""
-    docs = t(spark, sf_dir, "documents")
+        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    # would crash on None; skip them like every per-text operator
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     with_n = fps.join(counts, "doc_id")

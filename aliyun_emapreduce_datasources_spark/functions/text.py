@@ -232,7 +232,10 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token list. Canonical cheap pre-dedup key (docs with the
     same vocabulary fingerprint are shuffle-grouped once, then only
     within-group exact comparison is needed)."""
-    docs = t(spark, sf_dir, "documents")
+    # concat_ws silently maps a NULL token array to '' (md5-able) while
+    # DuckDB's array_to_string keeps NULL -> NULL fp; a NULL doc has no
+    # vocabulary to fingerprint, so both engines drop it up front
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text")))))
     return (
         docs.select("doc_id", fp.alias("fp"))
@@ -244,7 +247,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FINGERPRINT = f"""
 SELECT md5(array_to_string(list_sort(list_distinct({_O_TOK})), ' ')) AS fp,
        MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 
@@ -685,7 +688,9 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no shuffle before the final sort. Keep-rule is an integer
     cross-multiply (50·hits <= tokens), so the oracle is byte-exact.
     """
-    docs = t(spark, sf_dir, "documents")
+    # Spark's size(NULL) = -1 vs DuckDB len(NULL) = NULL: a NULL doc
+    # has nothing to screen, drop it on both engines
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tok = tokens("text")
     bl = F.array(*[F.lit(w) for w in BLOCKLIST])
     hits = F.size(F.filter(tok, lambda x: F.array_contains(bl, x)))
@@ -708,7 +713,7 @@ SELECT doc_id,
        CAST(len(list_filter({_O_TOK}, x -> list_contains({_O_BL}, x))) AS BIGINT) AS n_hits,
        COALESCE(array_to_string(list_sort(list_filter(list_distinct({_O_TOK}), x -> list_contains({_O_BL}, x))), ','), '') AS hit_terms,
        50 * len(list_filter({_O_TOK}, x -> list_contains({_O_BL}, x))) <= len({_O_TOK}) AS keep
-FROM documents
+FROM documents WHERE text IS NOT NULL
 ORDER BY doc_id
 """
 

@@ -29,7 +29,9 @@ __all__ = ["QUERIES", "ORACLES"]
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → fake media blobs → decode features + frame sampling
     → (media_id, n_pixels, n_frames)."""
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs yield no blob (payload seed is the text) — a real
+    # ingest would likewise skip rows with no media bytes
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = attach_fake_media(docs, "doc_id", "text")
     feats = decode_features(media).select("media_id", "n_pixels")
     frames = (
@@ -46,7 +48,7 @@ ORACLE_MEDIA = """
 SELECT doc_id AS media_id,
        CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_pixels,
        CAST(4 AS BIGINT) AS n_frames
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -57,7 +59,7 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins that every row went through the PCM decode + stride
     framing with the right shapes; the pooled RMS/ZCR stats are
     stub-RNG values covered by tests/test_multimodal.py."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     audio = attach_fake_audio(docs, "doc_id", "text")
     return audio_features(audio).select("media_id", "n_samples", "n_frames")
 
@@ -68,7 +70,7 @@ ORACLE_AUDIO = """
 SELECT doc_id AS media_id,
        CAST((doc_id % 2000 + 500) * 16 AS BIGINT) AS n_samples,
        CAST(1 + ((doc_id % 2000 + 500) * 16 - 400) // 160 AS BIGINT) AS n_frames
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 

@@ -510,6 +510,10 @@ def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests, never document text; output is status-cardinality rows.
     """
     docs = t(spark, sf_dir, "documents")
+    # presence is a dedicated flag, NOT hash-nullness: a NULL text
+    # hashes to NULL, and keying "added"/"removed" on the hash would
+    # misclassify a doc present in both snapshots (the oracle keys on
+    # the joined doc_id, which survives NULL text)
     prev = docs.where(F.col("doc_id") % 17 != 3).select(
         "doc_id",
         F.md5(
@@ -517,13 +521,14 @@ def audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text")
             )
         ).alias("h_prev"),
+        F.lit(1).alias("in_prev"),
     )
     cur = docs.where(F.col("doc_id") % 19 != 7).select(
-        "doc_id", F.md5("text").alias("h_cur")
+        "doc_id", F.md5("text").alias("h_cur"), F.lit(1).alias("in_cur")
     )
     status = (
-        F.when(F.col("h_prev").isNull(), F.lit("added"))
-        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        F.when(F.col("in_prev").isNull(), F.lit("added"))
+        .when(F.col("in_cur").isNull(), F.lit("removed"))
         .when(F.col("h_prev") != F.col("h_cur"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

@@ -35,7 +35,10 @@ STRIDE = 48
 def chunk_documents(
     spark: SparkSession, sf_dir: str, window: int = WINDOW, stride: int = STRIDE
 ) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # NULL-text docs have no chunks on either engine: Spark's
+    # size(NULL) = -1 would fabricate one empty chunk while DuckDB's
+    # generate_series(0, NULL) yields none — filter up front instead
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tok = tokens("text")
     n = F.size(tok)
     n_chunks = F.expr(
@@ -72,7 +75,7 @@ _O_CHUNKS = f"""
     SELECT doc_id, string_split(text, ' ') AS tok,
            (greatest(len(string_split(text, ' ')) - {WINDOW}, 0) + {STRIDE} - 1)
              // {STRIDE} + 1 AS n_chunks
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   ), unnest(generate_series(0, n_chunks - 1)) AS u(k)
 """
 
