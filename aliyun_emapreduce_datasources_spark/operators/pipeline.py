@@ -445,13 +445,21 @@ def stable_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     w_in = Window.partitionBy("source").orderBy("doc_id")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    # asc_nulls_last pins the NULL-source group's position to match
+    # the oracle's ORDER BY default (Spark windows default NULLS
+    # FIRST, DuckDB NULLS LAST — a silent one-group offset shift)
+    w_off = Window.orderBy(F.asc_nulls_last("source")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = counts.select(
-        "source", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+        F.col("source").alias("osrc"),
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
     )
     return (
         docs.withColumn("rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "source")
+        # null-safe equality: a plain equi-join silently DROPS every
+        # NULL-source doc (NULL != NULL) — data loss, not just drift
+        .join(F.broadcast(offsets), F.col("source").eqNullSafe(F.col("osrc")))
         .select(
             "doc_id",
             "source",

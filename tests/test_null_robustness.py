@@ -42,17 +42,22 @@ def _null_mask(ids: np.ndarray) -> np.ndarray:
     return ((ids.astype(np.uint64) * np.uint64(2654435761)) % NULL_EVERY) == 0
 
 
-def _rewrite_with_nulls(src: str, dst: str, id_col: str, col: str) -> int:
+def _rewrite_with_nulls(src: str, dst: str, id_col: str, cols: list[str]) -> int:
     t = pq.read_table(src)
     ids = t.column(id_col).to_numpy()
-    mask = _null_mask(ids)
-    arr = t.column(col)
-    nulled = pa.array(
-        [None if m else v for v, m in zip(arr.to_pylist(), mask)], type=arr.type
-    )
-    out = t.set_column(t.schema.get_field_index(col), t.schema.field(col), nulled)
-    pq.write_table(out, dst)
-    return int(mask.sum())
+    total = 0
+    for i, col in enumerate(cols):
+        # distinct offset per column so the null sets don't coincide
+        mask = _null_mask(ids + np.int64(i * 7919))
+        arr = t.column(col)
+        nulled = pa.array(
+            [None if m else v for v, m in zip(arr.to_pylist(), mask)],
+            type=arr.type,
+        )
+        t = t.set_column(t.schema.get_field_index(col), t.schema.field(col), nulled)
+        total += int(mask.sum())
+    pq.write_table(t, dst)
+    return total
 
 
 @pytest.fixture(scope="module")
@@ -62,11 +67,15 @@ def nulled_dir(sf_dir, tmp_path_factory):
         src = os.path.join(sf_dir, f"{name}.parquet")
         dst = os.path.join(d, f"{name}.parquet")
         if name == "events":
-            n = _rewrite_with_nulls(src, dst, "event_id", "value")
-            assert n > 0, "no NULLs injected into events.value"
+            n = _rewrite_with_nulls(
+                src, dst, "event_id", ["value", "props", "user_id"]
+            )
+            assert n > 0, "no NULLs injected into events"
         elif name == "documents":
-            n = _rewrite_with_nulls(src, dst, "doc_id", "text")
-            assert n > 0, "no NULLs injected into documents.text"
+            n = _rewrite_with_nulls(
+                src, dst, "doc_id", ["text", "source", "lang"]
+            )
+            assert n > 0, "no NULLs injected into documents"
         else:
             shutil.copyfile(src, dst)
     return d
