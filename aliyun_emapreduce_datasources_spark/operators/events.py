@@ -171,7 +171,14 @@ def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+            # when/otherwise, NOT a bare boolean cast: (NULL = 'error')
+            # is NULL, and an hour whose only events have NULL type
+            # would sum to NULL here vs the oracle's CASE...ELSE 0
+            F.sum(
+                F.when(F.col("event_type") == "error", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_err"),
         )
     )
     w = Window.orderBy("h").rowsBetween(-24, -1)
@@ -263,6 +270,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated path counts — |event_types|³ distinct paths at most."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # a path is only countable when all THREE steps are named:
+    # concat_ws silently skips a NULL middle step ("a>c") while the
+    # oracle's || yields NULL — masking any NULL-step window keeps the
+    # engines identical and the user's sequence intact
     return (
         ev.select(
             F.concat_ws(
@@ -271,9 +282,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lead("event_type", 1).over(w),
                 F.lead("event_type", 2).over(w),
             ).alias("path"),
-            F.lead("event_type", 2).over(w).alias("_ok"),
+            (
+                F.col("event_type").isNotNull()
+                & F.lead("event_type", 1).over(w).isNotNull()
+                & F.lead("event_type", 2).over(w).isNotNull()
+            ).alias("_ok"),
         )
-        .where(F.col("_ok").isNotNull())
+        .where(F.col("_ok"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "path")
@@ -287,11 +302,13 @@ FROM (
   SELECT event_type || '>' ||
          lead(event_type, 1) OVER w || '>' ||
          lead(event_type, 2) OVER w AS path,
-         lead(event_type, 2) OVER w AS ok
+         event_type IS NOT NULL
+           AND lead(event_type, 1) OVER w IS NOT NULL
+           AND lead(event_type, 2) OVER w IS NOT NULL AS ok
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-WHERE ok IS NOT NULL
+WHERE ok
 GROUP BY path
 ORDER BY n DESC, path
 LIMIT 10
@@ -556,8 +573,13 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL ``value`` rows are dropped up front on BOTH engines: Spark
     windows sort NULLS FIRST while DuckDB sorts NULLS LAST, and the
     grid left-join treats a NULL key asymmetrically, so a single NULL
-    would silently diverge the cumulative CDFs between engines."""
-    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    would silently diverge the cumulative CDFs between engines. NULL
+    ``event_type`` rows are dropped too: a NULL type still enters the
+    DISTINCT type list but can never equi-join its own per-type counts
+    back, leaving an all-zero CDF whose n_t = 0 divides by zero."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     pertype = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -605,7 +627,8 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KS_DRIFT = """
 WITH ev AS (
-  SELECT value, event_type FROM events WHERE value IS NOT NULL
+  SELECT value, event_type FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
 ), pertype AS (
   SELECT value, event_type, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
 ), vtot AS (

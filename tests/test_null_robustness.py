@@ -68,7 +68,7 @@ def nulled_dir(sf_dir, tmp_path_factory):
         dst = os.path.join(d, f"{name}.parquet")
         if name == "events":
             n = _rewrite_with_nulls(
-                src, dst, "event_id", ["value", "props", "user_id"]
+                src, dst, "event_id", ["value", "props", "user_id", "event_type"]
             )
             assert n > 0, "no NULLs injected into events"
         elif name == "documents":
