@@ -37,7 +37,15 @@ def normalize_ws(col: str | Column) -> Column:
     """Whitespace normalization: lowercase, collapse every whitespace
     run to a single space, trim — the canonical form `tokens()`
     assumes for raw text. Pure expression (codegen), portable to the
-    oracle's regexp_replace(..., 'g')."""
+    oracle's regexp_replace(..., 'g').
+
+    Known cross-engine divergence (documented, pinned in
+    tests/test_adversarial_values.py): ``lower()`` follows Unicode
+    SpecialCasing on the JVM (İ → i + U+0307) but simple case mapping
+    in DuckDB (İ → i). Unicode itself admits both; every other code
+    point class (ASCII, CJK, emoji, combining marks, ς/σ, ß) agrees.
+    A pipeline needing İ-stable canonicalization should NFKC-fold
+    upstream of this engine."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
