@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
-from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 
 __all__ = ["topk_cosine", "QUERY", "ORACLE"]
 
@@ -52,6 +52,8 @@ def topk_cosine(corpus: DataFrame, queries: DataFrame, k: int = K) -> DataFrame:
     """
     spark = corpus.sparkSession
     qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
+    if not qrows:
+        return empty_topk(corpus.sparkSession)
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     b_q = spark.sparkContext.broadcast((q_ids, q_mat))

@@ -36,3 +36,11 @@ def collect_query_batch(queries: DataFrame, columns: list[str], cap: int = MAX_Q
             "large table is the (always-distributed) corpus."
         )
     return rows
+
+
+def empty_topk(spark):
+    """Empty (query_id, neighbor_id, rnk) result — the well-defined
+    answer every ANN variant returns when the query batch is empty
+    (empty corpus, or a filter matched no query rows): no queries, no
+    neighbors, instead of an IndexError on a zero-row matrix."""
+    return spark.createDataFrame([], "query_id long, neighbor_id long, rnk long")

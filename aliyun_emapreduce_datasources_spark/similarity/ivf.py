@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
-from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
 
 __all__ = ["train_centroids", "assign_clusters", "ann_ivf_topk", "QUERY"]
@@ -70,6 +70,8 @@ def train_centroids(
     sample = (
         corpus.select("vec_id", "embedding").orderBy("vec_id").limit(train_cap).collect()
     )
+    if not sample:
+        raise ValueError("IVF quantizer cannot train on an empty corpus")
     X = _normalize(np.array([r.embedding for r in sample], dtype=np.float64))
     rng = np.random.default_rng(0)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -126,10 +128,14 @@ def ann_ivf_topk(
     small by contract (collected for probe computation + scoring).
     """
     spark = corpus.sparkSession
+    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
+    if not qrows:
+        # no queries -> no work; also skips quantizer training, which
+        # cannot run on an empty corpus
+        return empty_topk(corpus.sparkSession)
     C = train_centroids(corpus, k=n_clusters)
     assigned = assign_clusters(corpus, C)
 
-    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     probes = np.argsort(-(q_mat @ C.T), axis=1)[:, :nprobe]

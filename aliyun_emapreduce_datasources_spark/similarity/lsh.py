@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
-from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
 
 __all__ = ["hyperplane_signature", "signature_tables", "ann_lsh_topk", "QUERY"]
@@ -168,6 +168,8 @@ def ann_lsh_topk(
     """
     spark = corpus.sparkSession
     qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
+    if not qrows:
+        return empty_topk(corpus.sparkSession)
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.q_embedding for r in qrows], dtype=np.float64)
     if dim is None:

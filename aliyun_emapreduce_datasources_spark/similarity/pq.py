@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
-from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 
 __all__ = ["train_codebooks", "encode_corpus", "pq_topk", "QUERY"]
 
@@ -136,10 +136,14 @@ def pq_topk(
 ) -> DataFrame:
     """Top-k per query via ADC scan over PQ codes + exact rescore."""
     spark = corpus.sparkSession
+    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
+    if not qrows:
+        # no queries -> no work; also skips codebook training, which
+        # cannot run on an empty corpus
+        return empty_topk(corpus.sparkSession)
     books = train_codebooks(corpus, m=m, ncode=ncode)
     codes = encode_corpus(corpus, books)
 
-    qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     sub = q_mat.shape[1] // m

@@ -49,7 +49,7 @@ from aliyun_emapreduce_datasources_spark.similarity.bruteforce import (
     N_QUERIES,
     _normalize,
 )
-from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch
+from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 
 __all__ = ["quantize_corpus", "topk_cosine_int8", "QUERY"]
 
@@ -87,6 +87,8 @@ def topk_cosine_int8(
     table and never scans the floats in phase 1)."""
     spark = corpus.sparkSession
     qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
+    if not qrows:
+        return empty_topk(corpus.sparkSession)
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     b_q = spark.sparkContext.broadcast((q_ids, q_mat))

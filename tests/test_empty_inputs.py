@@ -40,6 +40,14 @@ EMPTY_SAFE = [
     "text_keyness_lift",
     "dedup_containment",
     "bpe_encode_corpus",
+    # round-3 property-check companions (each re-runs its approximate
+    # operator + an independent verify path on the empty corpus)
+    "dedup_bloom_no_false_negatives",
+    "dedup_minhash_precision_check",
+    "dedup_winnow_containment_check",
+    "dedup_embedding_lsh_precision_check",
+    "bpe_roundtrip_check",
+    "ann_rank_consistency_check",
 ]
 
 
