@@ -41,6 +41,10 @@ ENTRIES = [
     "mix_sample_weighted",
     "split_train_eval",
     "stable_global_ids",
+    "sample_weighted_reservoir",  # reservoir = the classic partition-order trap
+    "graph_pagerank",  # iterative with localCheckpoint
+    "dedup_semantic",  # per-cluster greedy prune
+    "emb_label_noise_knn",  # block cogroup + global top-k window
 ]
 
 
