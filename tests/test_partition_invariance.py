@@ -64,3 +64,38 @@ def test_rows_only_entries_partition_invariant(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b, f"{name}: result depends on shuffle partition count"
+
+
+# --- ANSI-mode invariance ---------------------------------------------
+# Spark 4 defaults spark.sql.ansi.enabled=true, but a legacy session
+# flips it off, silently changing division-by-zero, overflow, and cast
+# semantics from errors to NULLs. Every catalog entry is written so no
+# such edge is ever hit (guard predicates, filtered zero denominators,
+# bounded decimals) — which means results must be IDENTICAL either way.
+ANSI_SENSITIVE = [
+    "q1_pricing_summary",  # decimal aggregation
+    "events_ks_drift",  # cross-multiplied CDFs + final division
+    "events_robust_outliers",  # integer order statistics
+    "events_drift_tv",  # integer DIV
+    "text_quality_score",  # ratio arithmetic
+    "text_tfidf_topk",  # rational scores
+    "dsir_importance",  # hashed-bigram ratios
+    "market_basket_lift",  # milli-unit lift division
+    "pareto_revenue",  # cumulative share
+    "emb_kmeans_train",  # quantized integer dots
+    "olap_grouping_sets",
+    "chunk_documents",  # DIV-based window math
+]
+
+
+@pytest.mark.parametrize("name", ANSI_SENSITIVE)
+def test_entries_invariant_to_ansi_mode(spark, sf_dir, name):
+    orig = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        a = _rows(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        b = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", orig)
+    assert a == b, f"{name}: result depends on spark.sql.ansi.enabled"
