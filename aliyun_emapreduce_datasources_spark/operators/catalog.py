@@ -15,22 +15,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's CORRECTNESS gate checks the catalog in insertion order
-# and has a bounded window (50 entries in round 1). Round 1 verified the
-# tpch/tpch_extra/corpus/analytic families; round 2 leads with the 46
-# oracle-backed entries that fell outside that window (dedup, text,
-# events, sources, similarity, pipeline, skew) plus 4 representative
-# round-1-green entries, so every family holds an official green row.
-# Rotate this list each round so the window sweeps the whole catalog.
+# with a bounded window (50 entries per round so far). Rotation is
+# AUTOMATIC since round 2: _auto_front() below reads every
+# CORRECTNESS_r*.json and fronts the oracle-backed entries no round
+# has officially checked yet, so the window sweeps a fresh slice each
+# round with no manual edits; once everything has a green row, the
+# remainder of the window re-confirms earlier families in merge order
+# (tpch first). Keep the number of never-checked oracle-backed entries
+# at most 50 before a round ends — new entries self-front.
 #
-# ROUND 3 ROTATION NOTE: if the driver's round-2 window stopped at 50,
-# the oracle-backed entries still without an official row are the
-# round-2 additions placed at positions 51+ below (lm_bigram_surprise,
-# chunk_documents, mix_epoch_plan, sketch_cms_topk, bm25_topk,
-# curate_v2, hybrid_search_rrf, dedup_incremental,
-# text_stratified_filter, audit_snapshot_diff;
-# bloom/minhash-clusters/pq/approx-quantiles are rows-only by
-# design). Lead round 3's window with those, then rotate back
-# through the r1-checked tpch/corpus families to re-confirm them.
+# The static list below is the FALLBACK ONLY (fresh clone with no
+# CORRECTNESS files): round 2's hand-rotation, kept for reproducibility.
 _FRONT_OF_WINDOW: tuple[str, ...] = (
     # never driver-checked in round 1 (46)
     "events_funnel",
