@@ -725,3 +725,32 @@ def test_kafka_ddl_emits_real_transport_configs(spark):
         "topic": "storesales",
     }
     assert registry_client_config({})["auto_register"] is False
+
+
+def test_kafka_real_broker_branch_attempts_kafka(spark):
+    """With a REAL broker URL (not a ${} placeholder) and no path, the
+    DDL must take the genuine readStream.format('kafka') branch — on a
+    cluster with the kafka connector the table registers as a stream
+    view; in this container (no connector jar) the load attempt raises
+    naming the kafka source. Either outcome proves the branch executes
+    instead of silently falling back to the file transport."""
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        StreamingSqlSession,
+    )
+
+    sess = StreamingSqlSession(spark)
+    ddl = (
+        "CREATE TABLE ks_real (a bigint) USING kafka OPTIONS ("
+        "kafka.bootstrap.servers 'broker-1:9092', subscribe 'topic_x')"
+    )
+    try:
+        sess.execute(ddl)
+    except Exception as e:  # no kafka connector jar in the sandbox
+        assert "kafka" in str(e).lower()
+        assert "ks_real" not in sess.sinks  # did NOT fall back to a sink
+    else:
+        # connector available: must be a registered streaming view
+        assert spark.table("ks_real").isStreaming
+        assert "ks_real" in sess.stream_tables
+    # config emission happens either way
+    assert sess.kafka_configs["ks_real"]["source"]["subscribe"] == "topic_x"
