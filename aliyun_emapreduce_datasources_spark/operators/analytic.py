@@ -895,6 +895,118 @@ QUERIES["audit_column_profile"] = audit_column_profile
 ORACLES["audit_column_profile"] = ORACLE_PROFILE
 
 
+# --- schema/profile drift between snapshots ---------------------------
+
+def audit_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two table versions — the check a
+    nightly pipeline runs before promoting a new corpus snapshot:
+    per column, row/non-null/distinct counts for the previous and
+    current version plus an exact null-rate-drift flag. Completes the
+    audit family (checksum, snapshot diff, profile, k-anonymity,
+    referential integrity) with its longitudinal member.
+
+    Snapshots are carved deterministically from the documents table
+    (same convention as audit_snapshot_diff: docs with
+    ``doc_id % 17 == 3`` are new in the current version; docs with
+    ``doc_id % 19 == 7`` were removed from it).
+
+    Exactness: the null-rate comparison is the integer cross-multiply
+    ``(n_p − nn_p)·n_c ≠ (n_c − nn_c)·n_p`` — no ratio ever
+    materializes, so the flag is byte-identical across engines.
+
+    Scale shape: ONE scan of the table — both versions' profiles are
+    conditional aggregates over membership flags (count(CASE …),
+    count(DISTINCT CASE …)) sharing a single Expand, exactly the
+    audit_column_profile plan with a doubled aggregate list; the
+    unpivot to per-column rows is a stack() over one aggregated row.
+    """
+    d = t(spark, sf_dir, "documents")
+    in_prev = F.col("doc_id") % 17 != 3
+    in_cur = F.col("doc_id") % 19 != 7
+    cols = ["lang", "source", "n_chars"]
+    aggs = [
+        F.sum(in_prev.cast("long")).alias("n_prev"),
+        F.sum(in_cur.cast("long")).alias("n_cur"),
+    ]
+    for c in cols:
+        pv = F.when(in_prev, F.col(c))
+        cv = F.when(in_cur, F.col(c))
+        aggs += [
+            F.count(pv).alias(f"nnp_{c}"),
+            F.count(cv).alias(f"nnc_{c}"),
+            F.countDistinct(pv).alias(f"ndp_{c}"),
+            F.countDistinct(cv).alias(f"ndc_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nnp_{c}, nnc_{c}, ndp_{c}, ndc_{c}" for c in cols
+    )
+    drift = (
+        (F.col("n_prev") - F.col("nonnull_prev")) * F.col("n_cur")
+        != (F.col("n_cur") - F.col("nonnull_cur")) * F.col("n_prev")
+    )
+    return (
+        one.select(
+            F.col("n_prev").cast("long").alias("n_prev"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS "
+                "(col_name, nonnull_prev, nonnull_cur, distinct_prev, distinct_cur)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_prev",
+            "n_cur",
+            F.col("nonnull_prev").cast("long").alias("nonnull_prev"),
+            F.col("nonnull_cur").cast("long").alias("nonnull_cur"),
+            F.col("distinct_prev").cast("long").alias("distinct_prev"),
+            F.col("distinct_cur").cast("long").alias("distinct_cur"),
+            drift.alias("null_rate_drifted"),
+            (F.col("distinct_cur") - F.col("distinct_prev"))
+            .cast("long")
+            .alias("distinct_delta"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _o_drift_col(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col_name, t.n_prev, t.n_cur,
+         CAST(COUNT(CASE WHEN doc_id % 17 <> 3 THEN {c} END) AS BIGINT) AS nonnull_prev,
+         CAST(COUNT(CASE WHEN doc_id % 19 <> 7 THEN {c} END) AS BIGINT) AS nonnull_cur,
+         CAST(COUNT(DISTINCT CASE WHEN doc_id % 17 <> 3 THEN {c} END) AS BIGINT) AS distinct_prev,
+         CAST(COUNT(DISTINCT CASE WHEN doc_id % 19 <> 7 THEN {c} END) AS BIGINT) AS distinct_cur
+  FROM documents, totals t GROUP BY t.n_prev, t.n_cur"""
+
+
+ORACLE_SCHEMA_DRIFT = f"""
+WITH totals AS (
+  SELECT CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+         CAST(SUM(CASE WHEN doc_id % 19 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM documents
+), per_col AS (
+{_o_drift_col("lang")}
+  UNION ALL
+{_o_drift_col("source")}
+  UNION ALL
+{_o_drift_col("n_chars")}
+)
+SELECT col_name, n_prev, n_cur, nonnull_prev, nonnull_cur,
+       distinct_prev, distinct_cur,
+       (n_prev - nonnull_prev) * n_cur <> (n_cur - nonnull_cur) * n_prev
+         AS null_rate_drifted,
+       CAST(distinct_cur - distinct_prev AS BIGINT) AS distinct_delta
+FROM per_col
+ORDER BY col_name
+"""
+
+
+QUERIES["audit_schema_drift"] = audit_schema_drift
+ORACLES["audit_schema_drift"] = ORACLE_SCHEMA_DRIFT
+
+
 # --- Cohort LTV curves ------------------------------------------------
 
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
