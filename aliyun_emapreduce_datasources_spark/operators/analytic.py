@@ -845,6 +845,11 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_s",
         "max_s",
+    ).filter(
+        # same empty-table guard as audit_schema_drift: the oracle's
+        # `FROM orders, rows_total` cross join yields zero rows when
+        # orders is empty, Spark's global agg yields one — drop it
+        F.col("n_rows") > 0
     ).orderBy("col_name")
 
 
@@ -967,6 +972,11 @@ def audit_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("distinct_delta"),
         )
+        # Spark's global agg yields one row even over an EMPTY table
+        # (n_prev = sum() = NULL), while the oracle's `FROM documents,
+        # totals` cross join yields zero; drop the degenerate row so
+        # both engines agree on the empty corpus.
+        .filter(F.col("n_prev").isNotNull())
         .orderBy("col_name")
     )
 

@@ -280,26 +280,39 @@ class StreamingSqlSession:
                 "registry": registry_client_config(options),
             }
             if broker_configured(options) and "path" not in options:
-                from pyspark.sql import functions as F
+                # Dual-role declaration: the corpus' SOURCE tables
+                # (tables/kafka_store_sales.sql) and result SINK tables
+                # (q3.sql:11-21 kafka_temp_table_qN) share one DDL shape
+                # — broker + subscribe + output.mode, no path — so every
+                # real-broker declaration is ALSO recorded as an INSERT
+                # target; otherwise an INSERT INTO the result table
+                # would silently land in a memory sink instead of the
+                # declared Kafka topic.
+                self.sinks[name] = options
+                if "subscribe" in options:
+                    # guard mirrors the kafka_configs population above: a
+                    # declaration naming its topic only via `topic` has
+                    # no consumer config to read with (sink-only shape)
+                    from pyspark.sql import functions as F
 
-                reader = self.spark.readStream.format("kafka")
-                for k, v in kafka_source_config(options).items():
-                    reader = reader.option(k, v)
-                raw = reader.load()
-                # wire value decode: JSON cast against the declared DDL
-                # schema (on a cluster with spark-avro, swap for
-                # from_avro(value, registry.latest(record_name)) — the
-                # registry config is already in self.kafka_configs)
-                if ddl_cols:
-                    schema = T.StructType.fromDDL(ddl_cols.strip("() \n"))
-                    df = raw.select(
-                        F.from_json(F.col("value").cast("string"), schema).alias("r")
-                    ).select("r.*")
-                else:
-                    df = raw
-                df.createOrReplaceTempView(name)
-                if name not in self.stream_tables:
-                    self.stream_tables.append(name)
+                    reader = self.spark.readStream.format("kafka")
+                    for k, v in kafka_source_config(options).items():
+                        reader = reader.option(k, v)
+                    raw = reader.load()
+                    # wire value decode: JSON cast against the declared
+                    # DDL schema (on a cluster with spark-avro, swap for
+                    # from_avro(value, registry.latest(record_name)) —
+                    # the registry config is in self.kafka_configs)
+                    if ddl_cols:
+                        schema = T.StructType.fromDDL(ddl_cols.strip("() \n"))
+                        df = raw.select(
+                            F.from_json(F.col("value").cast("string"), schema).alias("r")
+                        ).select("r.*")
+                    else:
+                        df = raw
+                    df.createOrReplaceTempView(name)
+                    if name not in self.stream_tables:
+                        self.stream_tables.append(name)
                 return None
         if "path" not in options:
             # sink-table declaration (the corpus' kafka_temp_table_qN:

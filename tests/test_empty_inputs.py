@@ -48,13 +48,18 @@ EMPTY_SAFE = [
     "dedup_embedding_lsh_precision_check",
     "bpe_roundtrip_check",
     "ann_rank_consistency_check",
+    # round-4: audit profiles must match the oracle's zero-row answer on
+    # an empty table (Spark's global agg otherwise yields a degenerate
+    # all-NULL/zero-count profile row — ADVICE r03)
+    "audit_schema_drift",
+    "audit_column_profile",
 ]
 
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("empty-sf")
-    for name in ("documents", "embeddings", "events"):
+    for name in ("documents", "embeddings", "events", "orders"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(0).write.mode(
             "overwrite"
         ).parquet(f"{d}/{name}.parquet")

@@ -747,10 +747,82 @@ def test_kafka_real_broker_branch_attempts_kafka(spark):
         sess.execute(ddl)
     except Exception as e:  # no kafka connector jar in the sandbox
         assert "kafka" in str(e).lower()
-        assert "ks_real" not in sess.sinks  # did NOT fall back to a sink
     else:
         # connector available: must be a registered streaming view
         assert spark.table("ks_real").isStreaming
         assert "ks_real" in sess.stream_tables
-    # config emission happens either way
+    # config emission happens either way, and the dual-role declaration
+    # is ALSO recorded as an INSERT target (reference source and result
+    # tables share one DDL shape — ADVICE r03 medium: without this, an
+    # INSERT INTO a real-broker result table silently lands in a memory
+    # sink instead of the declared topic)
     assert sess.kafka_configs["ks_real"]["source"]["subscribe"] == "topic_x"
+    assert "ks_real" in sess.sinks
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        broker_configured,
+    )
+
+    assert broker_configured(sess.sinks["ks_real"])
+
+
+def test_kafka_real_broker_sink_table_routes_insert_to_kafka_writer(
+    spark, stream_dir
+):
+    """ADVICE r03 (medium): a real-broker `USING kafka` result-table
+    declaration (broker + subscribe + output.mode, no path — the exact
+    kafka_temp_table_qN shape, q3.sql:11-21) must be recorded in
+    self.sinks so the later INSERT INTO takes the
+    writeStream.format('kafka') branch. In this container (no connector
+    jar) that branch raises naming kafka — which proves the routing; a
+    silent memory-sink fallback would succeed and register the target
+    as a memory table."""
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        StreamingSqlSession,
+    )
+
+    sess = StreamingSqlSession(spark)
+    sess.execute(
+        "CREATE TABLE ev_stream_rb (event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string)"
+        f" USING stream OPTIONS (path '{stream_dir}', maxFilesPerTrigger '1')"
+    )
+    sink_ddl = (
+        "CREATE TABLE kafka_temp_rb USING kafka OPTIONS ("
+        "kafka.bootstrap.servers 'broker-1:9092', subscribe 'temp_topic_rb', "
+        "output.mode 'complete')"
+    )
+    try:
+        sess.execute(sink_ddl)
+    except Exception as e:  # source-view half dies without the jar
+        assert "kafka" in str(e).lower()
+    assert "kafka_temp_rb" in sess.sinks
+    with pytest.raises(Exception, match="(?i)kafka"):
+        sess.execute(
+            "INSERT INTO kafka_temp_rb "
+            "SELECT event_type, count(*) AS cnt FROM ev_stream_rb GROUP BY event_type"
+        )
+    # and it must NOT have fallen back to a memory sink
+    assert "kafka_temp_rb" not in sess.queries
+
+
+def test_kafka_real_broker_topic_only_declaration_is_sink_not_reader(spark):
+    """ADVICE r03 (low): a real-broker declaration naming its topic only
+    via `topic` (no `subscribe`) has no consumer config — the reader
+    branch must not fire (it would KeyError on 'subscribe'); the
+    declaration registers as a sink."""
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        StreamingSqlSession,
+    )
+
+    sess = StreamingSqlSession(spark)
+    sess.execute(
+        "CREATE TABLE kafka_topic_only USING kafka OPTIONS ("
+        "kafka.bootstrap.servers 'broker-1:9092', topic 'out_topic', "
+        "output.mode 'append')"
+    )
+    assert "kafka_topic_only" in sess.sinks
+    assert "kafka_topic_only" not in sess.stream_tables
+    assert sess.kafka_configs["kafka_topic_only"]["source"] is None
+    assert (
+        sess.kafka_configs["kafka_topic_only"]["sink"]["topic"] == "out_topic"
+    )
