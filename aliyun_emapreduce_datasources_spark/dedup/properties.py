@@ -33,6 +33,19 @@ Properties pinned (each cites the guarantee):
 - **BPE encode is lossless**: concatenating a word's BPE symbols
   must reproduce the word + end-of-word marker byte-for-byte, for
   every distinct corpus word (merges only ever concatenate).
+- **SimHash pairs differ in ≤ MAX_HAMMING fingerprint bits, and the
+  reported distance is right** (round 4): fingerprints are re-derived
+  from raw text through a PURE-PYTHON bit-voting path (independent of
+  the operator's numpy unpackbits/packbits vectorization) and each
+  emitted pair's Hamming distance is recomputed from those — a wrong
+  vote sign, a bit-order mix-up, or a block-join bug that leaks a
+  far pair all surface as violations.
+- **MinHash clusters contain every exact high-Jaccard pair** (round
+  4): any pair the ORACLE-CHECKED exact shingle-Jaccard operator
+  scores ≥ 0.6 must land in one MinHash-LSH cluster (LSH recall at
+  0.6 ≫ the 0.5 banding threshold + label-propagation transitivity).
+  Promotes the pytest-side containment check to a driver-hashed
+  catalog row.
 """
 
 from __future__ import annotations
@@ -192,6 +205,112 @@ def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pure_python(text: str) -> int:
+    """Independent SimHash re-derivation: same blake2b token hashes as
+    dedup/simhash.py but scalar bit-voting (ints and shifts, no numpy
+    unpackbits/packbits/view) — a disjoint arithmetic path, so a
+    vectorization bug in the operator cannot hide here."""
+    import hashlib
+
+    toks = set(text.split(" "))
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for s in toks:
+        h = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+        )
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    fp = 0
+    for i in range(64):
+        if votes[i] > 0:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def simhash_bits_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitted SimHash pairs whose pure-Python re-derived fingerprints
+    differ in more than MAX_HAMMING bits, or whose reported `hamming`
+    does not equal the re-derived distance — empty by the Manku block
+    guarantee (every emitted pair passed `hamming <= MAX_HAMMING` on
+    fingerprints this check independently reproduces)."""
+    import pandas as pd
+
+    from aliyun_emapreduce_datasources_spark.dedup import simhash
+
+    pairs = simhash.QUERY(spark, sf_dir).localCheckpoint()
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # re-fingerprint only pair members (pairs ≪ corpus)
+    member_docs = docs.join(F.broadcast(members), "doc_id", "left_semi")
+
+    def refp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fp2": pdf["text"].map(_simhash_pure_python).astype("int64"),
+                }
+            )
+
+    fp2 = member_docs.select("doc_id", "text").mapInPandas(
+        refp, schema="doc_id long, fp2 long"
+    )
+    recomputed = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        pairs.join(
+            fp2.withColumnsRenamed({"doc_id": "doc_a", "fp2": "fa"}), "doc_a"
+        )
+        .join(fp2.withColumnsRenamed({"doc_id": "doc_b", "fp2": "fb"}), "doc_b")
+        .where(
+            (recomputed > F.lit(simhash.MAX_HAMMING))
+            | (recomputed != F.col("hamming"))
+        )
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_cluster_containment_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs at >= 0.6 whose members land in
+    DIFFERENT MinHash-LSH clusters — empty: LSH banding at threshold
+    0.5 catches 0.6-Jaccard pairs, and label propagation closes the
+    transitive hull, so every exact high-Jaccard pair is intra-cluster.
+    The exact side is the oracle-checked dedup_ngram_jaccard operator,
+    so this row pins the whole approximate pairs→clusters composition
+    against a value-verified reference."""
+    from aliyun_emapreduce_datasources_spark.dedup import clusters, ngram
+
+    exact_pairs = (
+        ngram.ngram_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+    assign = clusters.minhash_cluster_resolve(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    return (
+        exact_pairs.join(
+            assign.withColumnsRenamed({"doc_id": "doc_a", "cluster_id": "ca"}),
+            "doc_a",
+        )
+        .join(
+            assign.withColumnsRenamed({"doc_id": "doc_b", "cluster_id": "cb"}),
+            "doc_b",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _EMPTY_PAIRS = (
     "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE FALSE"
 )
@@ -202,6 +321,8 @@ QUERIES = {
     "dedup_winnow_containment_check": winnow_containment_violations,
     "dedup_embedding_lsh_precision_check": embedding_lsh_precision_violations,
     "bpe_roundtrip_check": bpe_roundtrip_violations,
+    "dedup_simhash_bits_check": simhash_bits_violations,
+    "dedup_minhash_cluster_containment_check": minhash_cluster_containment_violations,
 }
 
 ORACLES = {
@@ -215,4 +336,6 @@ ORACLES = {
         " WHERE FALSE"
     ),
     "bpe_roundtrip_check": "SELECT CAST(NULL AS VARCHAR) AS w WHERE FALSE",
+    "dedup_simhash_bits_check": _EMPTY_PAIRS,
+    "dedup_minhash_cluster_containment_check": _EMPTY_PAIRS,
 }

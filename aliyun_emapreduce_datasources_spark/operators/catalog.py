@@ -105,32 +105,54 @@ _FRONT_OF_WINDOW: tuple[str, ...] = (
 )
 
 
-def _auto_front() -> list[str]:
-    """Front-of-window names, auto-rotated: oracle-backed entries that
-    no prior round's CORRECTNESS_r*.json records as driver-checked
-    come first (insertion order preserved), so the driver's bounded
-    window sweeps a fresh slice every round without manual edits.
-    Falls back to the hand-rotated static list when no driver files
-    are readable (fresh clone, first round)."""
+def _last_checked_rounds() -> dict[str, int] | None:
+    """entry → highest round number whose CORRECTNESS_rNN.json records
+    it, or None when no driver files are readable (fresh clone)."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not paths:
+        return None
+    last: dict[str, int] = {}
+    for path in paths:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            checked |= set(data)
-    if not checked:
+            for k in data:
+                last[k] = max(last.get(k, 0), rnd)
+    return last or None
+
+
+def _auto_front() -> list[str]:
+    """Front-of-window names, auto-rotated. Order (round-3 verdict
+    asks #6/#7): (1) oracle-backed entries no prior round's
+    CORRECTNESS_r*.json records — new rows get their official hash
+    check first; (2) already-green oracle-backed entries, STALEST
+    round first, so residual window slots re-confirm the oldest rows
+    instead of whichever family merges first. Rows-only entries never
+    front — the driver's bounded window spends every slot on
+    hash-checked rows. Falls back to the hand-rotated static list when
+    no driver files are readable (fresh clone, first round)."""
+    last = _last_checked_rounds()
+    if last is None:
         return [k for k in _FRONT_OF_WINDOW if k in QUERIES]
-    return [k for k in QUERIES if k in ORACLES and k not in checked]
+    oracled = [k for k in QUERIES if k in ORACLES]
+    fresh = [k for k in oracled if k not in last]
+    stale_first = sorted(
+        (k for k in oracled if k in last), key=lambda k: last[k]
+    )
+    return fresh + stale_first
 
 
 def _merge(mod) -> None:
@@ -146,6 +168,7 @@ def _load() -> None:
 
     from aliyun_emapreduce_datasources_spark.operators import (
         analytic,
+        approx_bounds,
         chunking,
         corpus,
         events,
@@ -165,6 +188,7 @@ def _load() -> None:
     _merge(pipeline)
     _merge(chunking)
     _merge(graph)
+    _merge(approx_bounds)
     for modname in (
         "dedup.queries",
         "similarity.queries",
