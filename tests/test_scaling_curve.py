@@ -1,0 +1,92 @@
+"""Empirical scaling-curve assertions for the approximate dedup family
+(round-3 verdict ask #3): measured verify-WORK growth between sf0.01
+and sf0.1, pinned per operator against the quadratic curve the exact
+twins pay. Work counts (candidate pairs actually scored) come from
+tools/scaling_curve.measure_work and are fully deterministic — unlike
+wall clock at 500–5000-doc test sizes, which is fixed-overhead
+dominated (recorded in bench_history/NOTES_r04.md, not asserted).
+
+Measured once (2026-08, deterministic testdata):
+  quadratic curve: docs 100.2x, embeddings 16.0x
+  minhash band candidates      66.9x  (< 0.7x quad)
+  embedding LSH @ prescribed
+    planes = log2(n/B)          5.6x  (< 0.5x quad — the 100 TB knob)
+  bloom probes                 10.0x  (linear)
+  simhash block candidates    103.2x  vs OUTPUT 77.9x (output-bound:
+    the synthetic corpus has large genuine hamming<=3 families)
+  winnow postings join         86.6x  (mid-df fingerprint families —
+    corpus-structure bound; see NOTES_r04.md)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/testdata/sf0.1"),
+    reason="needs both sf0.01 and sf0.1 testdata",
+)
+
+
+@pytest.fixture(scope="module")
+def work(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from scaling_curve import SF_DIRS, measure_work
+
+    w0 = measure_work(spark, SF_DIRS[0])
+    w1 = measure_work(spark, SF_DIRS[1])
+    return w0, w1
+
+
+def _ratio(w0, w1, key):
+    return w1[key] / max(w0[key], 1)
+
+
+def test_quadratic_reference_scale(work):
+    w0, w1 = work
+    assert w1["n_docs"] / w0["n_docs"] == 10.0
+    assert w1["n_emb"] / w0["n_emb"] == 4.0
+
+
+def test_minhash_candidate_growth_subquadratic(work):
+    w0, w1 = work
+    quad = (w1["n_docs"] * (w1["n_docs"] - 1)) / (w0["n_docs"] * (w0["n_docs"] - 1))
+    assert _ratio(w0, w1, "minhash_candidates") <= 0.7 * quad
+
+
+def test_embedding_lsh_prescribed_planes_growth_far_below_quadratic(work):
+    """The verdict's headline assertion: with the scale knob turned as
+    the operator prescribes (planes ≈ log2(n/B), fixed target bucket),
+    LSH verify work grows at less than HALF the exact blocked twin's
+    quadratic curve."""
+    w0, w1 = work
+    quad = (w1["n_emb"] * (w1["n_emb"] - 1)) / (w0["n_emb"] * (w0["n_emb"] - 1))
+    assert _ratio(w0, w1, "embedding_scaled_comparisons") <= 0.5 * quad
+
+
+def test_bloom_probe_growth_linear(work):
+    w0, w1 = work
+    n_ratio = w1["n_docs"] / w0["n_docs"]
+    assert _ratio(w0, w1, "bloom_probes") <= 1.2 * n_ratio
+
+
+def test_simhash_candidate_growth_output_bound(work):
+    """SimHash block-join candidates may only grow as fast as the
+    OUTPUT does (modulo 1.5x block-collision slack): the Manku blocking
+    stays efficient as the corpus scales; a degradation (candidates
+    outpacing genuine pairs) fails here."""
+    w0, w1 = work
+    out_ratio = _ratio(w0, w1, "simhash_emitted")
+    assert _ratio(w0, w1, "simhash_candidates") <= 1.5 * out_ratio
+
+
+def test_winnow_join_growth_below_quadratic(work):
+    """Winnow postings-join work tracks the corpus' shared-substring
+    family structure (mid-df fingerprints) — bounded below the full
+    quadratic curve on this corpus; the scale remedy (df-capped /
+    prefix-filtered join) is documented in NOTES_r04.md."""
+    w0, w1 = work
+    quad = (w1["n_docs"] * (w1["n_docs"] - 1)) / (w0["n_docs"] * (w0["n_docs"] - 1))
+    assert _ratio(w0, w1, "winnow_candidates") <= 0.9 * quad
