@@ -10,7 +10,25 @@ import sys
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# transformWithStateInPandas' state-server protocol needs google.protobuf
+# in BOTH the driver and the Spark python workers. When the real package
+# is absent, fall back to the vendored minimal runtime (vendor/google/
+# protobuf — wire-format subset, validated against the JVM by
+# tests/test_stateful.py). PYTHONPATH must carry it before the first
+# SparkSession launches the JVM so worker processes inherit it; an
+# installed protobuf always wins because the vendor dir is only added
+# when the import fails.
+try:
+    import google.protobuf  # noqa: F401
+except ImportError:
+    _VENDOR = os.path.join(_REPO, "vendor")
+    sys.path.insert(0, _VENDOR)
+    os.environ["PYTHONPATH"] = (
+        _VENDOR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from aliyun_emapreduce_datasources_spark.registry import TABLES
 from aliyun_emapreduce_datasources_spark.session import get_session

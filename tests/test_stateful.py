@@ -135,8 +135,9 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithState's state-server protocol needs google.protobuf "
-    "(not in this container); the API-shape is still import-checked below",
+    reason="transformWithState's state-server protocol needs google.protobuf; "
+    "normally satisfied by the vendored minimal runtime (vendor/google/"
+    "protobuf, wired up in conftest.py) even when the package is absent",
 )
 def test_transform_with_state_running_totals_matches_batch(spark, sf_dir, stream_dir):
     """Spark 4.x transformWithStateInPandas: the final per-user
