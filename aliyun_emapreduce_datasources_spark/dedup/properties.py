@@ -35,8 +35,8 @@ Properties pinned (each cites the guarantee):
   every distinct corpus word (merges only ever concatenate).
 - **SimHash pairs differ in ≤ MAX_HAMMING fingerprint bits, and the
   reported distance is right** (round 4): fingerprints are re-derived
-  from raw text through a PURE-PYTHON bit-voting path (independent of
-  the operator's numpy unpackbits/packbits vectorization) and each
+  from raw text through a shift-and-mask voting path (independent of
+  the operator's unpackbits/packbits vectorization) and each
   emitted pair's Hamming distance is recomputed from those — a wrong
   vote sign, a bit-order mix-up, or a block-join bug that leaks a
   far pair all surface as violations.
@@ -205,32 +205,38 @@ def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_pure_python(text: str) -> int:
+def _simhash_shift_mask(text: str) -> int:
     """Independent SimHash re-derivation: same blake2b token hashes as
-    dedup/simhash.py but scalar bit-voting (ints and shifts, no numpy
-    unpackbits/packbits/view) — a disjoint arithmetic path, so a
-    vectorization bug in the operator cannot hide here."""
+    dedup/simhash.py but a DIFFERENT arithmetic path end to end —
+    int.from_bytes (not frombuffer/view), broadcast shift-and-mask bit
+    extraction (not unpackbits), and a powers-of-two dot product (not
+    packbits) — so a bit-order or endianness bug in the operator's
+    vectorization cannot reproduce here."""
     import hashlib
+
+    import numpy as np
 
     toks = set(text.split(" "))
     if not toks:
         return 0
-    votes = [0] * 64
-    for s in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        )
-        for i in range(64):
-            votes[i] += 1 if (h >> i) & 1 else -1
-    fp = 0
-    for i in range(64):
-        if votes[i] > 0:
-            fp |= 1 << i
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+            )
+            for s in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(len(toks))
+    fp = int((votes > 0).astype(object) @ (1 << np.arange(64, dtype=object)))
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
 def simhash_bits_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Emitted SimHash pairs whose pure-Python re-derived fingerprints
+    """Emitted SimHash pairs whose independently re-derived fingerprints
     differ in more than MAX_HAMMING bits, or whose reported `hamming`
     does not equal the re-derived distance — empty by the Manku block
     guarantee (every emitted pair passed `hamming <= MAX_HAMMING` on
@@ -254,7 +260,7 @@ def simhash_bits_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "fp2": pdf["text"].map(_simhash_pure_python).astype("int64"),
+                    "fp2": pdf["text"].map(_simhash_shift_mask).astype("int64"),
                 }
             )
 

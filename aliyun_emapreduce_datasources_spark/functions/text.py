@@ -452,7 +452,15 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def compressed_len(texts: pd.Series) -> pd.Series:
         import zlib
 
-        return texts.map(lambda s: len(zlib.compress(s.encode("utf-8"), 6)))
+        # NULL text → NULL stats (matches octet_length); without the
+        # guard the batch dies on None.encode the moment the column is
+        # actually materialized (count() alone prunes it — the crash
+        # only surfaced once the bound check READ n_compressed)
+        return texts.map(
+            lambda s: len(zlib.compress(s.encode("utf-8"), 6))
+            if s is not None
+            else None
+        )
 
     docs = t(spark, sf_dir, "documents")
     n_bytes = F.octet_length("text")

@@ -48,16 +48,22 @@ def hll_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aliyun_emapreduce_datasources_spark.operators import analytic
 
     exact = analytic.distinct_users_exact(spark, sf_dir)
-    approx = analytic.distinct_users_approx(spark, sf_dir)
+    approx = analytic.distinct_users_approx(spark, sf_dir).withColumnsRenamed(
+        {"event_type": "a_event_type"}
+    )
     err = F.abs(F.col("n_users_approx") - F.col("n_users")) * F.lit(100)
     return (
-        exact.join(approx, "event_type", "full")
+        # null-safe join: a NULL event_type stratum (NULL-robustness
+        # suite) must line its exact and approx rows up, not orphan both
+        exact.join(
+            approx, exact["event_type"].eqNullSafe(approx["a_event_type"]), "full"
+        )
         .where(
             F.col("n_users").isNull()
             | F.col("n_users_approx").isNull()
             | (err > F.col("n_users") * F.lit(HLL_BOUND_PCT))
         )
-        .select("event_type")
+        .select(F.coalesce("event_type", "a_event_type").alias("event_type"))
         .orderBy("event_type")
     )
 
@@ -126,7 +132,9 @@ def compression_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_int = ((c * 10 > b) & (c * 10 < b * 6))
     on_boundary = (c * 10 == b) | (c * 10 == b * 6)
     return (
-        res.where(
+        # a NULL-text doc has NULL stats end to end — no bounds to pin
+        res.where(b.isNotNull() & c.isNotNull())
+        .where(
             (c > b + F.floor(b / 100) + F.lit(64))
             | (c < F.lit(8))
             | (~on_boundary & (F.col("keep") != keep_int))

@@ -132,3 +132,26 @@ ROWS_ONLY_TOUCHING = [
 @pytest.mark.parametrize("name", ROWS_ONLY_TOUCHING)
 def test_rows_only_entry_survives_nulls(spark, nulled_dir, name):
     assert QUERIES[name](spark, nulled_dir).count() >= 0
+
+
+# property-violation / error-bound oracles: their trivial oracles never
+# mention a table name, so the auto-derived parity lists above skip
+# them — but the guarantees they pin must hold on NULL-bearing data
+# too (violations stay EMPTY, matching the empty-set oracle).
+PROPERTY_EMPTY_UNDER_NULLS = [
+    "dedup_bloom_no_false_negatives",
+    "dedup_minhash_precision_check",
+    "dedup_winnow_containment_check",
+    "dedup_embedding_lsh_precision_check",
+    "bpe_roundtrip_check",
+    "dedup_simhash_bits_check",
+    "dedup_minhash_cluster_containment_check",
+    "distinct_users_hll_bound_check",
+    "doc_length_quantiles_rank_check",
+    "text_compression_bound_check",
+]
+
+
+@pytest.mark.parametrize("name", PROPERTY_EMPTY_UNDER_NULLS)
+def test_property_oracle_empty_under_nulls(spark, nulled_dir, name):
+    assert QUERIES[name](spark, nulled_dir).count() == 0
