@@ -85,6 +85,10 @@ ANSI_SENSITIVE = [
     "emb_kmeans_train",  # quantized integer dots
     "olap_grouping_sets",
     "chunk_documents",  # DIV-based window math
+    # round-4 error-bound oracles: integer cross-multiplies end to end
+    "distinct_users_hll_bound_check",
+    "doc_length_quantiles_rank_check",
+    "text_compression_bound_check",  # keep-flag re-derivation + zlib bounds
 ]
 
 

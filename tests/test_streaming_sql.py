@@ -1046,3 +1046,109 @@ def test_q40_shape_interval_join_late_replay(spark, sf_dir, late_stream_env):
     assert len(got) > 0
     assert ontime <= got, f"missing on-time pairs: {sorted(ontime - got)[:5]}"
     assert got <= full, f"phantom pairs: {sorted(got - full)[:5]}"
+
+
+# --- q40 TRUE join type: LEFT OUTER interval join at the script level
+# (q40.sql:26-41 is LEFT OUTER JOIN; the shape tests above pin the
+# inner-join core — these pin the outer semantics: matched rows equal
+# the inner join, null rows appear exactly for watermark-expired
+# unmatched lefts, never for matched ones)
+
+Q40_LOJ_SCRIPT = """
+CREATE TABLE ev_views_lo (event_id bigint, ts timestamp, user_id bigint,
+                          event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE ev_buys_lo (event_id bigint, ts timestamp, user_id bigint,
+                         event_type string, value double, props string)
+USING stream OPTIONS (path '{path}', maxFilesPerTrigger '2');
+CREATE TABLE result_q40lo USING kafka OPTIONS (output.mode 'append');
+INSERT INTO result_q40lo
+SELECT a.event_id AS view_id, b.event_id AS buy_id
+FROM ev_views_lo a LEFT OUTER JOIN ev_buys_lo b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + interval 30 minutes
+WHERE a.event_type = 'view'
+  AND delay(a.ts) < '60 seconds' AND delay(b.ts) < '30 seconds'
+"""
+
+
+def _q40_batch_twins(spark, sf_dir, exclude_ids=None):
+    """(inner_pairs, matched_lefts, unmatched_lefts) from the batch twin."""
+    ev = t(spark, sf_dir, "events")
+    if exclude_ids:
+        ev = ev.where(~F.col("event_id").isin(list(exclude_ids)))
+    v = ev.where(F.col("event_type") == "view").alias("a")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    inner = {
+        (r.view_id, r.buy_id)
+        for r in v.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 30 minutes")),
+        )
+        .select(
+            F.col("a.event_id").alias("view_id"),
+            F.col("b.event_id").alias("buy_id"),
+        )
+        .collect()
+    }
+    matched_lefts = {p[0] for p in inner}
+    all_lefts = {r.event_id for r in v.select("a.event_id").collect()}
+    return inner, matched_lefts, all_lefts - matched_lefts
+
+
+def test_q40_left_outer_script_ordered(spark, sf_dir, stream_dir):
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(Q40_LOJ_SCRIPT.format(path=stream_dir))
+    q = sess.queries["result_q40lo"]
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("result_q40lo").collect()
+    got_matched = {(r.view_id, r.buy_id) for r in rows if r.buy_id is not None}
+    got_null_lefts = {r.view_id for r in rows if r.buy_id is None}
+
+    inner, matched_lefts, unmatched_lefts = _q40_batch_twins(spark, sf_dir)
+    # matched side: exactly the inner join
+    assert got_matched == inner and len(inner) > 0
+    # null rows: only for genuinely unmatched lefts (no phantom nulls),
+    # and the watermark has expired enough of them to be non-vacuous;
+    # the stream's tail lefts are legitimately withheld
+    assert got_null_lefts, "no unmatched views emitted"
+    assert got_null_lefts <= unmatched_lefts, (
+        sorted(got_null_lefts - unmatched_lefts)[:5]
+    )
+    assert not (got_null_lefts & matched_lefts)
+
+
+def test_q40_left_outer_script_late_replay(spark, sf_dir, late_stream_env):
+    script = (
+        Q40_LOJ_SCRIPT.replace("ev_views_lo", "ev_views_lol")
+        .replace("ev_buys_lo", "ev_buys_lol")
+        .replace("result_q40lo", "result_q40lol")
+    )
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(script.format(path=late_stream_env["dir"]))
+    q = sess.queries["result_q40lol"]
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("result_q40lol").collect()
+    got_matched = {(r.view_id, r.buy_id) for r in rows if r.buy_id is not None}
+    got_null_lefts = {r.view_id for r in rows if r.buy_id is None}
+
+    full_inner, _, _ = _q40_batch_twins(spark, sf_dir)
+    ontime_inner, ontime_matched_lefts, _ = _q40_batch_twins(
+        spark, sf_dir, exclude_ids=late_stream_env["late_ids"]
+    )
+    # on-time pairs are guaranteed (ts-sorted chunking keeps on-time
+    # rows ahead of the watermark; the b-side watermark lags b.ts by
+    # more than the interval upper bound, keeping a-side state alive);
+    # pairs touching late rows may appear only with batch semantics
+    assert ontime_inner <= got_matched, (
+        sorted(ontime_inner - got_matched)[:5]
+    )
+    assert got_matched <= full_inner, sorted(got_matched - full_inner)[:5]
+    # a left matched by an ON-TIME right must never emit a null row
+    # (a late-dropped right may legitimately produce one)
+    assert not (got_null_lefts & ontime_matched_lefts)
