@@ -32,7 +32,15 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-__all__ = ["RunningUserTotals", "running_user_totals", "OUTPUT_SCHEMA"]
+__all__ = [
+    "RunningUserTotals",
+    "running_user_totals",
+    "OUTPUT_SCHEMA",
+    "SessionizerTws",
+    "sessionize_tws",
+    "UserValueLog",
+    "user_value_log",
+]
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -94,6 +102,191 @@ def running_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFra
         .transformWithStateInPandas(
             RunningUserTotals(ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+# --- event-time sessionization via named state + event-time timers ----
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_micro", T.LongType()),
+        T.StructField("session_end_micro", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_micro", T.LongType()),
+        T.StructField("end_micro", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class SessionizerTws(StatefulProcessor):
+    """Event-time gap sessionization on the 4.x API: one ValueState
+    holding the open session, an EVENT-TIME TIMER at ``end + gap``
+    closing it when the watermark passes (the idiomatic
+    transformWithState replacement for applyInPandasWithState's
+    timeout-based sessionization in streaming/stateful.py — both
+    generations stay available, same migration contract as
+    running_user_totals).
+
+    Emission contract (pinned by the differential test): a session is
+    emitted exactly once, either when its gap timer fires or when a
+    later-session row arrives for the key (gap supersession). Rows are
+    assumed in event-time order per key within the watermark — the
+    replay harness's ts-sorted chunking provides it, and the batch
+    lag-gap twin assumes the same.
+
+    State bound: one (3 longs) ValueState row + one timer per ACTIVE
+    key — the state store holds only keys inside the gap horizon, the
+    eviction contract that keeps 100 TB ingest bounded."""
+
+    def __init__(self, gap_micro: int):
+        self.gap_micro = gap_micro
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.sess = handle.getValueState("sess", SESSION_STATE_SCHEMA, None)
+
+    def _emit(self, key, start, end, n) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_micro": [start],
+                "session_end_micro": [end],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        ts_all: list[int] = []
+        for pdf in rows:
+            ts_all.extend(int(v) for v in pdf["ts_micro"].astype("int64"))
+        if not ts_all:
+            return
+        # a single micro-batch can span MANY sessions for one key —
+        # fold the sorted timestamps through the gap rule, emitting
+        # every session a later-in-batch row supersedes
+        ts_all.sort()
+        if self.sess.exists():
+            start, end, n = self.sess.get()
+            self.handle.deleteTimer(self._timer_ms(end))
+        else:
+            start, end, n = ts_all[0], ts_all[0], 0  # fold counts row 1
+        closed = []
+        for v in ts_all:
+            if v > end + self.gap_micro:
+                closed.append((start, end, n))
+                start, end, n = v, v, 1
+            else:
+                if v > end:
+                    end = v
+                if v < start:  # late row within gap extends backwards
+                    start = v
+                n += 1
+        for s, e, c in closed:
+            yield self._emit(key, s, e, c)
+        self.sess.update((start, end, n))
+        self.handle.registerTimer(self._timer_ms(end))
+
+    def _timer_ms(self, end_micro: int) -> int:
+        # ms timer granularity: round UP so the timer never fires
+        # before the true micro deadline
+        return -(-(end_micro + self.gap_micro) // 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self.sess.exists():
+            start, end, n = self.sess.get()
+            yield self._emit(key, start, end, n)
+            self.sess.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(
+    events: DataFrame, gap: str = "1 hour", delay: str = "10 minutes"
+) -> DataFrame:
+    """events: streaming DF with (user_id long, ts timestamp)."""
+    from pyspark.sql import functions as F
+
+    gap_micro = {"1 hour": 3_600_000_000, "30 minutes": 1_800_000_000}[gap]
+    with_micro = events.withWatermark("ts", delay).select(
+        "user_id", (F.unix_micros("ts")).alias("ts_micro"), "ts"
+    )
+    return (
+        with_micro.groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionizerTws(gap_micro),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+# --- ListState value log (protocol coverage: appendList + iterator) ---
+
+LOG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("sum_micro", T.LongType()),
+    ]
+)
+
+LOG_STATE_SCHEMA = T.StructType([T.StructField("v_micro", T.LongType())])
+
+
+class UserValueLog(StatefulProcessor):
+    """Append every value (integer micro-units) to a named ListState,
+    then RE-READ the whole list each batch to emit count + sum — the
+    re-read is deliberate: it drives the paginated listStateGet
+    iterator protocol rather than caching a running total, so the
+    differential test validates list round-trips, not just appends."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.log = handle.getListState("log", LOG_STATE_SCHEMA, None)
+
+    def handleInputRows(self, key, rows, timerValues):
+        new = []
+        for pdf in rows:
+            new.extend(
+                (int(v),)
+                for v in (pdf["value"].astype("float64") * 1_000_000)
+                .round()
+                .astype("int64")
+            )
+        if new:
+            self.log.appendList(new)
+        vals = [v[0] for v in self.log.get()]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_values": [len(vals)],
+                "sum_micro": [sum(vals)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_value_log(events: DataFrame) -> DataFrame:
+    """events: streaming DF with (user_id long, value double)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserValueLog(),
+            outputStructType=LOG_OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
         )

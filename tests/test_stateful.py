@@ -250,3 +250,139 @@ def test_late_event_merges_into_downward_extended_session(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == {(9, "2024-01-01 11:10:00", "2024-01-01 12:00:00", 3)}, got
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="needs google.protobuf (vendored runtime normally provides it)",
+)
+def test_tws_sessionize_matches_batch_gap_sessions(spark, sf_dir, stream_dir):
+    """transformWithState event-time sessionization (ValueState +
+    event-time TIMERS — exercises the timer protocol end to end
+    through the vendored runtime): every emitted session must equal a
+    batch lag-gap session exactly, every NON-LAST session per user
+    must be emitted (gap supersession closes it even if its timer
+    hasn't fired), and nothing is emitted twice."""
+    from aliyun_emapreduce_datasources_spark.streaming.tws import sessionize_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    st = StreamTable("events", EVENTS_SCHEMA, stream_dir, {"maxFilesPerTrigger": "1"})
+    sessions = sessionize_tws(st.read_stream(spark), gap=GAP, delay="1 minute")
+    name = f"twsess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got_rows = spark.table(name).collect()
+    got = [
+        (r.user_id, r.session_start_micro, r.session_end_micro, r.n_events)
+        for r in got_rows
+    ]
+    assert len(got) == len(set(got)), "a session was emitted twice"
+    got = set(got)
+
+    batch = batch_sessions(spark, sf_dir)
+    want_all = {
+        (
+            r.user_id,
+            r.session_start_micro,
+            r.session_end_micro,
+            r.n_events,
+        )
+        for r in batch.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_micro"),
+            F.unix_micros("session_end").alias("session_end_micro"),
+            "n_events",
+        ).collect()
+    }
+    # last session per user may legitimately still be open
+    lastw = Window.partitionBy("user_id")
+    non_last = {
+        (
+            r.user_id,
+            r.session_start_micro,
+            r.session_end_micro,
+            r.n_events,
+        )
+        for r in batch.withColumn(
+            "max_end", F.max("session_end").over(lastw)
+        )
+        .where(F.col("session_end") < F.col("max_end"))
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_micro"),
+            F.unix_micros("session_end").alias("session_end_micro"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got <= want_all, sorted(got - want_all)[:5]
+    assert non_last <= got, sorted(non_last - got)[:5]
+    assert len(got) > 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="needs google.protobuf (vendored runtime normally provides it)",
+)
+def test_tws_list_state_value_log_matches_batch(spark, sf_dir, stream_dir):
+    """ListState appendList + paginated re-read through the vendored
+    protobuf runtime: final per-user (count, integer-micro sum) from
+    re-reading the whole list each batch must equal the batch
+    aggregate exactly."""
+    from aliyun_emapreduce_datasources_spark.streaming.tws import user_value_log
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    st = StreamTable("events", EVENTS_SCHEMA, stream_dir, {"maxFilesPerTrigger": "2"})
+    log = user_value_log(st.read_stream(spark))
+    name = f"twlog_{uuid.uuid4().hex[:8]}"
+    q = (
+        log.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got_df = spark.table(name).toPandas()
+    got = {}
+    for _, r in got_df.iterrows():  # emission order: last row wins
+        got[int(r.user_id)] = (int(r.n_values), int(r.sum_micro))
+    exp = {
+        int(r.user_id): (int(r.n), int(r.sm))
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 1000000) as long)")).alias("sm"),
+        )
+        .collect()
+    }
+    assert got == exp
