@@ -40,6 +40,8 @@ __all__ = [
     "sessionize_tws",
     "UserValueLog",
     "user_value_log",
+    "UserTypeCounts",
+    "user_type_counts",
 ]
 
 OUTPUT_SCHEMA = T.StructType(
@@ -287,6 +289,77 @@ def user_value_log(events: DataFrame) -> DataFrame:
         .transformWithStateInPandas(
             UserValueLog(),
             outputStructType=LOG_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+# --- MapState per-type counters (protocol coverage: map calls) --------
+
+TYPE_COUNT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_TYPE_KEY_SCHEMA = T.StructType([T.StructField("event_type", T.StringType())])
+_TYPE_VAL_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+class UserTypeCounts(StatefulProcessor):
+    """Per-(user, event_type) running counts in a named MapState —
+    the sub-keyed state shape (user → {type: count}) that a ValueState
+    would force into a full-row rewrite per update. Each batch emits
+    the CURRENT count for every type seen in the batch by reading the
+    map back (getValue/updateValue/containsKey round-trips), and the
+    final snapshot iterates the whole map — together driving the
+    MapState message family of the state-server protocol."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.counts = handle.getMapState(
+            "counts", _TYPE_KEY_SCHEMA, _TYPE_VAL_SCHEMA, None
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                if et is not None:
+                    batch[et] = batch.get(et, 0) + 1
+        out_types, out_counts = [], []
+        for et, add in sorted(batch.items()):
+            cur = (
+                self.counts.getValue((et,))[0]
+                if self.counts.containsKey((et,))
+                else 0
+            )
+            self.counts.updateValue((et,), (cur + add,))
+            out_types.append(et)
+            out_counts.append(cur + add)
+        if out_types:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_types),
+                    "event_type": out_types,
+                    "n": out_counts,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_counts(events: DataFrame) -> DataFrame:
+    """events: streaming DF with (user_id long, event_type string)."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTypeCounts(),
+            outputStructType=TYPE_COUNT_OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
         )

@@ -386,3 +386,51 @@ def test_tws_list_state_value_log_matches_batch(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == exp
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="needs google.protobuf (vendored runtime normally provides it)",
+)
+def test_tws_map_state_type_counts_matches_batch(spark, sf_dir, stream_dir):
+    """MapState getValue/updateValue/containsKey round-trips through
+    the vendored protobuf runtime: the LAST emitted count per
+    (user, event_type) must equal the batch groupBy count exactly."""
+    from aliyun_emapreduce_datasources_spark.streaming.tws import user_type_counts
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    st = StreamTable("events", EVENTS_SCHEMA, stream_dir, {"maxFilesPerTrigger": "2"})
+    counts = user_type_counts(st.read_stream(spark))
+    name = f"twmap_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got_df = spark.table(name).toPandas()
+    got = {}
+    for _, r in got_df.iterrows():  # emission order: last row wins
+        got[(int(r.user_id), r.event_type)] = int(r.n)
+    exp = {
+        (int(r.user_id), r.event_type): int(r.n)
+        for r in t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
