@@ -452,3 +452,36 @@ def test_embedding_lsh_plan_is_bucket_grouped(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_quantile_rank_check_broadcasts_quantile_table(spark, sf_dir):
+    """doc_length_quantiles_rank_check: the tiny unpivoted quantile
+    table must broadcast against the single corpus scan (null-safe
+    equality still compiles to a BroadcastHashJoin on the coalesced
+    key, never a nested-loop or cartesian plan)."""
+    plan = plan_of(QUERIES["doc_length_quantiles_rank_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hll_bound_check_is_two_aggregate_join(spark, sf_dir):
+    """distinct_users_hll_bound_check joins two aggregate outputs
+    (each |event_type|-sized) — the join must be on the aggregated
+    sides, never a re-scan-per-row shape, and stays integer-exact
+    (no division in the plan)."""
+    plan = plan_of(QUERIES["distinct_users_hll_bound_check"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "Join" in plan
+    assert "divide" not in plan.lower()
+
+
+def test_simhash_bits_check_semi_joins_members_before_refingerprint(
+    spark, sf_dir
+):
+    """dedup_simhash_bits_check re-fingerprints ONLY pair members: the
+    documents scan must pass through a LeftSemi join before the
+    re-derivation mapInPandas — re-hashing the whole corpus would be
+    O(corpus) Python work for an O(pairs) check."""
+    plan = plan_of(QUERIES["dedup_simhash_bits_check"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "MapInPandas" in plan
