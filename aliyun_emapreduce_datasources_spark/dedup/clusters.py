@@ -222,6 +222,65 @@ ORDER BY doc_id
 """
 
 
+def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping duplicates, every member of a
+    near-dup cluster is DOWN-WEIGHTED to 1/cluster_size — the
+    alternative training-mix practice when exact provenance balance
+    matters more than corpus shrinkage (each duplicated text
+    contributes one document's worth of gradient in total). Emits
+    (doc_id, cluster_id, cluster_size, weight_ppm) for EVERY doc;
+    singletons carry weight 1.0.
+
+    Exactness: weight is integer parts-per-million via floor division
+    (1_000_000 // size), mirrored in the oracle — no float ratio.
+
+    Scale shape: the connected-components labels (one bounded collect
+    or the min-label loop, see above) plus ONE additional shuffle on
+    cluster_id for the size aggregate, re-joined on the same key.
+    """
+    labels = dedup_cluster_resolve(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CLUSTER_WEIGHTS = f"""
+WITH RECURSIVE pairs AS ({NGRAM_PAIRS_ORACLE}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def minhash_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sub-quadratic end-to-end near-dup resolution: LSH-bucketed
     MinHash candidate pairs (dedup/minhash.py — O(docs×bands) shuffle,

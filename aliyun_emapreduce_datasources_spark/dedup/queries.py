@@ -35,6 +35,7 @@ QUERIES = {
     "dedup_minhash_clusters": clusters.minhash_cluster_resolve,
     "dedup_incremental": incremental.QUERY,
     "dedup_containment": containment.QUERY,
+    "dedup_cluster_weights": clusters.dedup_cluster_weights,
     **properties.QUERIES,
 }
 
@@ -52,5 +53,6 @@ ORACLES = {
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
     "dedup_containment": containment.ORACLE,
+    "dedup_cluster_weights": clusters.ORACLE_CLUSTER_WEIGHTS,
     **properties.ORACLES,
 }

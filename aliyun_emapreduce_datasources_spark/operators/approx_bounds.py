@@ -111,6 +111,41 @@ def quantile_rank_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_global_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """Global distinct-user estimate via MERGED per-shard HLL
+    sketches: `hll_sketch_agg` per event_type (the map-side partial a
+    1000-executor job computes per partition/day), `hll_union_agg`
+    across shards, one estimate — the mergeable-sketch path that
+    replaces exact global distinct at 100 TB. Kept as a module-level
+    seam so the mutation test can corrupt it independently."""
+    from aliyun_emapreduce_datasources_spark.operators.common import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    shards = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    row = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]
+    return int(row.est or 0)
+
+
+def sketch_merge_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row ('global') when the merged-sketch estimate strays more
+    than HLL_BOUND_PCT % from the exact global distinct count — empty
+    by the HLL union contract (merging per-shard sketches is lossless
+    w.r.t. the sketch's own accuracy: the union of sketches equals the
+    sketch of the union). This is the property that makes the sketch
+    the 100 TB path — partial sketches can be computed wherever the
+    data lives and merged without re-reading it."""
+    ev = t(spark, sf_dir, "events")
+    exact = int(ev.agg(F.count_distinct("user_id")).collect()[0][0] or 0)
+    from aliyun_emapreduce_datasources_spark.operators import approx_bounds as _self
+
+    est = _self.sketch_global_estimate(spark, sf_dir)
+    violated = abs(est - exact) * 100 > exact * HLL_BOUND_PCT
+    rows = [("global",)] if violated else []
+    return spark.createDataFrame(rows, "scope string")
+
+
 def compression_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs whose emitted compression stats break zlib's hard bounds or
     whose keep flag contradicts the integer re-derivation — empty.
@@ -146,6 +181,7 @@ def compression_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "distinct_users_hll_bound_check": hll_bound_violations,
+    "distinct_users_sketch_merge_check": sketch_merge_violations,
     "doc_length_quantiles_rank_check": quantile_rank_violations,
     "text_compression_bound_check": compression_bound_violations,
 }
@@ -153,6 +189,9 @@ QUERIES = {
 ORACLES = {
     "distinct_users_hll_bound_check": (
         "SELECT CAST(NULL AS VARCHAR) AS event_type WHERE FALSE"
+    ),
+    "distinct_users_sketch_merge_check": (
+        "SELECT CAST(NULL AS VARCHAR) AS scope WHERE FALSE"
     ),
     "doc_length_quantiles_rank_check": (
         "SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS p_millis"

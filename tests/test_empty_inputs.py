@@ -53,6 +53,8 @@ EMPTY_SAFE = [
     # all-NULL/zero-count profile row — ADVICE r03)
     "audit_schema_drift",
     "audit_column_profile",
+    "dedup_cluster_weights",
+    "distinct_users_sketch_merge_check",
 ]
 
 

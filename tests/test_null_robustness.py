@@ -149,6 +149,7 @@ PROPERTY_EMPTY_UNDER_NULLS = [
     "distinct_users_hll_bound_check",
     "doc_length_quantiles_rank_check",
     "text_compression_bound_check",
+    "distinct_users_sketch_merge_check",
 ]
 
 

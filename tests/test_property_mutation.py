@@ -263,3 +263,12 @@ def test_seed_pair_preconditions(spark, sf_dir):
         .collect()
     )
     assert pair[0].cos < embedding.COS_THRESHOLD - 1e-9
+
+
+def test_sketch_merge_detector_fires_on_corrupted_union(
+    spark, sf_dir, monkeypatch
+):
+    monkeypatch.setattr(
+        approx_bounds, "sketch_global_estimate", lambda s, d: 10_000_000
+    )
+    assert approx_bounds.sketch_merge_violations(spark, sf_dir).count() == 1
