@@ -862,3 +862,91 @@ ORDER BY user_id
 
 QUERIES["events_decayed_engagement"] = events_decayed_engagement
 ORACLES["events_decayed_engagement"] = ORACLE_DECAYED
+
+
+# --- batch gap sessionization (the streaming sessionizers' twin) ------
+
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lag-gap sessionization: per user, a new session starts
+    whenever the gap to the previous event exceeds 30 minutes. THE
+    batch twin of both streaming sessionizers
+    (streaming/stateful.py applyInPandasWithState and
+    streaming/tws.py SessionizerTws, whose differential tests assert
+    equality against exactly this rule) — promoting it to a catalog
+    entry puts the rule itself under the driver's oracle hash.
+    Complements `win_sessionize` (analytic.py), which folds the same
+    rule into per-USER session counts; this entry emits the SESSION
+    rows themselves (boundaries, size, duration).
+
+    Exactness: boundaries and durations in integer epoch micros;
+    (ts, event_id) tie-break fixes the lag order under duplicate
+    timestamps.
+
+    Scale shape: ONE shuffle on user_id serves the lag window, the
+    running session-id sum, and the final per-session aggregate (all
+    partitioned the same way); no joins.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_u")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_u", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_u") - F.lag("ts_u").over(w) > SESSION_GAP_MICROS, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts_u").alias("session_start_micro"),
+            F.max("ts_u").alias("session_end_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_start_micro",
+            "session_end_micro",
+            F.col("n_events").cast("long").alias("n_events"),
+            ((F.col("session_end_micro") - F.col("session_start_micro")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_start_micro")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_u,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_u,
+         SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts_u, event_id
+             ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts_u) AS BIGINT) AS session_start_micro,
+       CAST(MAX(ts_u) AS BIGINT) AS session_end_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((MAX(ts_u) - MIN(ts_u)) // 1000000 AS BIGINT) AS duration_sec
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start_micro
+"""
+
+
+QUERIES["events_sessionize"] = events_sessionize
+ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
