@@ -41,6 +41,10 @@ COMMENT = {
     "feature_matrix_pit": "Tagged spine+event union, ONE hashpartitioning Exchange on user_id; both features (running last-ignorenulls + 7-day RANGE count) ride the same Window pass — no spine-events join anywhere.",
     "emb_label_noise_knn": "Exact kNN as block-matrix FlatMapCoGroupsInPandas (grid replication via BroadcastHashJoin); each block pair emits per-query partial top-K so the Window top-K shuffles n.B.K candidate rows, never n² pairs.",
     "er_fuzzy_match_parts": "Blocking turns the name-similarity self-join into a hash-equi join on the block key (SortMergeJoin/ShuffledHashJoin on blk) — never a nested loop over part pairs; Levenshtein verifies only co-blocked candidates.",
+    "dedup_simhash_bits_check": "Pair members prune the corpus through a LeftSemi broadcast join BEFORE the shift-mask re-fingerprint MapInPandas — the independent re-derivation costs O(pair members), not O(corpus); the recheck itself is two hash joins against the fingerprint table.",
+    "doc_length_quantiles_rank_check": "The unpivoted 3-quantile-per-lang table is a BroadcastHashJoin build side (null-safe key compiles to coalesce+isnull hash columns, never a nested loop); ONE corpus scan feeds all rank counts via one partial+final aggregate.",
+    "dedup_cluster_weights": "Label propagation's output re-shuffles once on cluster_id for sizes and joins back on the same partitioning; weights are an in-row integer div projection.",
+    "events_sessionize": "ONE hashpartitioning Exchange on user_id serves the lag window, the running session-id sum, and the per-session aggregate — three logical passes, one shuffle, no joins.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
