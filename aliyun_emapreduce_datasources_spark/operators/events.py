@@ -950,3 +950,93 @@ ORDER BY user_id, session_start_micro
 
 QUERIES["events_sessionize"] = events_sessionize
 ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
+
+
+# --- session concurrency (scale-aware sweep line) ---------------------
+
+_DAY_MICROS = 86_400 * 1_000_000
+
+
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day — the sweep-line computation
+    (+1 at session start, −1 at session end, running sum) that naive
+    implementations run as ONE global sort. Here it is the two-phase
+    scale shape: per-DAY partitioned running sums plus a cross-day
+    carry-in computed on the days-sized aggregate (broadcast back), so
+    no single-partition sort over all boundaries ever exists and the
+    plan survives any timeline length.
+
+    Tie convention (mirrored in the oracle): at equal timestamps,
+    starts count before ends (ORDER BY t, delta DESC) — a session
+    ending exactly when another starts overlaps it; within a tie group
+    all deltas are equal, so the per-day MAX is order-invariant.
+    """
+    sessions = events_sessionize(spark, sf_dir)
+    bounds = sessions.select(
+        F.col("session_start_micro").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("session_end_micro").alias("t"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("day_idx", (F.col("t") / F.lit(_DAY_MICROS)).cast("long"))
+    # phase 1: per-day totals → cumulative carry-in over the tiny
+    # days-sized table (its window is days-long, not boundaries-long)
+    day_totals = bounds.groupBy("day_idx").agg(F.sum("delta").alias("day_delta"))
+    wdays = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_totals.select(
+        "day_idx",
+        F.coalesce(F.sum("day_delta").over(wdays), F.lit(0)).alias("carry_in"),
+    )
+    # phase 2: intra-day running sum, partitioned by day
+    wday = Window.partitionBy("day_idx").orderBy(
+        "t", F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    running = (
+        bounds.join(F.broadcast(carry), "day_idx")
+        .withColumn("conc", F.sum("delta").over(wday) + F.col("carry_in"))
+    )
+    return (
+        running.groupBy("day_idx")
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .orderBy("day_idx")
+    )
+
+
+ORACLE_SESSION_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_u,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_u,
+         SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts_u, event_id
+             ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM flagged
+), sessions AS (
+  SELECT MIN(ts_u) AS s, MAX(ts_u) AS e
+  FROM numbered GROUP BY user_id, sess_id
+), bounds AS (
+  SELECT s AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM sessions
+), run AS (
+  SELECT t, SUM(delta) OVER (
+      ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING
+  ) AS conc
+  FROM bounds
+)
+SELECT CAST(t // 86400000000 AS BIGINT) AS day_idx,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1
+ORDER BY day_idx
+"""
+
+
+QUERIES["events_session_concurrency"] = events_session_concurrency
+ORACLES["events_session_concurrency"] = ORACLE_SESSION_CONCURRENCY
