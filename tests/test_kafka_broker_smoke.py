@@ -88,3 +88,52 @@ def test_sql_frontend_roundtrip_through_real_broker(spark, tmp_path):
     want = {(r["event_id"], "view") for r in rows if r["event_type"] == "view"}
     assert got == want
     assert len(got) == 10
+
+
+def test_sql_frontend_kafka_source_table_streams_from_broker(spark, tmp_path):
+    """Source direction: a real-broker `USING kafka` declaration WITH
+    `subscribe` registers a streaming view (readStream.format('kafka')
+    + JSON value decode against the DDL schema); a SELECT over it
+    streams into a memory sink and yields the rows a plain producer
+    wrote to the topic."""
+    from pyspark.sql import Row
+
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        StreamingSqlSession,
+    )
+
+    topic = f"spark_graft_smoke_src_{uuid.uuid4().hex[:12]}"
+    # seed the topic through Spark's own batch kafka writer
+    seed = spark.createDataFrame(
+        [Row(value=json.dumps({"k": i, "v": f"r{i}"})) for i in range(15)]
+    )
+    (
+        seed.write.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("topic", topic)
+        .save()
+    )
+
+    sess = StreamingSqlSession(spark)
+    sess.execute(
+        f"CREATE TABLE kafka_src_smoke (k bigint, v string) USING kafka OPTIONS ("
+        f"kafka.bootstrap.servers '{BOOTSTRAP}', subscribe '{topic}', "
+        f"output.mode 'append')"
+    )
+    assert "kafka_src_smoke" in sess.stream_tables
+    q = (
+        spark.table("kafka_src_smoke")
+        .writeStream.format("memory")
+        .queryName("kafka_src_smoke_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_src"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.k, r.v) for r in spark.table("kafka_src_smoke_out").collect()
+    }
+    assert got == {(i, f"r{i}") for i in range(15)}
