@@ -1016,3 +1016,71 @@ ORDER BY order_key
 
 QUERIES["feature_matrix_pit"] = feature_matrix_pit
 ORACLES["feature_matrix_pit"] = ORACLE_PIT
+
+
+# --- soft-dedup-weighted mixture accounting ---------------------------
+
+def mix_soft_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting AFTER soft dedup: each document's
+    tokens count at its near-dup cluster weight (1/cluster_size, from
+    `dedup_cluster_weights`), so duplicated text contributes one
+    document's worth of tokens to the mixture no matter how many
+    copies exist — the bridge between the dedup family and the
+    `mix_epoch_plan`-style budget planning, computed end to end
+    (pairs → clusters → weights → per-source effective tokens).
+
+    Exactness: effective tokens in integer ppm
+    (Σ n_tokens · weight_ppm); no float ever materializes.
+
+    Scale shape: the cluster-weights composition (see
+    dedup/clusters.py) plus ONE broadcast-sized join back to the
+    corpus scan (weights table is |docs| rows of three longs — at
+    corpus scale flip the build side; the join key is doc_id either
+    way) and a per-source aggregate with map-side partials.
+    """
+    from aliyun_emapreduce_datasources_spark.dedup.clusters import (
+        dedup_cluster_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    weights = dedup_cluster_weights(spark, sf_dir).select("doc_id", "weight_ppm")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("doc_id", "source", tok.alias("n_tokens"))
+        .join(weights, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.sum(F.col("n_tokens") * F.col("weight_ppm")).alias(
+                "effective_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_soft_dedup() -> str:
+    from aliyun_emapreduce_datasources_spark.dedup.clusters import (
+        ORACLE_CLUSTER_WEIGHTS,
+    )
+
+    # reuse the cluster-weights oracle verbatim as a subquery: the
+    # driver-checked weights entry and this accounting row can never
+    # drift apart
+    weights_sub = ORACLE_CLUSTER_WEIGHTS.replace("ORDER BY doc_id", "")
+    return f"""
+WITH w AS ({weights_sub})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS raw_tokens,
+       CAST(SUM(len(string_split(d.text, ' ')) * w.weight_ppm) AS BIGINT)
+         AS effective_token_ppm
+FROM documents d JOIN w USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES["mix_soft_dedup_accounting"] = mix_soft_dedup_accounting
+ORACLES["mix_soft_dedup_accounting"] = _oracle_soft_dedup()
