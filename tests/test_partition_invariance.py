@@ -45,6 +45,12 @@ ENTRIES = [
     "graph_pagerank",  # iterative with localCheckpoint
     "dedup_semantic",  # per-cluster greedy prune
     "emb_label_noise_knn",  # block cogroup + global top-k window
+    # round-4 entries whose window running sums have duplicate-key
+    # ties — the classic place a partition-count change reorders rows
+    "events_sessionize",
+    "events_session_concurrency",
+    "dedup_cluster_weights",
+    "mix_soft_dedup_accounting",
 ]
 
 
