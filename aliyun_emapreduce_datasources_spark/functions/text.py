@@ -464,7 +464,14 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     n_bytes = F.octet_length("text")
-    ratio = F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double")
+    # EMPTY text has no compressibility: ratio/keep are NULL — the
+    # unguarded division is an ANSI-mode DIVIDE_BY_ZERO crash (caught
+    # by the adversarial-values suite; count()-only tests masked it
+    # via column pruning)
+    ratio = F.when(
+        F.col("n_bytes") > 0,
+        F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"),
+    )
     return (
         docs.select(
             "doc_id",

@@ -138,3 +138,14 @@ def test_lower_special_casing_divergence_is_known(spark, adv_oracle):
     duck = adv_oracle.execute(f"SELECT lower('{s}')").fetchone()[0]
     assert jvm == "i̇"
     assert duck == "i"
+
+
+# property/bound oracles: guarantees must hold on adversarial values
+# too (violations stay empty — e.g. zero-length texts through the
+# fingerprint/compression paths, boundary floats through the sketches)
+from test_null_robustness import PROPERTY_EMPTY_UNDER_NULLS
+
+
+@pytest.mark.parametrize("name", PROPERTY_EMPTY_UNDER_NULLS)
+def test_property_oracle_empty_under_adversarial_values(spark, adv_dir, name):
+    assert QUERIES[name](spark, adv_dir).count() == 0
