@@ -124,7 +124,8 @@ def test_oracled_entry_parity_under_adversarial_values(
 
 @pytest.mark.parametrize("name", ROWS_ONLY_TOUCHING)
 def test_rows_only_entry_survives_adversarial_values(spark, adv_dir, name):
-    assert QUERIES[name](spark, adv_dir).count() >= 0
+    # collect(), NOT count() — see the null suite's twin for why
+    assert len(QUERIES[name](spark, adv_dir).collect()) >= 0
 
 
 def test_lower_special_casing_divergence_is_known(spark, adv_oracle):

@@ -72,4 +72,6 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 def test_operator_survives_empty_corpus(spark, empty_sf_dir, name):
     from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
 
-    assert QUERIES[name](spark, empty_sf_dir).count() == 0
+    # collect() materializes every output column (count() would let
+    # Catalyst prune the very expressions under test)
+    assert len(QUERIES[name](spark, empty_sf_dir).collect()) == 0
