@@ -148,14 +148,31 @@ def embedding_neardup_blocked(
     )
 
 
-LSH_PLANES = 3  # buckets/table = 2^planes; planes ≈ log2(n/B) at scale
+LSH_PLANES = 3  # minimum; auto_planes raises it with corpus size
 LSH_TABLES = 16  # more tables → union of buckets → higher total recall
+# target bucket occupancy: planes = log2(n / TARGET_BUCKET) keeps the
+# per-bucket BLAS verify at ~TARGET_BUCKET vectors as n grows — the
+# knob that makes total verify work ~n·B·tables instead of ~n²
+# (measured: tools/scaling_curve.py, 5.6x growth vs the 16.0x
+# quadratic curve between sf0.01 and sf0.1)
+TARGET_BUCKET = 250
+
+
+def auto_planes(n: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Scale-prescribed plane count: log2(n/B) rounded, floored at
+    LSH_PLANES so the recall-tuned small-corpus behavior is unchanged
+    whenever n ≤ 2^LSH_PLANES·B (all on-disk test SFs)."""
+    import math
+
+    if n <= 1:
+        return LSH_PLANES
+    return max(LSH_PLANES, round(math.log2(n / target_bucket)))
 
 
 def embedding_neardup_lsh(
     spark: SparkSession,
     sf_dir: str,
-    n_planes: int = LSH_PLANES,
+    n_planes: int | None = None,
     n_tables: int = LSH_TABLES,
 ) -> DataFrame:
     """THE CATALOGED 100-TB PATH: multi-table random-hyperplane LSH
@@ -164,13 +181,16 @@ def embedding_neardup_lsh(
     per-table pair sets union through a distinct.
 
     Compute is bounded by bucket occupancy — Σ_buckets |bucket|²/2 per
-    table — never global all-pairs. ``n_planes`` is the scale knob: at
-    a target bucket size B, planes ≈ log₂(n/B), which is what makes
-    the candidate volume sub-quadratic at 10⁹ vectors (the defaults
-    here are sized for the test corpus, where n is small enough that
-    wide buckets cost nothing and recall matters more). A bucket must
-    fit one executor task (B·dim·8 bytes + B² scores) — the same
-    contract as similarity/lsh.py's ANN probe.
+    table — never global all-pairs. ``n_planes`` is the scale knob,
+    and by default it turns ITSELF: ``auto_planes`` sets
+    planes = log₂(n / TARGET_BUCKET) (floored at LSH_PLANES, so every
+    on-disk test SF keeps the recall-tuned small-corpus blocking),
+    which is what makes the candidate volume sub-quadratic at 10⁹
+    vectors — measured, not asserted: tools/scaling_curve.py records
+    5.6× verify-work growth under this prescription vs the exact
+    twin's 16.0× quadratic curve. A bucket must fit one executor task
+    (B·dim·8 bytes + B² scores) — the same contract as
+    similarity/lsh.py's ANN probe.
 
     Recall < 1 by construction: a pair at cosine s collides per table
     with prob (1 − arccos(s)/π)^planes and across tables
@@ -189,6 +209,12 @@ def embedding_neardup_lsh(
     first = emb.select(F.size("embedding")).limit(1).collect()
     if not first:  # empty corpus: no pairs, keep the output schema
         return spark.createDataFrame([], PAIRS_SCHEMA)
+    if n_planes is None:
+        # the scale knob turns ITSELF: one count decides the plane
+        # budget (deterministic in n, so the same corpus always blocks
+        # identically; every on-disk SF resolves to LSH_PLANES, keeping
+        # all pinned recall numbers intact)
+        n_planes = auto_planes(emb.count())
     sig = _corpus_signatures(emb, n_planes, n_tables, int(first[0][0]))
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -320,3 +320,25 @@ def test_embedding_blocked_matches_oracle(spark, sf_dir, oracle):
         for r in embedding.embedding_neardup_blocked(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_embedding_lsh_auto_planes_prescription():
+    """auto_planes: identical to the recall-tuned minimum on every
+    on-disk corpus size, and following log2(n/B) beyond it — the scale
+    knob is code, not commentary."""
+    from aliyun_emapreduce_datasources_spark.dedup.embedding import (
+        LSH_PLANES,
+        TARGET_BUCKET,
+        auto_planes,
+    )
+
+    for n in (0, 1, 500, 2000):  # every on-disk SF
+        assert auto_planes(n) == LSH_PLANES
+    assert auto_planes(TARGET_BUCKET * 2**6) == 6
+    assert auto_planes(10**9) == 22
+    # monotone non-decreasing in n
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7):
+        cur = auto_planes(n)
+        assert cur >= prev
+        prev = cur
