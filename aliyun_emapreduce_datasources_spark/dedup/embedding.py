@@ -56,6 +56,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
+    "auto_planes",
+    "auto_tables",
     "QUERY",
     "ORACLE",
 ]
@@ -169,11 +171,47 @@ def auto_planes(n: int, target_bucket: int = TARGET_BUCKET) -> int:
     return max(LSH_PLANES, round(math.log2(n / target_bucket)))
 
 
+# recall anchor for auto_tables: hold the per-pair collision guarantee
+# at the pinned contract's cosine cut (every s >= 0.5 pair recovered)
+RECALL_S0 = 0.5
+RECALL_MISS = 1e-4  # per-pair miss budget at s = RECALL_S0
+
+
+def auto_tables(
+    n_planes: int, s0: float = RECALL_S0, miss: float = RECALL_MISS
+) -> int:
+    """Tables-compensate-planes, as code: the table count that keeps a
+    pair at cosine ``s0`` colliding in at least one table with
+    probability ≥ 1 − ``miss``, at the given plane count.
+
+    Per-table collision for a pair at cosine s is
+    p = (1 − arccos(s)/π)^planes; growing planes (auto_planes, the
+    bucket-occupancy knob) shrinks p, so tables must grow like
+    ln(1/miss)/p to hold the recall contract. Since
+    p(s₀=0.5) = (2/3)^planes and planes = log₂(n/B), that is
+    tables ∝ (n/B)^{log₂(3/2)} ≈ (n/B)^0.585 — total verify work
+    n·B·tables ∝ n^1.585, the classic sub-quadratic LSH exponent
+    (vs n² exact). At the LSH_PLANES floor (every on-disk SF) this
+    returns LSH_TABLES exactly, so all pinned small-corpus recall
+    numbers are untouched; the auto-scaled regime (planes ≥ 5) is
+    pinned empirically by
+    tests/test_dedup.py::test_embedding_lsh_recall_at_auto_scaled_planes
+    on a 8192-vector clustered corpus."""
+    import math
+
+    if n_planes <= LSH_PLANES:
+        return LSH_TABLES
+    p = (1.0 - math.acos(s0) / math.pi) ** n_planes
+    if p >= 1.0:
+        return LSH_TABLES
+    return max(LSH_TABLES, math.ceil(math.log(miss) / math.log1p(-p)))
+
+
 def embedding_neardup_lsh(
     spark: SparkSession,
     sf_dir: str,
     n_planes: int | None = None,
-    n_tables: int = LSH_TABLES,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """THE CATALOGED 100-TB PATH: multi-table random-hyperplane LSH
     blocking; exact cosine verification runs as ONE BLAS matmul per
@@ -195,11 +233,18 @@ def embedding_neardup_lsh(
     Recall < 1 by construction: a pair at cosine s collides per table
     with prob (1 − arccos(s)/π)^planes and across tables
     1 − (1−p)^tables (3 planes × 16 tables: ≈ 0.94 at s = 0.4, > 0.99
-    at s ≥ 0.5). tests/test_dedup.py pins both contracts on real data:
-    every comfortably-above-threshold pair (s ≥ 0.5) recovered, and
-    ≥ 85 % overall recall against the exact blocked twin
-    ``embedding_neardup_blocked`` — which stays the oracle-checked
-    exact reference, deliberately out of the catalog."""
+    at s ≥ 0.5). Growing planes alone would erode this, so the table
+    count ALSO turns itself: ``auto_tables`` sizes tables to hold the
+    per-pair guarantee at s = 0.5 as planes scale (∝ (n/B)^0.585;
+    total verify work n^1.585, still far under n²). tests/test_dedup.py
+    pins both contracts on real data at the plane floor — every
+    comfortably-above-threshold pair (s ≥ 0.5) recovered, ≥ 85 %
+    overall recall against the exact blocked twin
+    ``embedding_neardup_blocked`` (the oracle-checked exact reference,
+    deliberately out of the catalog) — and re-pins BOTH at the
+    auto-scaled regime (planes = 5, auto_tables = 66) on a synthetic
+    8192-vector clustered corpus
+    (test_embedding_lsh_recall_at_auto_scaled_planes)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # signatures via one numpy matmul per Arrow batch (the ANN path's
     # _corpus_signatures) — same hyperplanes as the expression-form
@@ -215,6 +260,11 @@ def embedding_neardup_lsh(
         # identically; every on-disk SF resolves to LSH_PLANES, keeping
         # all pinned recall numbers intact)
         n_planes = auto_planes(emb.count())
+    if n_tables is None:
+        # and tables compensate planes (auto_tables) so the recall
+        # contract survives the plane growth — at the LSH_PLANES floor
+        # this is LSH_TABLES exactly
+        n_tables = auto_tables(n_planes)
     sig = _corpus_signatures(emb, n_planes, n_tables, int(first[0][0]))
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

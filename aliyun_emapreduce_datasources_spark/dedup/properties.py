@@ -46,6 +46,11 @@ Properties pinned (each cites the guarantee):
   0.6 ≫ the 0.5 banding threshold + label-propagation transitivity).
   Promotes the pytest-side containment check to a driver-hashed
   catalog row.
+- **Embedding-LSH recovers every exact s ≥ 0.5 pair** (round 5): the
+  recall floor of the cataloged near-dup operator, checked against
+  the oracle-matched blocked exact twin with the JVM cosine —
+  completing the precision check above so `dedup_embedding_cosine`
+  is pinned driver-visibly on BOTH sides.
 """
 
 from __future__ import annotations
@@ -167,6 +172,36 @@ def embedding_lsh_precision_violations(spark: SparkSession, sf_dir: str) -> Data
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_lsh_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairs at cosine ≥ 0.5 that the cataloged LSH operator
+    FAILED to emit — empty by the pinned recall-floor contract (round-5
+    companion promoting `dedup_embedding_cosine` out of rows-only on
+    the recall side; precision is pinned by
+    `dedup_embedding_lsh_precision_check`).
+
+    Independent path: the exact side is the oracle-checked blocked
+    twin (`embedding_neardup_blocked`, = the DuckDB
+    list_cosine_similarity all-pairs join bit-for-bit, pinned in
+    tests/test_dedup.py::test_embedding_blocked_matches_oracle)
+    filtered to s ≥ 0.5 with the JVM expression cosine — never the
+    LSH's numpy bucket matmul. At the contract cut the collision
+    probability across tables is ≥ 1 − 1e-4 per pair by auto_tables'
+    construction, > 0.996 at the 3-plane/16-table floor every on-disk
+    SF resolves to; 1e-9 slack exempts knife-edge fold-order ulps."""
+    exact = embedding.embedding_neardup_blocked(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = (
+        exact.join(
+            emb.withColumnsRenamed({"vec_id": "vec_a", "embedding": "ea"}), "vec_a"
+        )
+        .join(emb.withColumnsRenamed({"vec_id": "vec_b", "embedding": "eb"}), "vec_b")
+        .where(cosine("ea", "eb") >= F.lit(0.5) + F.lit(1e-9))
+        .select("vec_a", "vec_b")
+    )
+    lsh = embedding.QUERY(spark, sf_dir)
+    return hi.join(lsh, ["vec_a", "vec_b"], "left_anti").orderBy("vec_a", "vec_b")
 
 
 def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +361,7 @@ QUERIES = {
     "dedup_minhash_precision_check": minhash_precision_violations,
     "dedup_winnow_containment_check": winnow_containment_violations,
     "dedup_embedding_lsh_precision_check": embedding_lsh_precision_violations,
+    "dedup_embedding_lsh_recall_check": embedding_lsh_recall_violations,
     "bpe_roundtrip_check": bpe_roundtrip_violations,
     "dedup_simhash_bits_check": simhash_bits_violations,
     "dedup_minhash_cluster_containment_check": minhash_cluster_containment_violations,
@@ -338,6 +374,10 @@ ORACLES = {
     "dedup_minhash_precision_check": _EMPTY_PAIRS,
     "dedup_winnow_containment_check": _EMPTY_PAIRS,
     "dedup_embedding_lsh_precision_check": (
+        "SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b"
+        " WHERE FALSE"
+    ),
+    "dedup_embedding_lsh_recall_check": (
         "SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b"
         " WHERE FALSE"
     ),

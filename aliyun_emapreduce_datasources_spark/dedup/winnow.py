@@ -10,6 +10,24 @@ fingerprint, so near-dup pairs are found by an exact fingerprint
 equi-join — postings-shaped shuffle, O(total fingerprints), the same
 scale geometry as dedup/ngram.py.
 
+Candidate generation is PPJoin-style prefix-filtered (Xiao, Wang, Lin,
+Yu '08 — published practice, the round-4 scaling measurement's named
+remedy): fingerprints get a global rarest-first order (ascending
+document frequency), each doc keeps only its first
+``n − ⌈t·n⌉ + 1`` fingerprints as its PREFIX, and candidates are
+prefix-of-the-smaller-doc ⨝ full-postings-of-the-larger. Any pair
+with containment ≥ t on the smaller set must intersect inside that
+prefix (pigeonhole: the suffix holds only ⌈t·n⌉ − 1 < required-overlap
+slots), so no qualifying pair is lost; candidates are then verified
+with the exact shared-fingerprint count — the OUTPUT is bit-identical
+to the plain postings self-join (pinned by
+tests/test_dedup.py::test_winnow_prefix_filter_matches_plain_join),
+but the join work no longer pays Σ_fp C(df, 2) over mid-df
+fingerprint families: common fingerprints rarely survive into
+prefixes (they are, by the ordering, each doc's LEAST rare tokens),
+which is what caps the measured 86.6× postings-join growth
+(tools/scaling_curve.py records both curves).
+
 Fingerprints are implementation-defined numbers (no SQL oracle);
 tests/test_dedup.py checks containment against exact shingle-Jaccard
 pairs instead.
@@ -77,35 +95,117 @@ def winnow_fingerprints(
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(run, FP_SCHEMA)
 
 
+def _prefix_postings(fps: DataFrame, min_containment: float) -> DataFrame:
+    """(doc_id, fp, n_fp) keeping only each doc's PREFIX under the
+    global rarest-first fingerprint order (ascending document
+    frequency, fp as tie-break): the first n − ⌈t·n⌉ + 1 of its n
+    fingerprints. Pigeonhole guarantee: a pair with shared-count
+    ≥ ⌈t·n⌉ against this doc cannot fit its whole intersection in the
+    remaining ⌈t·n⌉ − 1 suffix slots, so at least one shared
+    fingerprint is in the prefix. Shared with tools/scaling_curve.py
+    so the measured work curve is the shipped code path."""
+    from pyspark.sql import Window
+
+    df_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    ranked = fps.join(df_fp, "fp").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("fp").asc())
+        ),
+    )
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        ranked.join(counts, "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("n_fp")
+            - F.ceil(F.lit(min_containment) * F.col("n_fp")).cast("int")
+            + 1
+        )
+        .select("doc_id", "fp", "n_fp")
+    )
+
+
 def winnow_dedup_pairs(
-    spark: SparkSession, sf_dir: str, min_containment: float = MIN_CONTAINMENT
+    spark: SparkSession,
+    sf_dir: str,
+    min_containment: float = MIN_CONTAINMENT,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, containment) pairs whose shared winnowing
     fingerprints cover ≥ min_containment of the smaller doc's
-    fingerprint set — near-dup candidates via fingerprint equi-join."""
-        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    fingerprint set.
+
+    ``prefix_filter=True`` (default, the 100 TB path) generates
+    candidates as smaller-doc-prefix ⨝ larger-doc-full-postings under
+    the rarest-first order, then verifies each candidate with the
+    exact shared count — same output as the plain self-join
+    (``prefix_filter=False``, kept as the differential twin), without
+    Σ_fp C(df, 2) join work on mid-df fingerprint families."""
+    # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    with_n = fps.join(counts, "doc_id")
-    a, b = with_n.alias("a"), with_n.alias("b")
+    if not prefix_filter:
+        with_n = fps.join(counts, "doc_id")
+        a, b = with_n.alias("a"), with_n.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_fp").alias("n_a"),
+                F.col("b.n_fp").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        containment = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+        return pairs.select(
+            "doc_a", "doc_b", containment.alias("containment")
+        ).where(F.col("containment") >= min_containment)
+
+    pre = _prefix_postings(fps, min_containment)
+    full = fps.join(counts, "doc_id")
+    # candidates: the SMALLER doc probes with its prefix into the
+    # larger doc's full postings (n-ties broken by doc_id so each
+    # unordered pair is generated from exactly one side)
+    smaller = (F.col("s.n_fp") < F.col("l.n_fp")) | (
+        (F.col("s.n_fp") == F.col("l.n_fp"))
+        & (F.col("s.doc_id") < F.col("l.doc_id"))
+    )
+    cand = (
+        pre.alias("s")
+        .join(full.alias("l"), (F.col("s.fp") == F.col("l.fp")) & smaller)
+        .select(
+            F.col("s.doc_id").alias("da"),
+            F.col("l.doc_id").alias("db"),
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    # exact verify: true shared-fingerprint count per candidate pair
+    fa = fps.select(F.col("doc_id").alias("da"), "fp")
+    fb = fps.select(F.col("doc_id").alias("db"), "fp")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_fp").alias("n_a"),
-            F.col("b.n_fp").alias("n_b"),
-        )
+        cand.join(fa, "da")
+        .join(fb, ["db", "fp"])
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(counts.withColumnsRenamed({"doc_id": "da", "n_fp": "n_a"}), "da")
+        .join(counts.withColumnsRenamed({"doc_id": "db", "n_fp": "n_b"}), "db")
     )
     containment = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
-    return pairs.select("doc_a", "doc_b", containment.alias("containment")).where(
-        F.col("containment") >= min_containment
+    return (
+        pairs.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
     )
 
 

@@ -978,7 +978,13 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(
             F.col("session_end_micro").alias("t"), F.lit(-1).alias("delta")
         )
-    ).withColumn("day_idx", (F.col("t") / F.lit(_DAY_MICROS)).cast("long"))
+    ).withColumn(
+        # integer DIV: same truncate-toward-zero semantics as DuckDB's
+        # integer `//` (measured: -1 // 10 = 0 there), and no float
+        # precision risk at epoch-micro magnitudes
+        "day_idx",
+        F.expr(f"t DIV {_DAY_MICROS}"),
+    )
     # phase 1: per-day totals → cumulative carry-in over the tiny
     # days-sized table (its window is days-long, not boundaries-long)
     day_totals = bounds.groupBy("day_idx").agg(F.sum("delta").alias("day_delta"))

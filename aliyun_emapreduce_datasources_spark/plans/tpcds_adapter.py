@@ -247,6 +247,7 @@ def _warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(5).select(
         i.alias("w_warehouse_sk"),
         F.concat(F.lit("Warehouse number "), i.cast("string")).alias("w_warehouse_name"),
+        _pick(i, "TN", "TX", "OH", "OR", "CA").alias("w_state"),
     )
 
 
@@ -311,6 +312,55 @@ DIM_BUILDERS = {
 # --------------------------------------------------------------------
 # facts (streamed in the corpus; the same DataFrames serve as batch twins)
 # --------------------------------------------------------------------
+
+
+# q40 event-time columns: `data_time` is the reference's Kafka ingest
+# timestamp (CatalogSales.avsc:39 cs_data_time / CatalogReturns.avsc:32
+# cr_data_time, timestamp-millis — appended to every record by the
+# replication simulator). Deterministic stand-in: per (order, item) the
+# sale's data_time trails the return's by 0-44 s, so q40's interval
+# join (cs_data_time within [cr_data_time, cr_data_time + 30 s]) has
+# both matching and non-matching pairs; watermark sentinels (below)
+# close append-mode state so the LOJ's null rows flush.
+_DATA_EPOCH = 952_732_800  # 2000-03-11 00:00:00 UTC
+_DATA_SPAN = 7_200  # real data_times spread over 2 h
+
+
+def _data_time_secs():
+    """Shared per-(order, item) second offset — both fact builders
+    derive from it so join partners land within interval range."""
+    return F.pmod(
+        F.col("l_orderkey") * 17 + F.col("l_partkey") * 23, F.lit(_DATA_SPAN)
+    )
+
+
+def _sale_lag_secs():
+    """Sale data_time − return data_time ∈ [0, 44]: ~70 % inside q40's
+    30 s interval, the rest outside (exercises the LOJ's null path on
+    matched keys too)."""
+    return F.pmod(F.col("l_orderkey") * 3 + F.col("l_partkey") * 7, F.lit(45))
+
+
+def _watermark_sentinels(spark: SparkSession, df: DataFrame, time_col: str, n: int = 2) -> DataFrame:
+    """Rows that advance the stream's event-time watermark 1 h past
+    every real data_time but can never reach the output (every FK is
+    −1, matching no dim row and no opposite-side fact): with these in
+    the replayed stream, the dual-watermark LOJ's unmatched-left state
+    fully flushes before the harness compares streaming vs batch —
+    the file-replay equivalent of the reference simulator's unbounded
+    mode, where wall-clock ingest keeps watermarks moving after the
+    historical replay ends. Batch twins read the same replayed JSON,
+    so both sides see (and dim-filter away) the same sentinels."""
+    closing = _DATA_EPOCH + _DATA_SPAN + 45 + 3_600
+    cols = []
+    for fld in df.schema.fields:
+        if fld.name == time_col:
+            cols.append(
+                F.timestamp_seconds(F.lit(closing) + F.col("id")).alias(fld.name)
+            )
+        else:
+            cols.append(F.lit(-1).cast(fld.dataType).alias(fld.name))
+    return spark.range(n).select(*cols)
 
 
 def _fact_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +486,7 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n_customers(spark, sf_dir)
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     ext = F.col("l_extendedprice") / 10.0
-    return b.select(
+    sales = b.select(
         _date_sk(F.col("_sold_date")).alias("cs_sold_date_sk"),
         _date_sk(F.col("_ship_date")).alias("cs_ship_date_sk"),
         F.pmod(ok * 37 + ln * 101, F.lit(1440)).alias("cs_sold_time_sk"),
@@ -450,13 +500,18 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("l_suppkey"), F.lit(5)).alias("cs_warehouse_sk"),
         F.pmod(ln, F.lit(5)).alias("cs_ship_mode_sk"),
         F.pmod(ok, F.lit(4)).alias("cs_call_center_sk"),
+        ok.alias("cs_order_number"),
         F.col("l_quantity").cast("int").alias("cs_quantity"),
         _money(ext / F.col("l_quantity")).alias("cs_list_price"),
         _money(ext / F.col("l_quantity") * (1 - F.col("l_discount"))).alias("cs_sales_price"),
         _money(ext * (1 - F.col("l_discount"))).alias("cs_ext_sales_price"),
         _money(ext * F.col("l_discount")).alias("cs_coupon_amt"),
         _money(ext * (F.lit(0.2) - F.col("l_discount"))).alias("cs_net_profit"),
+        F.timestamp_seconds(
+            F.lit(_DATA_EPOCH) + _data_time_secs() + _sale_lag_secs()
+        ).alias("cs_data_time"),
     )
+    return sales.unionByName(_watermark_sentinels(spark, sales, "cs_data_time"))
 
 
 def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,10 +548,21 @@ def _inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _returns_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
-        F.col("l_returnflag") == "R"
-    )
+def _returns_base(spark: SparkSession, sf_dir: str, recent: bool = False) -> DataFrame:
+    # l_returnflag = 'R' only exists on early lineitems (TPC-H sets it
+    # for receipts before 1995-06, i.e. shifted dates ≤ 1998); q40's
+    # interval join probes sales around 2000-03, so catalog_returns
+    # additionally marks a deterministic ~8 % slice of ALL lineitems as
+    # returned (`recent=True`), keeping the join non-vacuous in every
+    # corpus date window.
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    flag = F.col("l_returnflag") == "R"
+    if recent:
+        flag = flag | (
+            F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber") * 17, F.lit(13))
+            == 0
+        )
+    li = li.where(flag)
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey", "o_custkey"
     )
@@ -525,15 +591,20 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _returns_base(spark, sf_dir)
+    b = _returns_base(spark, sf_dir, recent=True)
     ext = F.col("l_extendedprice") / 10.0
-    return b.select(
+    ret = b.select(
         _date_sk(F.col("_return_date")).alias("cr_returned_date_sk"),
         F.col("l_partkey").alias("cr_item_sk"),
         F.col("o_custkey").alias("cr_returning_customer_sk"),
         F.pmod(F.col("l_orderkey"), F.lit(4)).alias("cr_call_center_sk"),
+        F.col("l_orderkey").alias("cr_order_number"),
         _money(ext * F.col("l_discount") + 50).alias("cr_net_loss"),
+        F.timestamp_seconds(F.lit(_DATA_EPOCH) + _data_time_secs()).alias(
+            "cr_data_time"
+        ),
     )
+    return ret.unionByName(_watermark_sentinels(spark, ret, "cr_data_time"))
 
 
 FACT_BUILDERS = {

@@ -67,10 +67,29 @@ CAND_SCHEMA = T.StructType(
 )
 
 
+_M64 = (1 << 64) - 1
+
+
 def _plane_weight(table: int, h: int, d: int) -> float:
-    """Deterministic pseudo-random weight in [-0.5, 0.5)."""
-    x = ((table * 7_368_787 + h * 1_000_003 + d) * 2_654_435_761) % (2**31)
-    return (x % 10_000) / 10_000.0 - 0.5
+    """Deterministic pseudo-random weight in [-0.5, 0.5).
+
+    splitmix64-finalized avalanche of (table, h, d) — NOT a linear
+    congruence: a multiplicative Weyl step here makes every plane a
+    near-translate of one index sequence, i.e. nearly-duplicate
+    hyperplanes across tables (measured |corr| up to 0.998 at
+    dim=128), which silently collapses the union-of-tables recall the
+    auto_tables contract depends on. The avalanche decorrelates planes
+    (mean |corr| ≈ the 1/√dim of independent draws), restoring the
+    (1−(1−p^planes)^tables) model the recall tests pin."""
+    x = (
+        table * 0x9E3779B97F4A7C15 + h * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB
+    ) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x / 2.0**64 - 0.5
 
 
 def _plane_matrix(n_planes: int, n_tables: int, dim: int) -> np.ndarray:

@@ -140,11 +140,12 @@ class SessionizerTws(StatefulProcessor):
     running_user_totals).
 
     Emission contract (pinned by the differential test): a session is
-    emitted exactly once, either when its gap timer fires or when a
-    later-session row arrives for the key (gap supersession). Rows are
-    assumed in event-time order per key within the watermark — the
-    replay harness's ts-sorted chunking provides it, and the batch
-    lag-gap twin assumes the same.
+    emitted exactly once: when its gap timer fires, when a
+    later-session row supersedes it, or when a still-in-watermark
+    batch reveals it as a separate LATER session (an out-of-order row
+    more than gap before the open start closes as its own earlier
+    session — interval merge, no in-order-per-key assumption beyond
+    what the watermark itself bounds).
 
     State bound: one (3 longs) ValueState row + one timer per ACTIVE
     key — the state store holds only keys inside the gap horizon, the
@@ -173,26 +174,31 @@ class SessionizerTws(StatefulProcessor):
             ts_all.extend(int(v) for v in pdf["ts_micro"].astype("int64"))
         if not ts_all:
             return
-        # a single micro-batch can span MANY sessions for one key —
-        # fold the sorted timestamps through the gap rule, emitting
-        # every session a later-in-batch row supersedes
-        ts_all.sort()
+        # a single micro-batch can span MANY sessions for one key, and
+        # a still-in-watermark row may even predate the OPEN session by
+        # more than the gap — interval-merge handles both: the open
+        # state is one weighted interval among the batch's point
+        # intervals, sorted and folded through the gap rule, so an
+        # out-of-order row > gap below the open start becomes its own
+        # closed earlier session instead of silently widening the open
+        # one (matches the batch lag-gap twin for any arrival order the
+        # watermark admits)
+        intervals = [(v, v, 1) for v in ts_all]
         if self.sess.exists():
             start, end, n = self.sess.get()
             self.handle.deleteTimer(self._timer_ms(end))
-        else:
-            start, end, n = ts_all[0], ts_all[0], 0  # fold counts row 1
+            intervals.append((int(start), int(end), int(n)))
+        intervals.sort()
+        start, end, n = intervals[0]
         closed = []
-        for v in ts_all:
-            if v > end + self.gap_micro:
+        for s, e, c in intervals[1:]:
+            if s > end + self.gap_micro:
                 closed.append((start, end, n))
-                start, end, n = v, v, 1
+                start, end, n = s, e, c
             else:
-                if v > end:
-                    end = v
-                if v < start:  # late row within gap extends backwards
-                    start = v
-                n += 1
+                if e > end:
+                    end = e
+                n += c
         for s, e, c in closed:
             yield self._emit(key, s, e, c)
         self.sess.update((start, end, n))

@@ -15,8 +15,14 @@ micro-batch recompute fallback for plans Structured Streaming cannot
 incrementalize) must equal the batch execution of the same statement
 over the same fact data — order-insensitive, float-tolerant.
 
-Scripts with non-TPC-DS shapes (q40 interval join, q100–q103 synthetic
-window dialect) are covered by dedicated tests in test_streaming_sql.py.
+q40 — the corpus' hardest statement (dual-watermark stream-stream
+interval LEFT OUTER join feeding static dim joins, append mode) — runs
+byte-verbatim here too (test_q40_verbatim_interval_loj) under both
+delivery orders, completing 30/30 verbatim corpus conformance; its
+contract is the append-mode-under-lateness one (exact multiset equality
+on ordered delivery; on-time-subset / full-superset bounds under late
+delivery). The q100–q103 synthetic window dialect is covered by
+dedicated shape tests in test_streaming_sql.py.
 """
 
 from __future__ import annotations
@@ -86,15 +92,30 @@ def tpcds_env(request, spark):
         fact_ddls[name] = ad.fact_ddl(spark, sf_dir, name)
         d = os.path.join(base, "streams", name)
         replay_to_json_dir(
-            df, d, n_chunks=2, late_fraction=0.05 if late else 0.0
+            df,
+            d,
+            n_chunks=2,
+            # q40's append-mode interval join is watermark-sensitive:
+            # its two streams replay in event-time order (the Kafka
+            # simulator's per-topic delivery order), so only md5-coin
+            # LATE rows can ever trail the watermark. The other facts
+            # feed complete-mode aggs — order-insensitive.
+            order_col=_Q40_ORDER_COLS.get(name),
+            late_fraction=0.05 if late else 0.0,
         )
         stream_dirs[name] = d
         # batch twin of the SAME data the stream delivers (JSON
         # round-trip) so streaming-vs-batch compares the execution
         # paths, not serialization artifacts
         spark.read.schema(df.schema).json(d).createOrReplaceTempView(f"{name}__batch")
-    yield {"dims": dim_paths, "ddls": fact_ddls, "streams": stream_dirs}
+    yield {"dims": dim_paths, "ddls": fact_ddls, "streams": stream_dirs, "late": late}
     shutil.rmtree(base, ignore_errors=True)
+
+
+_Q40_ORDER_COLS = {
+    "kafka_catalog_sales": "cs_data_time",
+    "kafka_catalog_returns": "cr_data_time",
+}
 
 
 def _norm(v):
@@ -158,3 +179,96 @@ def test_corpus_script_verbatim(spark, tpcds_env, qname):
     assert_same_rows(got, want, qname)
     if qname in NONEMPTY:
         assert len(got) > 0, f"{qname}: expected non-empty result"
+
+
+# --- q40 byte-verbatim: dual-watermark interval LEFT OUTER join ------
+#
+# q40.sql:26-41 is the corpus' only stream-stream join (catalog_sales
+# LEFT OUTER catalog_returns on order/item + a 30 s event-time interval,
+# `delay()` watermarks on both sides, append mode, then comma-joined
+# static dims). Append-mode semantics make exact batch equality the
+# right gate only for ordered delivery; under the late profile the
+# watermark legitimately drops coin-late rows, so the contract becomes
+# two-sided multiset bounds (the same append-mode-under-lateness
+# contract as the shaped tests in test_streaming_sql.py).
+
+
+def _md5_late_payloads(df, fraction=0.05):
+    """Recompute replay_to_json_dir's deterministic md5 coin over the
+    SAME serialization it chunks (df.toJSON), returning the late rows'
+    JSON payloads."""
+    import hashlib
+
+    out = []
+    for r in df.toJSON().collect():
+        coin = int(hashlib.md5(r.encode()).hexdigest()[:8], 16) % 1000
+        if coin < fraction * 1000:
+            out.append(r)
+    return out
+
+
+def _counter_contains(big, small):
+    return all(big.get(k, 0) >= c for k, c in small.items())
+
+
+def test_q40_verbatim_interval_loj(spark, tpcds_env):
+    from collections import Counter
+
+    with open(os.path.join(QUERIES_DIR, "q40.sql")) as fh:
+        script_text = fh.read()
+    sink, mode, insert_stmt = ad.extract_insert_statement(script_text)
+    assert mode == "append"  # q40.sql:17
+
+    script = ad.build_script(
+        insert_stmt, sink, mode,
+        tpcds_env["ddls"], tpcds_env["streams"], tpcds_env["dims"],
+    )
+    sess = StreamingSqlSession(spark)
+    sess.execute_script(script)
+    q = sess.queries[sink]
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = Counter(tuple(r) for r in spark.table(sink).collect())
+
+    select_sql = re.match(
+        r"INSERT\s+INTO\s+[\w.]+\s+(.*)", insert_stmt, re.IGNORECASE | re.DOTALL
+    ).group(1)
+    batch_sql, _ = rewrite_streaming_sql(select_sql)
+    for fact in ad.FACT_BUILDERS:
+        batch_sql = re.sub(rf"\b{fact}\b", f"{fact}__batch", batch_sql)
+    want_full = Counter(tuple(r) for r in spark.sql(batch_sql).collect())
+
+    assert len(got) > 0, "q40: expected non-empty result"
+    if not tpcds_env["late"]:
+        # ordered delivery + watermark sentinels: every unmatched left
+        # flushes, so streaming equals batch EXACTLY (multisets)
+        assert got == want_full, (
+            f"extra={sorted((got - want_full).items())[:5]} "
+            f"missing={sorted((want_full - got).items())[:5]}"
+        )
+    else:
+        # late delivery: the watermark may drop coin-late rows, never
+        # on-time ones. Bounds: batch-over-on-time-rows <= got <=
+        # batch-over-all-rows (as multisets).
+        assert _counter_contains(want_full, got), (
+            f"phantom rows: {sorted((got - want_full).items())[:5]}"
+        )
+        for fact in ("kafka_catalog_sales", "kafka_catalog_returns"):
+            df = ad.build_table(spark, TPCDS_SF_DIR, fact)
+            late = _md5_late_payloads(df)
+            batch = spark.table(f"{fact}__batch")
+            if late:
+                late_df = spark.read.schema(batch.schema).json(
+                    spark.sparkContext.parallelize(late)
+                )
+                batch = batch.exceptAll(late_df)
+            batch.createOrReplaceTempView(f"{fact}__ontime")
+        ontime_sql = batch_sql
+        for fact in ad.FACT_BUILDERS:
+            ontime_sql = re.sub(rf"\b{fact}__batch\b", f"{fact}__ontime", ontime_sql)
+        want_ontime = Counter(tuple(r) for r in spark.sql(ontime_sql).collect())
+        assert _counter_contains(got, want_ontime), (
+            f"missing on-time rows: {sorted((want_ontime - got).items())[:5]}"
+        )

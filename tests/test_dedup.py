@@ -342,3 +342,99 @@ def test_embedding_lsh_auto_planes_prescription():
         cur = auto_planes(n)
         assert cur >= prev
         prev = cur
+
+
+def test_embedding_lsh_auto_tables_prescription():
+    """auto_tables: tables-compensate-planes as code. At the plane
+    floor it returns LSH_TABLES exactly (all on-disk SFs untouched);
+    beyond it, the count that holds the per-pair collision guarantee
+    at s=0.5 (miss <= 1e-4), growing ~(n/B)^0.585 — n^1.585 total
+    verify work, the classic sub-quadratic LSH exponent."""
+    from aliyun_emapreduce_datasources_spark.dedup.embedding import (
+        LSH_PLANES,
+        LSH_TABLES,
+        auto_planes,
+        auto_tables,
+    )
+
+    for p in (1, 2, LSH_PLANES):
+        assert auto_tables(p) == LSH_TABLES
+    assert auto_tables(5) == 66
+    assert auto_tables(6) == 101
+    prev = 0
+    for p in range(3, 24):
+        cur = auto_tables(p)
+        assert cur >= prev
+        prev = cur
+    # composed prescription at 10^9 vectors: work n*B*T is ~3% of n^2
+    planes = auto_planes(10**9)
+    work = 10**9 * 250 * auto_tables(planes)
+    assert work < 0.05 * (10**9) ** 2
+
+
+def test_embedding_lsh_recall_at_auto_scaled_planes(spark, tmp_path):
+    """Round-5 pin: the recall contracts hold at the AUTO-SCALED knob
+    settings, not just the 3-plane floor. A synthetic 8192-vector
+    clustered corpus makes auto_planes return 5 (and auto_tables 66);
+    both pinned contracts are then re-asserted against an exact
+    all-pairs numpy ground truth over the identical float32 payload:
+
+    - every pair comfortably above threshold (cosine >= 0.5) recovered,
+    - >= 0.85 overall recall vs exact at the 0.4 cut,
+    - precision exactly 1.0 (bucket verify is exact cosine).
+
+    Corpus: 1024 clusters x 8 members in dim 128 — half the clusters
+    tight (mean cosine ~0.65, feeding the s>=0.5 contract), half loose
+    (mean ~0.30, feeding the near-threshold 0.4-0.5 band); dim 128
+    keeps cross-cluster cosines below the cut. Deterministic seed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aliyun_emapreduce_datasources_spark.dedup import embedding
+    from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
+
+    n_clusters, members, dim = 1024, 8, 128
+    n = n_clusters * members  # 8192
+    planes = embedding.auto_planes(n)
+    assert planes == 5, planes
+    tables = embedding.auto_tables(planes)
+    assert tables == 66, tables
+
+    rng = np.random.default_rng(20260814)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # 128*sigma^2 = 1/cos - 1: 0.065 -> ~0.65, 0.135 -> ~0.30
+    sigma = np.where(np.arange(n_clusters) % 2 == 0, 0.065, 0.135)[:, None, None]
+    noise = rng.standard_normal((n_clusters, members, dim))
+    vecs = (centers[:, None, :] + sigma * noise).reshape(n, dim).astype(np.float32)
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    # exact ground truth over the same float32 payload, same normalize
+    V = _normalize(vecs.astype(np.float64))
+    sims = V @ V.T
+    exact = set(zip(*np.nonzero(np.triu(sims >= embedding.COS_THRESHOLD, k=1))))
+    hi = set(zip(*np.nonzero(np.triu(sims >= 0.5, k=1))))
+    assert len(hi) > 3_000 and len(exact) > len(hi)  # corpus is non-vacuous
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding.embedding_neardup_lsh(spark, str(d)).collect()
+    }
+    missed_hi = hi - got
+    assert not missed_hi, f"missed {len(missed_hi)} s>=0.5 pairs at planes=5: {sorted(missed_hi)[:5]}"
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.4f} < 0.85 at planes=5/tables=66"

@@ -272,3 +272,49 @@ def test_sketch_merge_detector_fires_on_corrupted_union(
         approx_bounds, "sketch_global_estimate", lambda s, d: 10_000_000
     )
     assert approx_bounds.sketch_merge_violations(spark, sf_dir).count() == 1
+
+
+def test_embedding_lsh_recall_detector_fires_on_dropped_pair(
+    spark, monkeypatch
+):
+    """Round-5 companion sensitivity: deleting ONE s>=0.5 pair from the
+    LSH output must surface exactly that pair in the recall-floor
+    violation set (dedup_embedding_lsh_recall_check). Runs at sf0.01 —
+    the driver-gate SF, and the smallest with an s>=0.5 pair (sf0.001
+    has none; measured via the DuckDB oracle)."""
+    import os
+
+    from aliyun_emapreduce_datasources_spark.functions.vector import cosine
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not available")
+
+    emb_df = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi_first = (
+        embedding.embedding_neardup_blocked(spark, sf_dir)
+        .join(
+            emb_df.withColumnsRenamed({"vec_id": "vec_a", "embedding": "ea"}), "vec_a"
+        )
+        .join(
+            emb_df.withColumnsRenamed({"vec_id": "vec_b", "embedding": "eb"}), "vec_b"
+        )
+        .where(cosine("ea", "eb") >= 0.5 + 1e-9)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+        .limit(1)
+        .collect()
+    )
+    assert hi_first, "precondition: corpus has an s>=0.5 pair"
+    a, b = hi_first[0].vec_a, hi_first[0].vec_b
+
+    real = embedding.QUERY
+
+    def fake(s, d):
+        return real(s, d).where(
+            ~((F.col("vec_a") == a) & (F.col("vec_b") == b))
+        )
+
+    monkeypatch.setattr(embedding, "QUERY", fake)
+    bad = dprops.embedding_lsh_recall_violations(spark, sf_dir).collect()
+    assert (a, b) in {(r.vec_a, r.vec_b) for r in bad}

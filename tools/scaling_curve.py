@@ -87,15 +87,18 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     )
 
     # embedding LSH at the PRESCRIBED scale parameterization: the
-    # module docstring sizes planes ≈ log2(n/B) at a fixed target
-    # bucket size B (the catalog default pins planes=3 for small-corpus
-    # recall); this measures the scale path's work curve — Σ C(bucket,2)
-    # with the knob turned as the operator prescribes, which is what a
-    # 100 TB deployment runs.
+    # operator's own knob, embedding.auto_planes(n) at its shipped
+    # TARGET_BUCKET — NOT a private B — so the recorded work curve
+    # pins exactly the parameterization the operator runs at scale.
+    # auto_planes floors at LSH_PLANES, which at test corpus sizes
+    # would collapse this measurement into the default-knob one above;
+    # to expose the asymptotic slope we lift the floor (planes ≥ 1)
+    # while keeping the prescription's TARGET_BUCKET.
     import math
 
-    B = 32
-    planes = max(1, round(math.log2(max(n_emb, 2) / B)))
+    planes = max(
+        1, round(math.log2(max(n_emb, 2) / embedding.TARGET_BUCKET))
+    )
     sig_scaled = _corpus_signatures(emb, planes, embedding.LSH_TABLES, int(dim))
     out["embedding_scaled_planes"] = planes
     out["embedding_scaled_comparisons"] = _pairs_in_groups(
@@ -129,10 +132,39 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         blocks.groupBy("blk", "key").agg(F.count(F.lit(1)).alias("n"))
     )
 
-    # winnow: fingerprint-postings equi-join matches
+    # winnow PLAIN postings equi-join matches — kept as the baseline
+    # curve the prefix filter is graded against
     wfps = winnow.winnow_fingerprints(docs)
     out["winnow_candidates"] = _pairs_in_groups(
         wfps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # winnow SHIPPED path (PPJoin prefix filter): work = candidate-
+    # generation join matches (smaller-doc prefix x larger-doc full
+    # postings) + exact-verify join rows (Σ |A∩B| over distinct
+    # candidates) — built from the operator's own _prefix_postings so
+    # the measured curve is the shipped code path
+    counts_w = wfps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pre_w = winnow._prefix_postings(wfps, winnow.MIN_CONTAINMENT)
+    full_w = wfps.join(counts_w, "doc_id")
+    smaller = (F.col("s.n_fp") < F.col("l.n_fp")) | (
+        (F.col("s.n_fp") == F.col("l.n_fp"))
+        & (F.col("s.doc_id") < F.col("l.doc_id"))
+    )
+    gen = (
+        pre_w.alias("s")
+        .join(full_w.alias("l"), (F.col("s.fp") == F.col("l.fp")) & smaller)
+        .select(F.col("s.doc_id").alias("da"), F.col("l.doc_id").alias("db"))
+    )
+    out["winnow_prefix_gen"] = gen.count()
+    cand_w = gen.dropDuplicates(["da", "db"])
+    fa = wfps.select(F.col("doc_id").alias("da"), "fp")
+    fb = wfps.select(F.col("doc_id").alias("db"), "fp")
+    out["winnow_prefix_verify"] = (
+        cand_w.join(fa, "da").join(fb, ["db", "fp"]).count()
+    )
+    out["winnow_prefix_work"] = (
+        out["winnow_prefix_gen"] + out["winnow_prefix_verify"]
     )
 
     # bloom: probe count = total distinct shingles (linear by design)
@@ -208,6 +240,9 @@ def run(spark: SparkSession) -> dict:
         ),
         "winnow_work": round(
             w1["winnow_candidates"] / max(w0["winnow_candidates"], 1), 2
+        ),
+        "winnow_prefix_work": round(
+            w1["winnow_prefix_work"] / max(w0["winnow_prefix_work"], 1), 2
         ),
         "bloom_work": round(w1["bloom_probes"] / max(w0["bloom_probes"], 1), 2),
     }
