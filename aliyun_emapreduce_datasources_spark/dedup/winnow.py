@@ -45,7 +45,12 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
-__all__ = ["winnow_fingerprints", "winnow_dedup_pairs", "QUERY"]
+__all__ = [
+    "winnow_fingerprints",
+    "winnow_dedup_pairs",
+    "winnow_pairs_from_fingerprints",
+    "QUERY",
+]
 
 KGRAM = 16
 WINDOW = 8
@@ -95,15 +100,25 @@ def winnow_fingerprints(
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(run, FP_SCHEMA)
 
 
-def _prefix_postings(fps: DataFrame, min_containment: float) -> DataFrame:
+def _prefix_postings(
+    fps: DataFrame, min_containment: float, _slack: int = 1
+) -> DataFrame:
     """(doc_id, fp, n_fp) keeping only each doc's PREFIX under the
     global rarest-first fingerprint order (ascending document
     frequency, fp as tie-break): the first n − ⌈t·n⌉ + 1 of its n
     fingerprints. Pigeonhole guarantee: a pair with shared-count
     ≥ ⌈t·n⌉ against this doc cannot fit its whole intersection in the
     remaining ⌈t·n⌉ − 1 suffix slots, so at least one shared
-    fingerprint is in the prefix. Shared with tools/scaling_curve.py
-    so the measured work curve is the shipped code path."""
+    fingerprint is in the prefix. The 1e-9 epsilon keeps float
+    round-up (e.g. 0.55 · 20 = 11.000000000000002) from over-sizing
+    ⌈t·n⌉ and silently under-sizing the prefix; thresholds this close
+    to an integer only ever round DOWN to the exact bound, never
+    below it. ``_slack`` is the ``+ 1`` pigeonhole term, exposed ONLY
+    for the mutation-sensitivity test
+    (tests/test_dedup.py::test_winnow_prefix_shorter_by_one_diverges);
+    production callers never pass it. Shared with
+    tools/scaling_curve.py so the measured work curve is the shipped
+    code path."""
     from pyspark.sql import Window
 
     df_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
@@ -114,14 +129,12 @@ def _prefix_postings(fps: DataFrame, min_containment: float) -> DataFrame:
         ),
     )
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    required = F.ceil(
+        F.lit(min_containment) * F.col("n_fp") - F.lit(1e-9)
+    ).cast("int")
     return (
         ranked.join(counts, "doc_id")
-        .where(
-            F.col("pos")
-            <= F.col("n_fp")
-            - F.ceil(F.lit(min_containment) * F.col("n_fp")).cast("int")
-            + 1
-        )
+        .where(F.col("pos") <= F.col("n_fp") - required + F.lit(int(_slack)))
         .select("doc_id", "fp", "n_fp")
     )
 
@@ -146,6 +159,20 @@ def winnow_dedup_pairs(
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
+    return winnow_pairs_from_fingerprints(fps, min_containment, prefix_filter)
+
+
+def winnow_pairs_from_fingerprints(
+    fps: DataFrame,
+    min_containment: float = MIN_CONTAINMENT,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Pair generation + exact verify over an existing (doc_id, fp)
+    postings DataFrame — the core both winnow_dedup_pairs paths share.
+    Exposed so the prefix-filter equivalence can be pinned on
+    constructed fingerprint corpora with EXACT boundary containments
+    (text-level winnowing can't place fingerprints precisely):
+    tests/test_dedup.py::test_winnow_prefix_filter_matches_plain_join."""
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     if not prefix_filter:
         with_n = fps.join(counts, "doc_id")

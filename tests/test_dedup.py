@@ -438,3 +438,96 @@ def test_embedding_lsh_recall_at_auto_scaled_planes(spark, tmp_path):
     assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.85, f"recall {recall:.4f} < 0.85 at planes=5/tables=66"
+
+
+# --- winnow PPJoin prefix filter: equivalence + mutation pins ---------
+
+
+def _winnow_multiset(df):
+    return sorted(
+        (r.doc_a, r.doc_b, round(r.containment, 9)) for r in df.collect()
+    )
+
+
+def _boundary_fps(spark, n_small=8, n_large=8, n_shared=4, base=0):
+    """Two docs with exact fingerprint counts: n_shared fps of df=2
+    (which the rarest-first order sorts LAST, after the df=1 uniques),
+    the rest unique — containment is exactly n_shared/min(n_a, n_b)."""
+    rows = []
+    for i in range(n_shared):
+        rows += [(base + 1, base * 100 + i), (base + 2, base * 100 + i)]
+    for i in range(n_small - n_shared):
+        rows.append((base + 1, base * 100 + 50 + i))
+    for i in range(n_large - n_shared):
+        rows.append((base + 2, base * 100 + 70 + i))
+    return spark.createDataFrame(rows, "doc_id long, fp long")
+
+
+def test_winnow_prefix_filter_matches_plain_join(spark, sf_dir):
+    """The docstring's equivalence claim, pinned: prefix_filter=True
+    and =False produce bit-identical (doc_a, doc_b, containment)
+    multisets — on the real corpora (sf0.001 fixture AND sf0.01, the
+    driver's correctness SF) and on adversarial constructed corpora
+    with pairs at EXACTLY the threshold and with n_fp ties."""
+    from aliyun_emapreduce_datasources_spark.dedup.winnow import (
+        winnow_dedup_pairs,
+        winnow_pairs_from_fingerprints,
+    )
+
+    for sf in dict.fromkeys([sf_dir, "/root/testdata/sf0.01"]):
+        fast = _winnow_multiset(winnow_dedup_pairs(spark, sf, prefix_filter=True))
+        plain = _winnow_multiset(winnow_dedup_pairs(spark, sf, prefix_filter=False))
+        assert fast == plain and fast, sf
+
+    # exact-boundary corpus: pair (1,2) at containment exactly 0.5 with
+    # an n_fp TIE (8=8, tie-broken by doc_id); pair (11,12) at exactly
+    # 3/6=0.5 with unequal sizes; pair (21,22) strictly below (3/8)
+    adv = (
+        _boundary_fps(spark, 8, 8, 4, base=0)
+        .union(_boundary_fps(spark, 6, 10, 3, base=10))
+        .union(_boundary_fps(spark, 8, 8, 3, base=20))
+    )
+    fast = _winnow_multiset(winnow_pairs_from_fingerprints(adv, 0.5, True))
+    plain = _winnow_multiset(winnow_pairs_from_fingerprints(adv, 0.5, False))
+    assert fast == plain == [(1, 2, 0.5), (11, 12, 0.5)]
+
+
+def test_winnow_prefix_epsilon_guard_at_float_dirty_threshold(spark):
+    """ADVICE r05: 0.55 * 20 floats to 11.000000000000002, so an
+    unguarded ceil over-sizes required-overlap to 12 and under-sizes
+    the prefix — a pair at containment exactly 0.55 whose shared
+    fingerprints all rank last (df=2 > df=1) would be silently
+    dropped. With the 1e-9 guard both paths keep it."""
+    from aliyun_emapreduce_datasources_spark.dedup.winnow import (
+        winnow_pairs_from_fingerprints,
+    )
+
+    adv = _boundary_fps(spark, 20, 20, 11, base=0)
+    fast = _winnow_multiset(winnow_pairs_from_fingerprints(adv, 0.55, True))
+    plain = _winnow_multiset(winnow_pairs_from_fingerprints(adv, 0.55, False))
+    assert fast == plain == [(1, 2, 0.55)]
+
+
+def test_winnow_prefix_shorter_by_one_diverges(spark, monkeypatch):
+    """Mutation sensitivity: drop the pigeonhole's +1 slack (prefix one
+    element shorter) and the exact-boundary pairs MUST disappear from
+    the prefix path — their whole intersection sits in the suffix
+    (shared fps have df=2, sorting after every df=1 unique), so the
+    equivalence test above genuinely guards the bound."""
+    from aliyun_emapreduce_datasources_spark.dedup import winnow
+
+    adv = _boundary_fps(spark, 8, 8, 4, base=0).union(
+        _boundary_fps(spark, 6, 10, 3, base=10)
+    )
+    plain = _winnow_multiset(
+        winnow.winnow_pairs_from_fingerprints(adv, 0.5, prefix_filter=False)
+    )
+    orig = winnow._prefix_postings
+    monkeypatch.setattr(
+        winnow, "_prefix_postings", lambda f, t: orig(f, t, _slack=0)
+    )
+    mutated = _winnow_multiset(
+        winnow.winnow_pairs_from_fingerprints(adv, 0.5, prefix_filter=True)
+    )
+    assert plain == [(1, 2, 0.5), (11, 12, 0.5)]
+    assert mutated == [], f"shortened prefix still found {mutated}"

@@ -90,3 +90,15 @@ def test_winnow_join_growth_below_quadratic(work):
     w0, w1 = work
     quad = (w1["n_docs"] * (w1["n_docs"] - 1)) / (w0["n_docs"] * (w0["n_docs"] - 1))
     assert _ratio(w0, w1, "winnow_candidates") <= 0.9 * quad
+
+
+def test_winnow_prefix_work_growth_below_plain_join(work):
+    """Round-5 remedy, pinned: the shipped PPJoin prefix path's verify
+    work (generation matches + exact-verify rows) must GROW strictly
+    slower than the plain postings self-join it replaced — the whole
+    point of making it the default (recorded in
+    bench_history/scaling_r06.json)."""
+    w0, w1 = work
+    prefix = _ratio(w0, w1, "winnow_prefix_work")
+    plain = _ratio(w0, w1, "winnow_candidates")
+    assert prefix < plain, (prefix, plain)
