@@ -186,10 +186,19 @@ def embedding_lsh_recall_violations(spark: SparkSession, sf_dir: str) -> DataFra
     list_cosine_similarity all-pairs join bit-for-bit, pinned in
     tests/test_dedup.py::test_embedding_blocked_matches_oracle)
     filtered to s ≥ 0.5 with the JVM expression cosine — never the
-    LSH's numpy bucket matmul. At the contract cut the collision
-    probability across tables is ≥ 1 − 1e-4 per pair by auto_tables'
-    construction, > 0.996 at the 3-plane/16-table floor every on-disk
-    SF resolves to; 1e-9 slack exempts knife-edge fold-order ulps."""
+    LSH's numpy bucket matmul. 1e-9 slack exempts knife-edge
+    fold-order ulps.
+
+    SCOPE (round-6 clarification): this is an EMPIRICAL PIN of the
+    shipped deterministic corpora, not a mathematical invariant. The
+    hyperplanes are fixed (splitmix64 of (table, plane, dim)) and the
+    testdata is fixed, so the outcome carries no run-to-run chance —
+    emptiness, once observed, is reproducible. For an ARBITRARY corpus
+    the guarantee is probabilistic: per-pair collision ≥ 1 − 1e-4 at
+    the prescribed auto_tables(auto_planes(n)) knob, ≈ 0.9964 at the
+    3-plane/16-table floor for s near the 0.5 cut — a corpus with many
+    near-cut pairs should check a margined cut (s ≥ 0.55) or budget a
+    per-pair miss rate instead of requiring exact emptiness."""
     exact = embedding.embedding_neardup_blocked(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     hi = (

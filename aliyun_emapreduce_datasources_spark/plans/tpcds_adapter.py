@@ -424,6 +424,12 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(ext * 0.8).alias("ss_ext_wholesale_cost"),
         _money(ext * F.col("l_discount")).alias("ss_coupon_amt"),
         _money(ext * (F.lit(0.2) - F.col("l_discount"))).alias("ss_net_profit"),
+        # Kafka ingest event time (StoreSales.avsc:28 ss_data_time,
+        # timestamp-millis) — q100-q103 window on it (TUMBLING/HOPPING/
+        # delay()); same 2 h deterministic spread as the q40 facts
+        F.timestamp_seconds(F.lit(_DATA_EPOCH) + _data_time_secs()).alias(
+            "ss_data_time"
+        ),
     )
 
     # --- q34 big-ticket slice (reference queries/q34.sql) -----------
@@ -477,8 +483,16 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(ext * 0.8).alias("ss_ext_wholesale_cost"),
         _money(ext * F.col("l_discount")).alias("ss_coupon_amt"),
         _money(ext * (F.lit(0.2) - F.col("l_discount"))).alias("ss_net_profit"),
+        F.timestamp_seconds(F.lit(_DATA_EPOCH) + _data_time_secs()).alias(
+            "ss_data_time"
+        ),
     )
-    return base.unionByName(big)
+    out = base.unionByName(big)
+    # q102/q103 run append mode with delay(ss_data_time): the sentinels
+    # flush the final windows exactly as for the q40 facts; every other
+    # script drops them through its inner dim joins (all FKs are -1) on
+    # stream and batch twin alike.
+    return out.unionByName(_watermark_sentinels(spark, out, "ss_data_time"))
 
 
 def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +689,29 @@ def extract_insert_statement(script_text: str) -> tuple[str, str, str]:
     raise ValueError("no INSERT INTO statement in script")
 
 
+def build_preamble(
+    query_sql: str,
+    fact_ddls: dict[str, str],
+    fact_stream_dirs: dict[str, str],
+    dim_paths: dict[str, str],
+) -> str:
+    """The source-registration script a corpus statement needs before
+    it can run: stream-table declarations for the facts it references
+    (JSON replay dirs standing in for the Kafka topics — the reference
+    creates these via tables/kafka_*.sql) and parquet registrations for
+    the dims (the reference's bin/load.sh step)."""
+    facts, dims = referenced_tables(query_sql)
+    parts = ["SET spark.sql.shuffle.partitions=8"]
+    for f in facts:
+        parts.append(
+            f"CREATE TABLE {f} ({fact_ddls[f]}) USING stream "
+            f"OPTIONS (path '{fact_stream_dirs[f]}', maxFilesPerTrigger '1')"
+        )
+    for d in dims:
+        parts.append(f"CREATE TABLE {d} USING parquet OPTIONS (path '{dim_paths[d]}')")
+    return ";\n".join(parts)
+
+
 def build_script(
     insert_stmt: str,
     sink: str,
@@ -684,19 +721,23 @@ def build_script(
     dim_paths: dict[str, str],
 ) -> str:
     """Compose a runnable front-end script around a verbatim corpus
-    INSERT statement: stream-table declarations for the facts it
-    references (JSON replay dirs standing in for the Kafka topics),
-    parquet registrations for the dims, and the sink-table declaration
-    carrying the reference's output.mode."""
-    facts, dims = referenced_tables(insert_stmt)
-    parts = ["SET spark.sql.shuffle.partitions=8"]
-    for f in facts:
-        parts.append(
-            f"CREATE TABLE {f} ({fact_ddls[f]}) USING stream "
-            f"OPTIONS (path '{fact_stream_dirs[f]}', maxFilesPerTrigger '1')"
-        )
-    for d in dims:
-        parts.append(f"CREATE TABLE {d} USING parquet OPTIONS (path '{dim_paths[d]}')")
-    parts.append(f"CREATE TABLE {sink} USING kafka OPTIONS (output.mode '{mode}')")
-    parts.append(insert_stmt)
-    return ";\n".join(parts)
+    INSERT statement: the source preamble plus the sink-table
+    declaration carrying the reference's output.mode."""
+    return ";\n".join(
+        [
+            build_preamble(insert_stmt, fact_ddls, fact_stream_dirs, dim_paths),
+            f"CREATE TABLE {sink} USING kafka OPTIONS (output.mode '{mode}')",
+            insert_stmt,
+        ]
+    )
+
+
+def extract_select(script_text: str) -> str:
+    """The SELECT inside a corpus script's INSERT INTO … SELECT or
+    CREATE TABLE … AS SELECT (q103.sql:11-32) — for batch twins."""
+    m = re.search(
+        r"INSERT\s+INTO\s+[\w.]+\s+(SELECT\b.*)", script_text, re.IGNORECASE | re.DOTALL
+    ) or re.search(r"\)\s*AS\s+(SELECT\b.*)", script_text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError("no INSERT/CTAS SELECT in script")
+    return m.group(1).rstrip().rstrip(";")

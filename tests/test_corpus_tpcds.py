@@ -21,8 +21,11 @@ byte-verbatim here too (test_q40_verbatim_interval_loj) under both
 delivery orders, completing 30/30 verbatim corpus conformance; its
 contract is the append-mode-under-lateness one (exact multiset equality
 on ordered delivery; on-time-subset / full-superset bounds under late
-delivery). The q100–q103 synthetic window dialect is covered by
-dedicated shape tests in test_streaming_sql.py.
+delivery). The q100–q103 extended window dialect (TUMBLING / HOPPING /
+delay() / CTAS) ALSO runs byte-verbatim — whole file, envsubst only —
+in test_extended_dialect_script_verbatim, completing 34/34 verbatim
+corpus conformance; the shape tests in test_streaming_sql.py remain as
+the fine-grained contracts on the synthetic event stream.
 """
 
 from __future__ import annotations
@@ -95,12 +98,13 @@ def tpcds_env(request, spark):
             df,
             d,
             n_chunks=2,
-            # q40's append-mode interval join is watermark-sensitive:
-            # its two streams replay in event-time order (the Kafka
+            # The append-mode statements are watermark-sensitive: q40's
+            # interval join (catalog facts) and q102/q103's windowed agg
+            # (store_sales) replay in event-time order (the Kafka
             # simulator's per-topic delivery order), so only md5-coin
             # LATE rows can ever trail the watermark. The other facts
             # feed complete-mode aggs — order-insensitive.
-            order_col=_Q40_ORDER_COLS.get(name),
+            order_col=_EVENT_ORDER_COLS.get(name),
             late_fraction=0.05 if late else 0.0,
         )
         stream_dirs[name] = d
@@ -112,9 +116,10 @@ def tpcds_env(request, spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
-_Q40_ORDER_COLS = {
+_EVENT_ORDER_COLS = {
     "kafka_catalog_sales": "cs_data_time",
     "kafka_catalog_returns": "cr_data_time",
+    "kafka_store_sales": "ss_data_time",
 }
 
 
@@ -272,3 +277,156 @@ def test_q40_verbatim_interval_loj(spark, tpcds_env):
         assert _counter_contains(got, want_ontime), (
             f"missing on-time rows: {sorted((want_ontime - got).items())[:5]}"
         )
+
+
+# --- q100-q103 byte-verbatim: the extended streaming-SQL dialect ------
+#
+# The reference's own advertised syntax (emr-baseline-testing/README.md
+# "Extended Streaming SQL"): HOPPING (q100.sql:33), TUMBLING
+# (q101.sql:33), delay() watermark + append mode (q102.sql:33), CTAS
+# sink declaration (q103.sql:11-32). These four files run here AS-IS —
+# the whole script text, not just the extracted query statement — with
+# only the deploy-time envsubst the reference's bin/run-query.sh
+# performs (DB / TESTING_* / CHECKPOINT_ROOT; ${BOOTSTRAP_SERVERS} and
+# ${SCHEMA_REGISTRY_URL} stay unexpanded exactly as in a broker-less
+# environment, which is what routes the result to the memory sink).
+
+EXT_SCRIPTS = ["q100", "q101", "q102", "q103"]
+EXT_COMPLETE = {"q100", "q101"}  # q102/q103 declare output.mode append
+
+
+def _envsub(text: str) -> str:
+    return (
+        text.replace("${DB}", "default")
+        .replace("${TESTING_ENABLE}", "true")
+        .replace("${TESTING_TIMEOUT_MS}", "60000")
+        .replace("${CHECKPOINT_ROOT}", tempfile.gettempdir() + "/corpus-ckpt")
+    )
+
+
+_WINDOWED_TWIN_SQL = """
+SELECT {window_expr}.start AS w,
+       i_brand_id brand_id, i_brand brand,
+       sum(ss_ext_sales_price) ext_price
+FROM date_dim, {ss}, item
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+GROUP BY {window_expr}, i_brand, i_brand_id
+"""
+
+
+def _ontime_store_sales_view(spark) -> None:
+    """kafka_store_sales__batch minus the md5-coin late rows — the
+    on-time twin for the append-mode bounds."""
+    df = ad.build_table(spark, TPCDS_SF_DIR, "kafka_store_sales")
+    batch = spark.table("kafka_store_sales__batch")
+    late = _md5_late_payloads(df)
+    if late:
+        late_df = spark.read.schema(batch.schema).json(
+            spark.sparkContext.parallelize(late)
+        )
+        batch = batch.exceptAll(late_df)
+    batch.createOrReplaceTempView("kafka_store_sales__ontime")
+
+
+def _append_windowed_late_contract(spark, got):
+    """Append-mode-under-lateness for a windowed SUM whose window key
+    is not projected (q102/q103 group by TUMBLING but select only
+    brand): with the watermark sentinels every window finalizes, so
+
+    - every emitted row must fit some window's [on-time sum, full sum]
+      interval for its brand (ss_ext_sales_price >= 0 makes the
+      interval monotone in integrated rows);
+    - per brand, the emitted row count is bounded by the number of
+      windows with on-time rows (below: on-time rows are never dropped
+      under ts-sorted chunking) and the number of windows with any
+      rows (above);
+    - per brand, the total is bounded by the on-time and full totals.
+    """
+    win = "window(ss_data_time, '1 minute')"
+    full = spark.sql(
+        _WINDOWED_TWIN_SQL.format(window_expr=win, ss="kafka_store_sales__batch")
+    ).collect()
+    _ontime_store_sales_view(spark)
+    ontime = spark.sql(
+        _WINDOWED_TWIN_SQL.format(window_expr=win, ss="kafka_store_sales__ontime")
+    ).collect()
+    f_map, o_map = {}, {}
+    for r in full:
+        f_map[(r.w, r.brand_id, r.brand)] = r.ext_price
+    for r in ontime:
+        o_map[(r.w, r.brand_id, r.brand)] = r.ext_price
+    brands_full = {(k[1], k[2]) for k in f_map}
+    brands_ontime = {(k[1], k[2]) for k in o_map}
+    tol = 1e-6
+
+    got_by_brand: dict[tuple, list[float]] = {}
+    for r in got:
+        got_by_brand.setdefault((r.brand_id, r.brand), []).append(float(r.ext_price))
+
+    assert brands_ontime <= set(got_by_brand) <= brands_full, (
+        sorted(brands_ontime - set(got_by_brand))[:3],
+        sorted(set(got_by_brand) - brands_full)[:3],
+    )
+    for brand, sums in got_by_brand.items():
+        wins_full = {k[0] for k in f_map if (k[1], k[2]) == brand}
+        wins_ontime = {k[0] for k in o_map if (k[1], k[2]) == brand}
+        assert len(wins_ontime) <= len(sums) <= len(wins_full), (brand, sums)
+        lo = sum(o_map[(w, *brand)] for w in wins_ontime)
+        hi = sum(f_map[(w, *brand)] for w in wins_full)
+        assert lo - tol <= sum(sums) <= hi + tol, (brand, sum(sums), lo, hi)
+        for s in sums:
+            assert any(
+                o_map.get((w, *brand), 0.0) - tol <= s <= f_map[(w, *brand)] + tol
+                for w in wins_full
+            ), (brand, s)
+
+
+@pytest.mark.parametrize("qname", EXT_SCRIPTS)
+def test_extended_dialect_script_verbatim(spark, tpcds_env, qname):
+    """q100-q103 execute byte-verbatim (whole file, envsubst only)
+    through StreamingSqlSession, ordered + late replay. Contracts:
+    complete mode (q100/q101) = exact streaming-vs-batch equality in
+    BOTH orders (complete-mode state integrates late rows); append mode
+    (q102/q103) = exact equality under ordered delivery (sentinels
+    flush every window), two-sided window bounds under late."""
+    with open(os.path.join(QUERIES_DIR, f"{qname}.sql")) as fh:
+        script_text = fh.read()
+    select_sql = ad.extract_select(script_text)
+    sink = f"kafka_temp_table_{qname}"
+    # harness reset: the ordered/late fixture params reuse one session
+    spark.sql(f"DROP VIEW IF EXISTS {sink}")
+
+    sess = StreamingSqlSession(spark)
+    # the reference's bin/load.sh + tables/kafka_*.sql setup step
+    sess.execute_script(
+        ad.build_preamble(
+            select_sql, tpcds_env["ddls"], tpcds_env["streams"], tpcds_env["dims"]
+        )
+    )
+    # ... then the corpus file itself, as-is
+    sess.execute_script(_envsub(script_text))
+    q = sess.queries[sink]
+    # all four shapes are incrementalizable: they must run as genuine
+    # Structured Streaming queries, never the recompute fallback
+    from aliyun_emapreduce_datasources_spark.plans.streaming_sql import (
+        MicroBatchRecomputeQuery,
+    )
+
+    assert not isinstance(q, MicroBatchRecomputeQuery), qname
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(sink).collect()
+    assert len(got) > 0, f"{qname}: expected non-empty result"
+
+    batch_sql, _ = rewrite_streaming_sql(select_sql)
+    for fact in ad.FACT_BUILDERS:
+        batch_sql = re.sub(rf"\b{fact}\b", f"{fact}__batch", batch_sql)
+    want = spark.sql(batch_sql).collect()
+
+    if qname in EXT_COMPLETE or not tpcds_env["late"]:
+        assert_same_rows(got, want, qname)
+    else:
+        _append_windowed_late_contract(spark, got)

@@ -90,3 +90,43 @@ def test_mini_runtime_internal_varints():
     mini.encode_varint(-2, buf2)
     v2, _ = mini.decode_varint(bytes(buf2), 0)
     assert mini._zigzag_free_signed(v2) == -2
+
+
+def test_bare_read_of_unset_fields_does_not_register(sm):
+    """Round-5 lazy-view semantics, byte-pinned: merely READING an
+    unset sub-message (even chaining into its scalars) or an unset
+    repeated field must not register presence — only the set fields
+    reach the wire."""
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "st"
+    _ = cmd.ttl
+    _ = cmd.ttl.durationMs
+    lp = sm.ListStatePut()
+    assert list(lp.value) == []
+    assert not cmd.HasField("ttl")
+    # only stateName (field 1, "st") serializes
+    assert cmd.SerializeToString() == bytes.fromhex("0a027374")
+    assert lp.SerializeToString() == b""
+
+
+def test_oneof_set_clears_siblings_on_wire(sm):
+    """Round-5 oneof semantics, byte-pinned on StateRequest.method:
+    a bare read of another arm never clears the set arm; switching
+    arms (here via CopyFrom through the lazy view — a parse IS a
+    write) drops the old arm from the wire entirely."""
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    )
+    assert req.SerializeToString() == bytes.fromhex("12040a020801")
+    _ = req.implicitGroupingKeyRequest  # bare read: no clearing
+    assert req.SerializeToString() == bytes.fromhex("12040a020801")
+    req.implicitGroupingKeyRequest.CopyFrom(
+        sm.ImplicitGroupingKeyRequest(removeImplicitKey=sm.RemoveImplicitKey())
+    )
+    # implicitGroupingKeyRequest = field 4 → tag 0x22, payload "1200";
+    # the statefulProcessorCall bytes are GONE (last-set arm wins)
+    assert req.SerializeToString() == bytes.fromhex("22021200")
+    assert not req.HasField("statefulProcessorCall")
+    assert req.HasField("implicitGroupingKeyRequest")
