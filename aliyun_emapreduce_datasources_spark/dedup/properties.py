@@ -63,6 +63,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
     decontaminate,
     embedding,
     minhash,
+    spans,
     winnow,
 )
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
@@ -361,11 +362,44 @@ def minhash_cluster_containment_violations(
     )
 
 
+def scrub_fixpoint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents still holding a cross-document duplicated 3-shingle
+    AFTER scrub_spans_fixpoint — empty by the fixpoint's definition
+    (the loop only stops when a pass removes nothing, i.e. no shingle
+    spans ≥ 2 docs). The hash-checked companion that lets the
+    iterative operator itself stay rows-only; unlike the LSH recall
+    pin this IS a hard invariant, not probabilistic — the detection
+    below is the operator's own stopping test recomputed
+    independently over the final texts."""
+    from pyspark.sql import Window
+
+    cleaned = spans.scrub_spans_fixpoint(spark, sf_dir)
+    sh = cleaned.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(tokens(F.col("clean_text"))), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("s"),
+    )
+    w = Window.partitionBy("s")
+    return (
+        sh.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs") >= 2)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
 _EMPTY_PAIRS = (
     "SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE FALSE"
 )
 
 QUERIES = {
+    "dedup_scrub_fixpoint_check": scrub_fixpoint_violations,
     "dedup_bloom_no_false_negatives": bloom_no_false_negatives,
     "dedup_minhash_precision_check": minhash_precision_violations,
     "dedup_winnow_containment_check": winnow_containment_violations,
@@ -377,6 +411,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_scrub_fixpoint_check": (
+        "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
+    ),
     "dedup_bloom_no_false_negatives": (
         "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE"
     ),

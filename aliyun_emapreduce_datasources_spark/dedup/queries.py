@@ -26,6 +26,10 @@ QUERIES = {
     "dedup_cluster_resolve": clusters.QUERY,
     "dedup_ngram_jaccard": ngram.QUERY,
     "dedup_dup_spans": spans.QUERY,
+    "dedup_scrub_spans": spans.scrub_dup_spans,
+    # iterative (driver loop) — no closed-form SQL twin; its invariant
+    # is hash-checked by dedup_scrub_fixpoint_check in properties.py
+    "dedup_scrub_fixpoint": spans.scrub_spans_fixpoint,
     "dedup_minhash_lsh": minhash.QUERY,
     "dedup_simhash": simhash.QUERY,
     "dedup_embedding_cosine": embedding.QUERY,
@@ -50,6 +54,7 @@ ORACLES = {
     "dedup_cluster_resolve": clusters.ORACLE,
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
+    "dedup_scrub_spans": spans.ORACLE_SCRUB,
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
     "dedup_containment": containment.ORACLE,

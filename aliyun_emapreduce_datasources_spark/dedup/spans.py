@@ -34,7 +34,15 @@ from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
-__all__ = ["dup_spans", "QUERY", "ORACLE"]
+__all__ = [
+    "dup_spans",
+    "scrub_dup_spans",
+    "scrub_pass",
+    "scrub_spans_fixpoint",
+    "QUERY",
+    "ORACLE",
+    "ORACLE_SCRUB",
+]
 
 
 def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +67,187 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scrub_dup_spans(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Remove duplicated spans from every non-keeper document — the
+    CLEANING step of Lee et al.'s ExactSubstr dedup, relationally.
+
+    A k-token shingle occurring in ≥ 2 distinct documents is a
+    duplicated span; the lowest doc_id holding it (the *keeper*) keeps
+    its copy, every other document has the shingle's k token positions
+    cut. Output: (doc_id, clean_text, n_removed) for every non-NULL
+    document — clean_text is the surviving tokens rejoined in original
+    order ('' when everything was duplicated elsewhere).
+
+    Scale shape (all linear in corpus tokens, no all-pairs anything):
+    one posexplode for positioned shingles, a (shingle, doc) group +
+    per-shingle window for the ≥2-docs test and keeper election (the
+    same window trick as dup_spans above), an explode of the covered
+    positions, and one anti-join back onto the positioned tokens.
+    The plan reads `documents` three times (shingle side, token side,
+    size side — each pruned to doc_id+text); at 100 TB materialize the
+    tokenized corpus once (storage.compact) and feed all three from it
+    so reconstruction costs one scan of the narrow form. Note the
+    scrub can CREATE new cross-doc shingles (tokens bridging a removed
+    span become adjacent) — same property as the suffix-array original;
+    run to a fixpoint if downstream needs none."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return scrub_pass(docs.select("doc_id", "text"), k)
+
+
+def scrub_pass(docs: DataFrame, k: int = 3) -> DataFrame:
+    """One scrub pass over (doc_id, text) rows — the core
+    scrub_dup_spans and scrub_spans_fixpoint share."""
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    # shuffle the 64-bit shingle hash, not the raw string (same trick
+    # as dup_spans): the grouping/window/join keys shrink to 8 bytes,
+    # and the oracle stays valid because the OUTPUT (reconstructed
+    # text) is hash-independent — a cross-doc xxhash64 collision would
+    # take ~2^32 distinct shingles per bucket to matter
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(shingles(F.col("tk"), k), lambda s: F.xxhash64(s))
+        ).alias("pos", "s"),
+    )
+    per_doc = sh.groupBy("s", "doc_id").agg(F.collect_list("pos").alias("poss"))
+    w = Window.partitionBy("s")
+    marked = per_doc.withColumn("n_docs", F.count(F.lit(1)).over(w)).withColumn(
+        "keeper", F.min("doc_id").over(w)
+    )
+    cuts = (
+        marked.where((F.col("n_docs") >= 2) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", F.explode("poss").alias("p0"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p0"), F.col("p0") + F.lit(k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = (
+        toks.join(cuts, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def _true_token_count(text_col) -> "F.Column":
+    """Token count with the ''-is-zero convention (split('') yields
+    [''], which would over-count fully-scrubbed docs by one)."""
+    return (
+        F.when(F.length(text_col) == 0, F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("long")
+    )
+
+
+def scrub_spans_fixpoint(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_iters: int = 6
+) -> DataFrame:
+    """Iterate scrub_pass until NO k-token shingle occurs in ≥ 2
+    documents (removing a span can make its neighbors adjacent and
+    thereby create fresh cross-doc shingles — the same fixpoint need
+    as the suffix-array ExactSubstr). Output schema matches
+    scrub_dup_spans, with n_removed cumulative across passes.
+
+    Iterative — no closed-form SQL twin (rows-only catalog entry); the
+    emptiness of the post-fixpoint duplicate set is the hash-checked
+    companion (`dedup_scrub_fixpoint_check`). Convergence: every pass
+    that removes anything removes ≥ k tokens from some doc, so passes
+    strictly shrink the corpus; real corpora settle in 2-3 passes
+    (sf0.01: 2). Each pass localCheckpoints so the loop's lineage (and
+    the per-pass `removed` scalar read on the driver) stays bounded —
+    the same iterative-operator discipline as graph_pagerank."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    orig = docs.select("doc_id", _true_token_count(F.col("text")).alias("n_orig"))
+    cur = docs
+    for _ in range(max_iters):
+        out = scrub_pass(cur, k).localCheckpoint()
+        removed = out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        cur = out.select("doc_id", F.col("clean_text").alias("text"))
+        if removed == 0:
+            break
+    final = cur.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        _true_token_count(F.col("text")).alias("n_final"),
+    )
+    return orig.join(final, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        (F.col("n_orig") - F.col("n_final")).alias("n_removed"),
+    )
+
+
 QUERY = dup_spans
+
+ORACLE_SCRUB = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+    FROM base
+  )
+), marked AS (
+  SELECT s, doc_id,
+         COUNT(*) OVER (PARTITION BY s) AS n_docs,
+         MIN(doc_id) OVER (PARTITION BY s) AS keeper
+  FROM (SELECT DISTINCT s, doc_id FROM sh)
+), cuts AS (
+  SELECT DISTINCT q.doc_id, q.pos + d.d AS pos
+  FROM (
+    SELECT sh.doc_id, sh.pos
+    FROM sh JOIN marked ON sh.s = marked.s AND sh.doc_id = marked.doc_id
+    WHERE marked.n_docs >= 2 AND marked.doc_id <> marked.keeper
+  ) q, (SELECT unnest(generate_series(0, 2)) AS d) d
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM base
+  )
+), keptagg AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(b.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN keptagg k USING (doc_id)
+"""
 
 ORACLE = f"""
 WITH sh AS (

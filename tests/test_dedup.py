@@ -531,3 +531,74 @@ def test_winnow_prefix_shorter_by_one_diverges(spark, monkeypatch):
     )
     assert plain == [(1, 2, 0.5), (11, 12, 0.5)]
     assert mutated == [], f"shortened prefix still found {mutated}"
+
+
+def test_scrub_dup_spans_constructed_semantics(spark, tmp_path):
+    """ExactSubstr scrub on a corpus with a known answer: the keeper
+    (lowest doc_id per duplicated shingle) retains its copy; a
+    non-keeper loses the UNION of its covered positions (overlapping
+    dup shingles merge); a fully-duplicated doc scrubs to ''; unique
+    docs pass through untouched."""
+    from aliyun_emapreduce_datasources_spark.dedup.spans import scrub_dup_spans
+
+    rows = [
+        (1, "p q r s u1", "en", "s0", 10),
+        (2, "z1 p q r s z2", "en", "s0", 13),
+        (3, "p q r", "en", "s1", 5),
+        (4, "m n o", "en", "s1", 5),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in scrub_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: ("p q r s u1", 0),
+        2: ("z1 z2", 4),
+        3: ("", 3),
+        4: ("m n o", 0),
+    }, got
+
+
+def test_scrub_fixpoint_converges_where_one_pass_does_not(spark, tmp_path):
+    """Scrubbing can CREATE duplicates: removing doc 2's span bridges
+    'a b' and 'c d' into 'a b c d', which duplicates doc 0 — only the
+    second pass catches it. Pins (a) the fixpoint answer, (b) that one
+    pass genuinely differs (the loop is load-bearing), (c) the
+    post-fixpoint no-dup-shingle invariant the catalog companion
+    checks."""
+    from aliyun_emapreduce_datasources_spark.dedup.properties import (
+        scrub_fixpoint_violations,
+    )
+    from aliyun_emapreduce_datasources_spark.dedup.spans import (
+        scrub_dup_spans,
+        scrub_spans_fixpoint,
+    )
+
+    rows = [
+        (0, "a b c d", "en", "s0", 7),
+        (1, "r1 r2 r3", "en", "s0", 8),
+        (2, "a b r1 r2 r3 c d", "en", "s1", 16),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    one_pass = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in scrub_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert one_pass[2] == ("a b c d", 3), one_pass  # bridge created
+
+    fix = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in scrub_spans_fixpoint(spark, str(tmp_path)).collect()
+    }
+    assert fix == {
+        0: ("a b c d", 0),
+        1: ("r1 r2 r3", 0),
+        2: ("", 7),
+    }, fix
+    assert scrub_fixpoint_violations(spark, str(tmp_path)).count() == 0

@@ -39,6 +39,7 @@ EMPTY_SAFE = [
     "events_decayed_engagement",
     "text_keyness_lift",
     "dedup_containment",
+    "dedup_scrub_spans",
     "bpe_encode_corpus",
     # round-3 property-check companions (each re-runs its approximate
     # operator + an independent verify path on the empty corpus)

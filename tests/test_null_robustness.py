@@ -123,6 +123,7 @@ ROWS_ONLY_TOUCHING = [
     "dedup_winnow_fingerprint",
     "dedup_bloom_decontaminate",
     "dedup_minhash_clusters",
+    "dedup_scrub_fixpoint",
     "bpe_train_merges",
     "bpe_encode_corpus",
     "text_compression_ratio",
@@ -149,6 +150,7 @@ PROPERTY_EMPTY_UNDER_NULLS = [
     "bpe_roundtrip_check",
     "dedup_simhash_bits_check",
     "dedup_minhash_cluster_containment_check",
+    "dedup_scrub_fixpoint_check",
     "distinct_users_hll_bound_check",
     "doc_length_quantiles_rank_check",
     "text_compression_bound_check",
