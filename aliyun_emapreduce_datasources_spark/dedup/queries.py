@@ -30,6 +30,7 @@ QUERIES = {
     # iterative (driver loop) — no closed-form SQL twin; its invariant
     # is hash-checked by dedup_scrub_fixpoint_check in properties.py
     "dedup_scrub_fixpoint": spans.scrub_spans_fixpoint,
+    "dedup_scrub_intra": spans.scrub_intra_doc_repeats,
     "dedup_minhash_lsh": minhash.QUERY,
     "dedup_simhash": simhash.QUERY,
     "dedup_embedding_cosine": embedding.QUERY,
@@ -55,6 +56,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
     "dedup_scrub_spans": spans.ORACLE_SCRUB,
+    "dedup_scrub_intra": spans.ORACLE_INTRA,
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,
     "dedup_containment": containment.ORACLE,

@@ -39,9 +39,11 @@ __all__ = [
     "scrub_dup_spans",
     "scrub_pass",
     "scrub_spans_fixpoint",
+    "scrub_intra_doc_repeats",
     "QUERY",
     "ORACLE",
     "ORACLE_SCRUB",
+    "ORACLE_INTRA",
 ]
 
 
@@ -126,6 +128,13 @@ def scrub_pass(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .distinct()
     )
+    return _rebuild(base, toks, cuts)
+
+
+def _rebuild(base: DataFrame, toks: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_removed) from positioned tokens minus the
+    (doc_id, pos) cut set — shared by the cross-doc and intra-doc
+    scrubs."""
     kept = (
         toks.join(cuts, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
@@ -149,6 +158,47 @@ def scrub_pass(docs: DataFrame, k: int = 3) -> DataFrame:
             (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def scrub_intra_doc_repeats(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Remove WITHIN-document repetition: a k-token shingle occurring
+    ≥ 2 times inside one document keeps its FIRST occurrence; every
+    later occurrence's k positions are cut (union over shingles) —
+    the classic repeated-generation / chorus-loop cleanup that
+    complements the cross-doc scrub (dup_spans counts a doc-repeated
+    shingle once per doc, so pure self-repetition never triggers the
+    cross-doc path). Output schema matches scrub_dup_spans.
+
+    Scale shape: the duplicate test is a window over (doc_id, shingle)
+    — partition keys carry the doc id, so at 100 TB this shuffles
+    once on a well-distributed composite key and never concentrates a
+    popular shingle's global postings on one reducer (unlike the
+    cross-doc keeper election, which needs the per-shingle global
+    view)."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(shingles(F.col("tk"), k), lambda s: F.xxhash64(s))
+        ).alias("pos", "s"),
+    )
+    w = Window.partitionBy("doc_id", "s")
+    cuts = (
+        sh.withColumn("first_pos", F.min("pos").over(w))
+        .where(F.col("pos") > F.col("first_pos"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    return _rebuild(base, toks, cuts)
 
 
 def _true_token_count(text_col) -> "F.Column":
@@ -227,6 +277,48 @@ WITH base AS (
     SELECT sh.doc_id, sh.pos
     FROM sh JOIN marked ON sh.s = marked.s AND sh.doc_id = marked.doc_id
     WHERE marked.n_docs >= 2 AND marked.doc_id <> marked.keeper
+  ) q, (SELECT unnest(generate_series(0, 2)) AS d) d
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM base
+  )
+), keptagg AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(b.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN keptagg k USING (doc_id)
+"""
+
+ORACLE_INTRA = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+    FROM base
+  )
+), cuts AS (
+  SELECT DISTINCT q.doc_id, q.pos + d.d AS pos
+  FROM (
+    SELECT sh.doc_id, sh.pos
+    FROM sh
+    JOIN (
+      SELECT doc_id, s, MIN(pos) AS first_pos FROM sh GROUP BY doc_id, s
+    ) f ON sh.doc_id = f.doc_id AND sh.s = f.s
+    WHERE sh.pos > f.first_pos
   ) q, (SELECT unnest(generate_series(0, 2)) AS d) d
 ), toks AS (
   SELECT doc_id, i - 1 AS pos, tk[i] AS tok

@@ -602,3 +602,145 @@ def test_scrub_fixpoint_converges_where_one_pass_does_not(spark, tmp_path):
         2: ("", 7),
     }, fix
     assert scrub_fixpoint_violations(spark, str(tmp_path)).count() == 0
+
+
+def test_scrub_random_differential(spark, tmp_path):
+    """Randomized differential for scrub_dup_spans AND the fixpoint:
+    small vocab forces dense cross-doc shingle collisions; the Spark
+    result must equal a pure-Python reference implementing the same
+    keeper/coverage semantics, and the fixpoint must equal the
+    reference loop run to convergence."""
+    import random
+
+    from aliyun_emapreduce_datasources_spark.dedup.spans import (
+        scrub_dup_spans,
+        scrub_spans_fixpoint,
+    )
+
+    rng = random.Random(0x5C2B)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def ref_pass(texts: dict[int, str], k: int = 3):
+        toks = {d: t.split(" ") for d, t in texts.items()}
+        occ: dict[tuple, dict[int, list[int]]] = {}
+        for d, tk in toks.items():
+            for i in range(len(tk) - k + 1):
+                occ.setdefault(tuple(tk[i : i + k]), {}).setdefault(d, []).append(i)
+        cuts: dict[int, set[int]] = {d: set() for d in toks}
+        for s, by_doc in occ.items():
+            if len(by_doc) < 2:
+                continue
+            keeper = min(by_doc)
+            for d, poss in by_doc.items():
+                if d == keeper:
+                    continue
+                for p in poss:
+                    cuts[d].update(range(p, p + k))
+        out = {}
+        for d, tk in toks.items():
+            kept = [t for i, t in enumerate(tk) if i not in cuts[d]]
+            out[d] = (" ".join(kept), len(tk) - len(kept))
+        return out
+
+    def n_tok(t):
+        return 0 if t == "" else len(t.split(" "))
+
+    for trial in range(3):
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15)))
+            for d in range(10)
+        }
+        p = tmp_path / f"t{trial}"
+        p.mkdir()
+        spark.createDataFrame(
+            [(d, t, "en", "s0", len(t)) for d, t in texts.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.parquet(str(p / "documents.parquet"))
+
+        want = ref_pass(texts)
+        got = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in scrub_dup_spans(spark, str(p)).collect()
+        }
+        assert got == want, (trial, got, want)
+
+        # fixpoint reference: iterate until a pass removes nothing
+        cur = dict(texts)
+        while True:
+            step = ref_pass(cur)
+            if all(n == 0 for _, n in step.values()):
+                break
+            cur = {d: t for d, (t, _) in step.items()}
+        want_fix = {d: (cur[d], n_tok(texts[d]) - n_tok(cur[d])) for d in cur}
+        got_fix = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in scrub_spans_fixpoint(spark, str(p)).collect()
+        }
+        assert got_fix == want_fix, (trial, got_fix, want_fix)
+
+
+def test_scrub_intra_doc_repeats_semantics_and_differential(spark, tmp_path):
+    """Within-doc repetition scrub: constructed cases (exact repeat,
+    self-overlapping run) plus a randomized pure-Python differential.
+    Cross-doc duplicates must NOT trigger it."""
+    import random
+
+    from aliyun_emapreduce_datasources_spark.dedup.spans import (
+        scrub_intra_doc_repeats,
+    )
+
+    rows = [
+        (1, "x y z q x y z", "en", "s0", 13),   # repeat at pos 4 → cut 4-6
+        (2, "a a a a a", "en", "s0", 9),        # run: cut 1-4, keep one 'a'
+        (3, "x y z q", "en", "s1", 7),          # shares with doc 1 ACROSS docs: untouched
+    ]
+    d0 = tmp_path / "unit"
+    d0.mkdir()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(d0 / "documents.parquet"))
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in scrub_intra_doc_repeats(spark, str(d0)).collect()
+    }
+    assert got == {
+        1: ("x y z q", 3),
+        2: ("a", 4),
+        3: ("x y z q", 0),
+    }, got
+
+    def ref(texts, k=3):
+        out = {}
+        for d, t in texts.items():
+            tk = t.split(" ")
+            first: dict[tuple, int] = {}
+            cuts: set[int] = set()
+            for i in range(len(tk) - k + 1):
+                s = tuple(tk[i : i + k])
+                if s in first:
+                    cuts.update(range(i, i + k))
+                else:
+                    first[s] = i
+            kept = [x for i, x in enumerate(tk) if i not in cuts]
+            out[d] = (" ".join(kept), len(tk) - len(kept))
+        return out
+
+    rng = random.Random(0x1D7A)
+    vocab = [f"w{i}" for i in range(5)]  # tiny vocab → dense self-repeats
+    for trial in range(3):
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20)))
+            for d in range(8)
+        }
+        p = tmp_path / f"r{trial}"
+        p.mkdir()
+        spark.createDataFrame(
+            [(d, t, "en", "s0", len(t)) for d, t in texts.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.parquet(str(p / "documents.parquet"))
+        want = ref(texts)
+        got_r = {
+            r.doc_id: (r.clean_text, r.n_removed)
+            for r in scrub_intra_doc_repeats(spark, str(p)).collect()
+        }
+        assert got_r == want, (trial, got_r, want)

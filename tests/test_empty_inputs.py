@@ -40,6 +40,7 @@ EMPTY_SAFE = [
     "text_keyness_lift",
     "dedup_containment",
     "dedup_scrub_spans",
+    "dedup_scrub_intra",
     "bpe_encode_corpus",
     # round-3 property-check companions (each re-runs its approximate
     # operator + an independent verify path on the empty corpus)

@@ -51,6 +51,11 @@ ENTRIES = [
     "events_session_concurrency",
     "dedup_cluster_weights",
     "mix_soft_dedup_accounting",
+    # round-6 scrub family: collect_list-based reconstruction (sorted
+    # in-row before join) + the iterative fixpoint
+    "dedup_scrub_spans",
+    "dedup_scrub_intra",
+    "dedup_scrub_fixpoint",
 ]
 
 

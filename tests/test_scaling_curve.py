@@ -102,3 +102,22 @@ def test_winnow_prefix_work_growth_below_plain_join(work):
     prefix = _ratio(w0, w1, "winnow_prefix_work")
     plain = _ratio(w0, w1, "winnow_candidates")
     assert prefix < plain, (prefix, plain)
+
+
+def test_scrub_postings_growth_linear(work):
+    """The scrub family's scan term is the shingle postings volume —
+    linear in corpus tokens by construction (measured 9.96x vs
+    tokens 9.97x)."""
+    w0, w1 = work
+    tok_ratio = _ratio(w0, w1, "n_tokens")
+    assert _ratio(w0, w1, "scrub_postings") <= 1.1 * tok_ratio
+
+
+def test_scrub_dup_postings_output_bound(work):
+    """The scrub's only data-dependent term — duplicated postings
+    entering the cut explode — may only grow as fast as the OUTPUT
+    (removed tokens) does, modulo 1.5x slack: the same output-bound
+    contract as simhash (measured 15.6x vs output 14.6x)."""
+    w0, w1 = work
+    out_ratio = _ratio(w0, w1, "scrub_removed_tokens")
+    assert _ratio(w0, w1, "scrub_dup_postings") <= 1.5 * out_ratio

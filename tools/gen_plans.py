@@ -45,6 +45,8 @@ COMMENT = {
     "doc_length_quantiles_rank_check": "The unpivoted 3-quantile-per-lang table is a BroadcastHashJoin build side (null-safe key compiles to coalesce+isnull hash columns, never a nested loop); ONE corpus scan feeds all rank counts via one partial+final aggregate.",
     "dedup_cluster_weights": "Label propagation's output re-shuffles once on cluster_id for sizes and joins back on the same partitioning; weights are an in-row integer div projection.",
     "events_sessionize": "ONE hashpartitioning Exchange on user_id serves the lag window, the running session-id sum, and the per-session aggregate — three logical passes, one shuffle, no joins.",
+    "dedup_scrub_spans": "Keeper election is a window over 64-bit shingle hashes (8-byte shuffle keys, no raw-string shuffle); cut positions explode only from non-keeper duplicated postings; reconstruction is ONE anti-join on (doc_id, pos) — every documents scan is pruned to doc_id+text, and nothing is ever all-pairs.",
+    "dedup_scrub_intra": "The repeat test is a window keyed (doc_id, shingle-hash) — the doc id rides in the partition key, so a globally popular shingle never concentrates on one reducer; cuts and reconstruction reuse the same anti-join shape as the cross-doc scrub.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -167,6 +167,40 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         out["winnow_prefix_gen"] + out["winnow_prefix_verify"]
     )
 
+    # scrub family (round-6 additions): the work terms are (a) the
+    # shingle postings volume — linear in corpus tokens by
+    # construction — and (b) the duplicated-postings volume entering
+    # the cut explode (corpus-structure bound, like winnow). Both
+    # counted from the operator's own shingle pipeline.
+    from aliyun_emapreduce_datasources_spark.dedup import spans as spans_mod
+
+    out["n_tokens"] = int(
+        docs.select(F.sum(F.size(tokens("text")))).collect()[0][0] or 0
+    )
+    base_s = docs.select("doc_id", tokens("text").alias("tk"))
+    sh_s = base_s.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(shingles(F.col("tk")), lambda s: F.xxhash64(s))
+        ).alias("pos", "s"),
+    )
+    out["scrub_postings"] = sh_s.count()
+    per_doc_s = sh_s.groupBy("s", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as _W
+
+    dup_s = per_doc_s.withColumn(
+        "n_docs", F.count(F.lit(1)).over(_W.partitionBy("s"))
+    ).where(F.col("n_docs") >= 2)
+    out["scrub_dup_postings"] = int(
+        dup_s.agg(F.sum("n")).collect()[0][0] or 0
+    )
+    out["scrub_removed_tokens"] = int(
+        spans_mod.scrub_dup_spans(spark, sf_dir)
+        .agg(F.sum("n_removed"))
+        .collect()[0][0]
+        or 0
+    )
+
     # bloom: probe count = total distinct shingles (linear by design)
     out["bloom_probes"] = (
         docs.select(
@@ -245,6 +279,16 @@ def run(spark: SparkSession) -> dict:
             w1["winnow_prefix_work"] / max(w0["winnow_prefix_work"], 1), 2
         ),
         "bloom_work": round(w1["bloom_probes"] / max(w0["bloom_probes"], 1), 2),
+        "tokens": round(w1["n_tokens"] / max(w0["n_tokens"], 1), 2),
+        "scrub_postings": round(
+            w1["scrub_postings"] / max(w0["scrub_postings"], 1), 2
+        ),
+        "scrub_dup_postings": round(
+            w1["scrub_dup_postings"] / max(w0["scrub_dup_postings"], 1), 2
+        ),
+        "scrub_removed": round(
+            w1["scrub_removed_tokens"] / max(w0["scrub_removed_tokens"], 1), 2
+        ),
     }
     return res
 
