@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from aliyun_emapreduce_datasources_spark.similarity import (
     assign,
+    bitext,
     properties,
     bruteforce,
     centroid,
@@ -25,6 +26,7 @@ QUERIES = {
     "emb_label_centroid": centroid.QUERY,
     "emb_assign_prototype": assign.QUERY,
     "emb_contrastive_triplets": triplets.QUERY,
+    **bitext.QUERIES,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
     **properties.QUERIES,
@@ -38,6 +40,7 @@ ORACLES = {
     "emb_label_centroid": centroid.ORACLE,
     "emb_assign_prototype": assign.ORACLE,
     "emb_contrastive_triplets": triplets.ORACLE,
+    **bitext.ORACLES,
     **kmeans.ORACLES,
     **label_noise.ORACLES,
     **properties.ORACLES,

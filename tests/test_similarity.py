@@ -169,3 +169,83 @@ def test_ann_lsh_recall_at_auto_scaled_planes(spark):
         recalls.append(len(exact & by_q.get(q, set())) / K)
     assert min(recalls) >= 0.8, recalls
     assert sum(recalls) / len(recalls) >= 0.95, recalls
+
+
+def test_bitext_mine_matches_numpy_reference(spark):
+    """Differential: emb_bitext_mine vs an independent in-memory numpy
+    implementation of the ratio-margin criterion on sf0.001 — exact
+    int64 dots make the comparison bit-strict on (src, dst, dot) and
+    1e-12-tight on margin."""
+    import numpy as np
+    import pandas as pd
+
+    from aliyun_emapreduce_datasources_spark.similarity.bitext import (
+        K_MINE,
+        emb_bitext_mine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = emb_bitext_mine(spark, sf).toPandas()
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    q = np.vstack(
+        emb["embedding"]
+        .map(lambda v: np.floor(np.asarray(v, dtype=np.float64) * 1e6))
+        .to_numpy()
+    ).astype(np.int64)
+    a_mask, b_mask = ids % 2 == 0, ids % 2 == 1
+    ia, ib = ids[a_mask], ids[b_mask]
+    dots = q[a_mask] @ q[b_mask].T  # exact int64
+
+    def topk_sum_and_order(mat, nbr_ids):
+        order = [np.lexsort((nbr_ids, -row))[:K_MINE] for row in mat]
+        sums = np.array([mat[i][o].sum() for i, o in enumerate(order)])
+        return order, sums
+
+    fwd_order, sum_x = topk_sum_and_order(dots, ib)
+    _, sum_y = topk_sum_and_order(dots.T, ia)
+    sx = dict(zip(ia.tolist(), sum_x.tolist()))
+    sy = dict(zip(ib.tolist(), sum_y.tolist()))
+
+    best = {}
+    for i, order in enumerate(fwd_order):
+        cands = []
+        for j in order:
+            den = sx[int(ia[i])] + sy[int(ib[j])]
+            if den == 0:
+                continue
+            m = (2 * K_MINE * int(dots[i, j])) / den
+            cands.append((-m, -int(dots[i, j]), int(ib[j]), m))
+        if not cands:
+            continue
+        cands.sort()
+        _, negdot, y, m = cands[0]
+        if m > 1.0:
+            best[int(ia[i])] = (y, -negdot, m)
+    # target-side max-margin dedup
+    by_y = {}
+    for x, (y, dot, m) in best.items():
+        key = (-m, -dot, x)
+        if y not in by_y or key < by_y[y][0]:
+            by_y[y] = (key, x, dot, m)
+    expect = sorted((x, y, dot, m) for y, (_, x, dot, m) in by_y.items())
+
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert [(r[0], r[1], r[2]) for r in got_rows] == [
+        (x, y, d) for x, y, d, _ in expect
+    ]
+    assert np.allclose(
+        [r[3] for r in got_rows], [m for *_, m in expect], rtol=0, atol=1e-12
+    )
+
+
+def test_bitext_mine_structural_invariants(spark):
+    """Mined pairs are one-to-one, cross-parity, margin > 1."""
+    from aliyun_emapreduce_datasources_spark.similarity.bitext import emb_bitext_mine
+
+    got = emb_bitext_mine(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(got) > 0
+    assert got["src_id"].is_unique and got["dst_id"].is_unique
+    assert (got["src_id"] % 2 == 0).all() and (got["dst_id"] % 2 == 1).all()
+    assert (got["margin"] > 1.0).all()
