@@ -184,13 +184,102 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): per LANGUAGE, rank documents by their LM score and cut
+    the ranking into head / middle / tail terciles — the standard
+    "keep head+middle, drop tail" pre-training data split. The LM
+    score is this engine's ``lm_bigram_surprise`` average (CCNet uses
+    a KenLM 5-gram; the add-one bigram surprise is the same signal at
+    oracle-exact integer arithmetic — see lm_bigram_surprise above).
+
+    Per-language partitioning matters: perplexity scales differ across
+    languages, so a global cut would silently drop entire low-resource
+    languages — the tercile is computed within each ``lang``.
+
+    Docs with zero bigrams are outside the LM's domain and not
+    emitted (the dsir_importance convention; both engines agree).
+
+    Determinism: ``avg_surprise`` is an exact-int64 / exact-int64
+    IEEE division, so the tercile ordering (score asc, doc_id asc) is
+    bit-identical across engines and NTILE boundaries cannot flip.
+
+    Scale shape: rides lm_bigram_surprise's plan (vocabulary-bounded
+    LM tables, one doc_id shuffle), then ONE additional shuffle on
+    ``lang`` for the ranking window. A language is a coarse partition
+    key (heavy skew toward 'en' at web scale) — at 100 TB the NTILE
+    swaps for a two-pass approx-quantile cut (computed per lang on the
+    score distribution, then a map-side bucket join), which is
+    shuffle-free on the assignment side; the window form here is the
+    exact-oracle reference for that cut.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scores = lm_bigram_surprise(spark, sf_dir).select("doc_id", "avg_surprise")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("avg_surprise"), F.asc("doc_id")
+    )
+    return (
+        docs.join(scores, "doc_id")
+        .withColumn("bucket_id", F.ntile(3).over(w).cast("long"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("bucket_id") == 1, F.lit("head"))
+            .when(F.col("bucket_id") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("doc_id", "lang", "avg_surprise", "bucket_id", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CCNET = f"""
+WITH per AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_O_BG}) AS bg FROM documents)
+  GROUP BY 1, 2, 3
+), bigram_lm AS (
+  SELECT bg, SUM(c) AS bg_c FROM per GROUP BY 1
+), ctx_lm AS (
+  SELECT w1, SUM(c) AS ctx_c FROM per GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(c * (({SCALE} * (ctx_c + v)) // (bg_c + 1))) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS avg_surprise
+  FROM per
+  JOIN bigram_lm USING (bg)
+  JOIN ctx_lm USING (w1)
+  CROSS JOIN vocab
+  GROUP BY doc_id
+), ranked AS (
+  SELECT d.doc_id, d.lang, s.avg_surprise,
+         CAST(NTILE(3) OVER (PARTITION BY d.lang
+                             ORDER BY s.avg_surprise, d.doc_id) AS BIGINT)
+           AS bucket_id
+  FROM documents d JOIN scored s USING (doc_id)
+)
+SELECT doc_id, lang, avg_surprise, bucket_id,
+       CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dsir_importance": dsir_importance,
     "lm_bigram_surprise": lm_bigram_surprise,
+    "text_ccnet_buckets": text_ccnet_buckets,
 }
 ORACLES = {
     "dsir_importance": ORACLE_DSIR,
     "lm_bigram_surprise": ORACLE_SURPRISE,
+    "text_ccnet_buckets": ORACLE_CCNET,
 }
 
 

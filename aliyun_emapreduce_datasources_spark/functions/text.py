@@ -743,3 +743,133 @@ ORDER BY doc_id
 
 QUERIES["text_blocklist_filter"] = blocklist_filter
 ORACLES["text_blocklist_filter"] = ORACLE_BLOCKLIST
+
+
+# --- Gopher quality rules ---------------------------------------------
+
+# Required-stopword rule from Gopher (Rae et al. 2021, Appendix A):
+# a doc must contain >= MIN_STOP_HITS distinct members. The paper's
+# set is (the, be, to, of, and, that, have, with); here the engine's
+# EN_STOPWORDS stands in because a required-word list must be chosen
+# FOR the target corpus — on the driver's synthetic vocabulary the
+# paper's literal set matches zero documents and the rule would be
+# degenerate (every doc rejected), which is exactly the calibration
+# mistake the original rule warns against.
+GOPHER_STOPWORDS = EN_STOPWORDS
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_WORD_LEN, MAX_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_RATIO = 0.8
+MIN_STOP_HITS = 2
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality-rule table (Rae et al. 2021,
+    Appendix A — the standard rule-based pre-filter run before any
+    model-based quality scoring): word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio ('#' and '...') <= 0.1,
+    >= 80% of words contain a letter, and >= 2 distinct required
+    stopwords present. Emits each measured signal, each rule verdict,
+    and the conjunctive ``keep`` flag, so downstream mixes can both
+    filter on ``keep`` and audit WHICH rule rejected a document.
+
+    Every signal is a built-in JVM expression over one projection —
+    no UDFs, no shuffle at all (the plan is scan → project), so at
+    100 TB this runs at parquet scan speed and the filter pushes into
+    the scan when composed. Ratios are guarded to 0.0 on empty docs
+    (ANSI-safe), so the output is NULL-free by construction.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_words = F.size(tok)
+    nz = n_words > F.lit(0)
+    nwd = n_words.cast("double")
+    mean_len = F.when(
+        nz, F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nwd
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(nz, (n_hash + n_ell).cast("double") / nwd).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = F.when(nz, n_alpha.cast("double") / nwd).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tok), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    out = (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
+            stop_hits.cast("long").alias("stop_hits"),
+        )
+        .withColumn(
+            "r_word_count",
+            (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS),
+        )
+        .withColumn(
+            "r_word_len",
+            (F.col("mean_word_len") >= MIN_WORD_LEN)
+            & (F.col("mean_word_len") <= MAX_WORD_LEN),
+        )
+        .withColumn("r_symbol", F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        .withColumn("r_alpha", F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        .withColumn("r_stopwords", F.col("stop_hits") >= MIN_STOP_HITS)
+    )
+    return out.withColumn(
+        "keep",
+        F.col("r_word_count")
+        & F.col("r_word_len")
+        & F.col("r_symbol")
+        & F.col("r_alpha")
+        & F.col("r_stopwords"),
+    ).orderBy("doc_id")
+
+
+_O_GSTOP = "['" + "','".join(GOPHER_STOPWORDS) + "']"
+
+ORACLE_GOPHER = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_O_TOK}) AS BIGINT) AS n_words,
+         CASE WHEN len({_O_TOK}) > 0
+              THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_O_TOK})
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len({_O_TOK}) > 0
+              THEN CAST(length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        AS DOUBLE) / len({_O_TOK})
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len({_O_TOK}) > 0
+              THEN CAST(len(list_filter({_O_TOK},
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len({_O_TOK})
+              ELSE 0.0 END AS alpha_ratio,
+         CAST(len(list_intersect(list_distinct({_O_TOK}), {_O_GSTOP})) AS BIGINT)
+           AS stop_hits
+  FROM documents
+), rules AS (
+  SELECT *,
+         n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS} AS r_word_count,
+         mean_word_len >= {MIN_WORD_LEN} AND mean_word_len <= {MAX_WORD_LEN}
+           AS r_word_len,
+         symbol_ratio <= {MAX_SYMBOL_RATIO} AS r_symbol,
+         alpha_ratio >= {MIN_ALPHA_RATIO} AS r_alpha,
+         stop_hits >= {MIN_STOP_HITS} AS r_stopwords
+  FROM sig
+)
+SELECT *,
+       r_word_count AND r_word_len AND r_symbol AND r_alpha AND r_stopwords
+         AS keep
+FROM rules
+ORDER BY doc_id
+"""
+
+QUERIES["text_gopher_rules"] = gopher_rules
+ORACLES["text_gopher_rules"] = ORACLE_GOPHER

@@ -1172,6 +1172,81 @@ QUERIES["audit_k_anonymity"] = audit_k_anonymity
 ORACLES["audit_k_anonymity"] = ORACLE_K_ANON
 
 
+L_DIV = 3
+
+
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    Privacy Beyond k-Anonymity", TKDD 2007) — the complement to
+    ``audit_k_anonymity``: a quasi-identifier class can be large
+    (k-anonymous) yet still leak if every row in it shares the same
+    SENSITIVE value. Here the quasi-identifier is (customer nation,
+    order year), the sensitive attribute is ``o_orderpriority``; a
+    class is under-diverse when it carries fewer than l=3 distinct
+    priorities.
+
+    Output mirrors the k-anonymity gate: per nation — class count,
+    under-l class count, row count, rows-at-risk, and suppression
+    rate in exact milli units (floor division, engine-identical).
+
+    Scale shape: one orders⨝customer key join (AQE broadcasts the
+    dimension side when it fits), one (quasi-id) aggregate with
+    map-side partial count-distinct, one nation-level rollup of
+    class-sized rows. ``year(DATE)`` is timezone-free, so the class
+    boundaries cannot drift with session TZ.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    classes = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("nation", "yr")
+        .agg(
+            F.count_distinct("o_orderpriority").alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        classes.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("l") < L_DIV, 1).otherwise(0)).cast("long").alias("n_under_l"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("l") < L_DIV, F.col("n")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        )
+        .withColumn("suppress_milli", F.expr("(1000 * rows_at_risk) DIV n_rows").cast("long"))
+        .orderBy("nation")
+    )
+
+
+ORACLE_L_DIV = f"""
+WITH classes AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         COUNT(DISTINCT o_orderpriority) AS l,
+         COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT) AS n_under_l,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l < {L_DIV} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST((1000 * SUM(CASE WHEN l < {L_DIV} THEN n ELSE 0 END)) // SUM(n) AS BIGINT) AS suppress_milli
+FROM classes
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+QUERIES["audit_l_diversity"] = audit_l_diversity
+ORACLES["audit_l_diversity"] = ORACLE_L_DIV
+
+
 # --- Fuzzy entity matching (record linkage, blocked self-join) --------
 
 ER_MAX_DIST = 4

@@ -1084,3 +1084,86 @@ ORDER BY d.source
 
 QUERIES["mix_soft_dedup_accounting"] = mix_soft_dedup_accounting
 ORACLES["mix_soft_dedup_accounting"] = _oracle_soft_dedup()
+
+
+# --- temperature-scaled mixture allocation ----------------------------
+
+TEMP_BUDGET_TOKENS = 10_000_000
+
+
+def mix_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling allocation (the multilingual
+    alpha-sampling rule of mT5/XLM-R: sample source i with
+    p_i ∝ p_raw_i^(1/T)): flatten the raw source distribution so
+    high-resource sources are down-weighted and low-resource sources
+    up-weighted before drawing a fixed token budget. T = 2, i.e. the
+    weight is an IEEE ``sqrt`` — correctly rounded per IEEE 754, so
+    both engines compute bit-identical weights from the same exact
+    int64 token counts (the remaining sum/divide agree to well inside
+    the driver's 1e-9 rtol).
+
+    Output per source: doc/token counts, raw share, tempered share,
+    the token allocation from a fixed budget, and the boost factor
+    (tempered/raw — >1 means the source is up-sampled).
+
+    Scale shape: ONE map-side-combined aggregate over the corpus into
+    |sources| rows, then an unbounded window over that driver-sized
+    result (still distributed — nothing collected). Cheapest plan
+    shape in the catalog at 100 TB: a scan with a 2-column projection.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn("w", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_source.withColumn("tot_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("tot_w", F.sum("w").over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")).alias("p_raw"),
+            (F.col("w") / F.col("tot_w")).alias("p_temp"),
+            (F.col("w") / F.col("tot_w") * F.lit(float(TEMP_BUDGET_TOKENS))).alias("alloc_tokens"),
+            (
+                (F.col("w") / F.col("tot_w"))
+                / (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEMP_ALLOC = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), win AS (
+  SELECT *,
+         SQRT(CAST(n_tokens AS DOUBLE)) AS w,
+         SUM(n_tokens) OVER () AS tot_tokens,
+         SUM(SQRT(CAST(n_tokens AS DOUBLE))) OVER () AS tot_w
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p_raw,
+       w / tot_w AS p_temp,
+       w / tot_w * {float(TEMP_BUDGET_TOKENS)} AS alloc_tokens,
+       (w / tot_w) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+FROM win
+ORDER BY source
+"""
+
+
+QUERIES["mix_temperature_alloc"] = mix_temperature_alloc
+ORACLES["mix_temperature_alloc"] = ORACLE_TEMP_ALLOC

@@ -57,6 +57,11 @@ EMPTY_SAFE = [
     "audit_column_profile",
     "dedup_cluster_weights",
     "distinct_users_sketch_merge_check",
+    # round-6 additions: all corpus-only (documents/embeddings) plans
+    "text_gopher_rules",
+    "text_ccnet_buckets",
+    "mix_temperature_alloc",
+    "emb_bitext_mine",
 ]
 
 

@@ -196,3 +196,74 @@ def test_connected_components_random_differential(spark):
         assert dist == expect, (edges_py, dist, expect)
 
     check()
+
+
+def test_temperature_alloc_flattens_distribution(spark, sf_dir):
+    """T=2 sampling: shares sum to 1, the budget is fully allocated,
+    and the boost factor is strictly anti-monotone in source size —
+    the whole point of temperature flattening."""
+    from aliyun_emapreduce_datasources_spark.operators.pipeline import (
+        TEMP_BUDGET_TOKENS,
+        mix_temperature_alloc,
+    )
+
+    rows = mix_temperature_alloc(spark, sf_dir).toPandas()
+    assert abs(rows["p_temp"].sum() - 1.0) < 1e-9
+    assert abs(rows["p_raw"].sum() - 1.0) < 1e-9
+    assert abs(rows["alloc_tokens"].sum() - TEMP_BUDGET_TOKENS) < 1e-6 * TEMP_BUDGET_TOKENS
+    by_size = rows.sort_values(["n_tokens", "source"])
+    boosts = by_size["boost"].to_numpy()
+    toks = by_size["n_tokens"].to_numpy()
+    for i in range(1, len(boosts)):
+        if toks[i] > toks[i - 1]:
+            assert boosts[i] < boosts[i - 1]
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
+    """Within every language the head/middle/tail bucket sizes differ
+    by at most one, and every scored document lands in a bucket."""
+    from aliyun_emapreduce_datasources_spark.functions.lm import text_ccnet_buckets
+
+    rows = text_ccnet_buckets(spark, sf_dir).toPandas()
+    assert len(rows) > 0
+    sizes = rows.groupby(["lang", "bucket"]).size().unstack(fill_value=0)
+    for lang, r in sizes.iterrows():
+        assert set(r.index) >= {"head", "middle", "tail"}
+        assert r.max() - r.min() <= 1, (lang, dict(r))
+    # head has the lowest scores: per lang, max(head) <= min(tail)
+    for lang, grp in rows.groupby("lang"):
+        head = grp[grp.bucket == "head"]["avg_surprise"]
+        tail = grp[grp.bucket == "tail"]["avg_surprise"]
+        assert head.max() <= tail.min()
+
+
+def test_l_diversity_rollup_invariants(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.operators.analytic import (
+        audit_l_diversity,
+    )
+
+    rows = audit_l_diversity(spark, sf_dir).toPandas()
+    assert len(rows) == 25  # every nation has orders at sf>=0.001
+    assert (rows["n_under_l"] <= rows["n_classes"]).all()
+    assert (rows["rows_at_risk"] <= rows["n_rows"]).all()
+    assert ((rows["suppress_milli"] >= 0) & (rows["suppress_milli"] <= 1000)).all()
+
+
+def test_gopher_rules_shape_and_shuffle_free_plan(spark, sf_dir):
+    """keep == conjunction of the per-rule verdicts, no NULLs anywhere,
+    and the physical plan is scan -> project (no exchange): the rule
+    table must run at scan speed."""
+    from aliyun_emapreduce_datasources_spark.functions.text import gopher_rules
+
+    df = gopher_rules(spark, sf_dir)
+    rows = df.toPandas()
+    assert len(rows) == 500 and not rows.isna().any().any()
+    recomputed = (
+        rows.r_word_count & rows.r_word_len & rows.r_symbol
+        & rows.r_alpha & rows.r_stopwords
+    )
+    assert (rows.keep == recomputed).all()
+    assert 0 < rows.keep.sum() < len(rows)  # non-degenerate on corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("Sort", 1)[0]  # orderBy's range exchange is display-only
+    assert "Exchange" not in body
