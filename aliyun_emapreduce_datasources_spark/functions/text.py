@@ -873,3 +873,87 @@ ORDER BY doc_id
 
 QUERIES["text_gopher_rules"] = gopher_rules
 ORACLES["text_gopher_rules"] = ORACLE_GOPHER
+
+
+# --- trigram novelty (corpus-uniqueness score) ------------------------
+
+_TRIGRAMS = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], "
+    "split(text, ' ')[i+1])) "
+    "ELSE array() END"
+)
+
+
+def trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word trigrams that appear in no other document. The
+    inverse signal of the dedup family — SlimPajama/Dolma-style
+    curation uses it to find boilerplate-heavy documents (novelty → 0
+    means everything in the doc exists elsewhere) and to prize
+    documents contributing genuinely new text (novelty → 1). It is
+    the continuous companion to ``dedup_containment`` /
+    ``dedup_dup_spans``: those flag the overlapping spans, this one
+    scores every document on one [0, 1000] milli scale.
+
+    Exactness: raw trigram STRINGS (not hashes), counts and the final
+    score in integer milli units (``(1000·novel) DIV distinct``) —
+    engine-identical. Documents with fewer than 3 tokens have no
+    trigrams and are not emitted (same convention as dsir/ccnet).
+
+    Scale shape: two shuffles — (1) distinct (doc, trigram) pairs
+    aggregate to per-trigram document counts with map-side combine;
+    (2) the postings join back on ``tg`` and the per-doc rollup on
+    ``doc_id``. Identical to the posting-list shape of
+    ``dedup_containment``; no all-pairs term, output is |docs| rows.
+    At 100 TB the trigram strings would hash to int64 first (xxhash in
+    one in-row expression) to shrink shuffle width — the string form
+    is the oracle-exact reference.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tg = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("tg")
+    )
+    counts = tg.groupBy("tg").agg(F.count(F.lit(1)).cast("long").alias("n_docs_with"))
+    return (
+        tg.join(counts, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tg"),
+            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_milli", F.expr("(1000 * n_novel) DIV n_distinct_tg").cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_O_TG = (
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2])"
+)
+
+ORACLE_TRIGRAM_NOVELTY = f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id, tg
+  FROM (SELECT doc_id, unnest({_O_TG}) AS tg FROM documents)
+), cnt AS (
+  SELECT tg, COUNT(*) AS c FROM tg GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tg,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS novelty_milli
+FROM tg JOIN cnt USING (tg)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["text_trigram_novelty"] = trigram_novelty
+ORACLES["text_trigram_novelty"] = ORACLE_TRIGRAM_NOVELTY

@@ -1398,3 +1398,138 @@ ORDER BY decile
 
 QUERIES["pareto_revenue"] = pareto_revenue
 ORACLES["pareto_revenue"] = ORACLE_PARETO
+
+
+# --- t-closeness release audit (privacy gate #3) ----------------------
+
+T_CLOSE_MILLI = 100
+
+
+def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
+    Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007) — the
+    third gate of the release trilogy (``audit_k_anonymity``,
+    ``audit_l_diversity``): a class can be both large and l-diverse
+    yet still leak when its SENSITIVE-value distribution deviates far
+    from the global one (e.g. 90% URGENT in one (nation, year) cell
+    against a uniform corpus). The deviation measure here is total
+    variation distance between the class distribution p and the global
+    distribution q over ``o_orderpriority``.
+
+    Exactness: TV = ½·Σ|p_i − q_i| is computed in INTEGER milli units
+    over the common denominator n_c·N:
+    ``tv_milli = (1000·Σ_i |n_ci·N − N_i·n_c|) DIV (2·n_c·N)``.
+    Priorities ABSENT from a class contribute N_i·n_c each; their sum
+    folds to ``n_c·(N − Σ_present N_i)`` so the full-grid term needs
+    no outer join against the priority domain. All int64 (n_ci·N ≤
+    1e3·1.5e6 at sf1 — 40 bits), engine-identical.
+
+    Output per nation: class count, classes beyond t=0.1, rows in
+    them, max and mean TV in milli — the table a release reviewer
+    reads to pick suppression cells.
+
+    Scale shape: one orders⨝customer key join (AQE broadcasts the
+    customer side when it fits), one (nation, yr, priority) aggregate
+    that combines map-side, a broadcast of the 5-row global priority
+    table plus a 1-row N scalar, then a nation rollup of class-count
+    rows. Nothing driver-side; the wide corpus never reshuffles twice.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    cells = joined.groupBy("nation", "yr", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ci")
+    )
+    glob = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    total = joined.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # Compute class sizes first, then join the cell rows back for the
+    # |p−q| sum — both aggregates combine map-side and the join is on
+    # the same (nation, yr) key, so AQE coalesces the exchanges.
+    sizes = cells.groupBy("nation", "yr").agg(F.sum("n_ci").cast("long").alias("n_c"))
+    tv = (
+        cells.join(F.broadcast(glob), "o_orderpriority")
+        .join(sizes, ["nation", "yr"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("nation", "yr")
+        .agg(
+            F.first("n_c").alias("n_c"),
+            F.first("n_total").alias("n_total"),
+            (
+                F.sum(F.abs(F.col("n_ci") * F.col("n_total") - F.col("n_i") * F.col("n_c")))
+                + F.first("n_c") * (F.first("n_total") - F.sum("n_i"))
+            ).cast("long").alias("tv_num"),
+        )
+        .withColumn(
+            "tv_milli",
+            F.expr("(1000 * tv_num) DIV (2 * n_c * n_total)").cast("long"),
+        )
+    )
+    return (
+        tv.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("tv_milli") > T_CLOSE_MILLI, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_t"),
+            F.sum(F.when(F.col("tv_milli") > T_CLOSE_MILLI, F.col("n_c")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.max("tv_milli").cast("long").alias("max_tv_milli"),
+            F.expr("SUM(tv_milli) DIV COUNT(1)").cast("long").alias("mean_tv_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_T_CLOSE = f"""
+WITH joined AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cells AS (
+  SELECT nation, yr, o_orderpriority, COUNT(*) AS n_ci
+  FROM joined GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT o_orderpriority, COUNT(*) AS n_i FROM joined GROUP BY 1
+), total AS (
+  SELECT COUNT(*) AS n_total FROM joined
+), sizes AS (
+  SELECT nation, yr, CAST(SUM(n_ci) AS BIGINT) AS n_c FROM cells GROUP BY 1, 2
+), tv AS (
+  SELECT c.nation, c.yr,
+         MIN(s.n_c) AS n_c,
+         MIN(t.n_total) AS n_total,
+         CAST(SUM(ABS(c.n_ci * t.n_total - g.n_i * s.n_c))
+              + MIN(s.n_c) * (MIN(t.n_total) - SUM(g.n_i)) AS BIGINT) AS tv_num
+  FROM cells c
+  JOIN gdist g USING (o_orderpriority)
+  JOIN sizes s ON c.nation = s.nation AND c.yr = s.yr
+  CROSS JOIN total t
+  GROUP BY c.nation, c.yr
+), milli AS (
+  SELECT *, CAST((1000 * tv_num) // (2 * n_c * n_total) AS BIGINT) AS tv_milli
+  FROM tv
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN tv_milli > {T_CLOSE_MILLI} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_t,
+       CAST(SUM(CASE WHEN tv_milli > {T_CLOSE_MILLI} THEN n_c ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MAX(tv_milli) AS BIGINT) AS max_tv_milli,
+       CAST(SUM(tv_milli) // COUNT(*) AS BIGINT) AS mean_tv_milli
+FROM milli
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+QUERIES["audit_t_closeness"] = audit_t_closeness
+ORACLES["audit_t_closeness"] = ORACLE_T_CLOSE

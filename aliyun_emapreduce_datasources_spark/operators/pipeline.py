@@ -1167,3 +1167,136 @@ ORDER BY source
 
 QUERIES["mix_temperature_alloc"] = mix_temperature_alloc
 ORACLES["mix_temperature_alloc"] = ORACLE_TEMP_ALLOC
+
+
+# --- UniMax budget-capped allocation ----------------------------------
+
+UNIMAX_EPOCH_CAP = 2
+
+
+def mix_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax sampling allocation (Chung et al., "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023) — the successor to temperature sampling
+    (``mix_temperature_alloc``): spread a fixed token budget as
+    UNIFORMLY as possible across sources, subject to a per-source
+    repeat cap of ``UNIMAX_EPOCH_CAP`` epochs (capacity = cap ×
+    source tokens). The optimum is classic waterfilling: sources whose
+    capacity sits below the water level are consumed entirely
+    ("capped"); everyone else gets the identical level.
+
+    The closed form rides one window over the |sources|-row aggregate:
+    sort by capacity ascending; row i is capped iff even granting its
+    own capacity to every remaining source would still fit the
+    remaining budget — ``cum_before + capacity·(n−i+1) ≤ budget`` —
+    an ALL-INT64 predicate, so capped-ness is engine-exact (ties in
+    capacity leave the predicate invariant: cum_before grows by
+    exactly the tied capacity per rank step). The water level is then
+    one IEEE division, (budget − capped_total) / n_uncapped.
+
+    The budget itself derives from the data — ``(39·total) DIV 20``,
+    i.e. 1.95 average epochs against a 2-epoch cap — so the split is
+    non-degenerate (both capped and uncapped sources) at every SF of
+    the driver's corpus without tuning constants per scale.
+
+    Scale shape: identical to mix_temperature_alloc — ONE map-side
+    combined aggregate to |sources| rows; the windows run over that
+    driver-sized table (sources number in the hundreds even at
+    100 TB). The corpus itself is touched once, 2 columns.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn("capacity", (F.col("n_tokens") * F.lit(UNIMAX_EPOCH_CAP)).cast("long"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("capacity", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        per_source.withColumn(
+            "budget", F.expr(f"39 * sum(n_tokens) OVER () DIV 20").cast("long")
+        )
+        .withColumn("n_src", F.count(F.lit(1)).over(w_all))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("cum_before", F.coalesce(F.sum("capacity").over(w_cum), F.lit(0)))
+        .withColumn(
+            "capped",
+            (F.col("cum_before") + F.col("capacity") * (F.col("n_src") - F.col("rn") + 1))
+            <= F.col("budget"),
+        )
+    )
+    return (
+        staged.withColumn(
+            "capped_total",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("capacity"))).over(w_all), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "n_uncapped",
+            F.sum(F.when(F.col("capped"), 0).otherwise(1)).over(w_all),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("capacity").cast("double")).otherwise(
+                (F.col("budget") - F.col("capped_total")).cast("double")
+                / F.col("n_uncapped").cast("double")
+            ),
+        )
+        .withColumn("epochs", F.col("alloc_tokens") / F.col("n_tokens").cast("double"))
+        .select(
+            "source", "n_docs", "n_tokens", "capacity", "capped",
+            "alloc_tokens", "epochs",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_UNIMAX = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), staged AS (
+  SELECT *,
+         CAST(n_tokens * {UNIMAX_EPOCH_CAP} AS BIGINT) AS capacity,
+         CAST(39 * SUM(n_tokens) OVER () // 20 AS BIGINT) AS budget,
+         COUNT(*) OVER () AS n_src,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {UNIMAX_EPOCH_CAP}, source) AS rn,
+         CAST(COALESCE(SUM(n_tokens * {UNIMAX_EPOCH_CAP}) OVER (
+             ORDER BY n_tokens * {UNIMAX_EPOCH_CAP}, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM per
+), flagged AS (
+  SELECT *,
+         cum_before + capacity * (n_src - rn + 1) <= budget AS capped
+  FROM staged
+), leveled AS (
+  SELECT *,
+         CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END) OVER (), 0) AS BIGINT)
+           AS capped_total,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS n_uncapped
+  FROM flagged
+)
+SELECT source, n_docs, n_tokens, capacity, capped,
+       CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+            ELSE CAST(budget - capped_total AS DOUBLE) / CAST(n_uncapped AS DOUBLE)
+       END AS alloc_tokens,
+       CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+            ELSE CAST(budget - capped_total AS DOUBLE) / CAST(n_uncapped AS DOUBLE)
+       END / CAST(n_tokens AS DOUBLE) AS epochs
+FROM leveled
+ORDER BY source
+"""
+
+
+QUERIES["mix_unimax_alloc"] = mix_unimax_alloc
+ORACLES["mix_unimax_alloc"] = ORACLE_UNIMAX

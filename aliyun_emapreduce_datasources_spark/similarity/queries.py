@@ -5,6 +5,7 @@ from __future__ import annotations
 from aliyun_emapreduce_datasources_spark.similarity import (
     assign,
     bitext,
+    dimstats,
     properties,
     bruteforce,
     centroid,
@@ -26,6 +27,7 @@ QUERIES = {
     "emb_label_centroid": centroid.QUERY,
     "emb_assign_prototype": assign.QUERY,
     "emb_contrastive_triplets": triplets.QUERY,
+    "emb_dim_profile": dimstats.QUERY,
     **bitext.QUERIES,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
@@ -40,6 +42,7 @@ ORACLES = {
     "emb_label_centroid": centroid.ORACLE,
     "emb_assign_prototype": assign.ORACLE,
     "emb_contrastive_triplets": triplets.ORACLE,
+    "emb_dim_profile": dimstats.ORACLE,
     **bitext.ORACLES,
     **kmeans.ORACLES,
     **label_noise.ORACLES,

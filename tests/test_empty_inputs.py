@@ -62,6 +62,9 @@ EMPTY_SAFE = [
     "text_ccnet_buckets",
     "mix_temperature_alloc",
     "emb_bitext_mine",
+    "mix_unimax_alloc",
+    "text_trigram_novelty",
+    "emb_dim_profile",
 ]
 
 

@@ -267,3 +267,65 @@ def test_gopher_rules_shape_and_shuffle_free_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     body = plan.split("Sort", 1)[0]  # orderBy's range exchange is display-only
     assert "Exchange" not in body
+
+
+def test_unimax_is_exact_waterfilling(spark, sf_dir):
+    """Budget conservation, both capped and uncapped sources present,
+    one common water level for the uncapped, every capped source at a
+    capacity BELOW that level, epochs never above the cap — checked
+    against an independent pure-Python waterfill on the same counts."""
+    from aliyun_emapreduce_datasources_spark.operators.pipeline import (
+        UNIMAX_EPOCH_CAP,
+        mix_unimax_alloc,
+    )
+
+    rows = mix_unimax_alloc(spark, sf_dir).toPandas()
+    budget = 39 * int(rows.n_tokens.sum()) // 20
+    assert abs(rows.alloc_tokens.sum() - budget) < 1e-6 * budget
+    capped = rows[rows.capped]
+    unc = rows[~rows.capped]
+    assert len(capped) > 0 and len(unc) > 0  # non-degenerate at every SF
+    level = unc.alloc_tokens.unique()
+    assert len(level) == 1  # uniform water level
+    assert (capped.capacity < level[0]).all()
+    assert (capped.alloc_tokens == capped.capacity).all()
+    assert (rows.epochs <= UNIMAX_EPOCH_CAP + 1e-9).all()
+
+    # independent waterfill: sum(min(c_i, L)) == budget at the level
+    caps = sorted(rows.capacity)
+    lo, hi = 0.0, float(max(caps))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c, mid) for c in caps) < budget:
+            lo = mid
+        else:
+            hi = mid
+    assert abs(hi - level[0]) < 1e-3 * level[0]
+
+
+def test_t_closeness_rollup_invariants(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.operators.analytic import (
+        audit_t_closeness,
+    )
+
+    rows = audit_t_closeness(spark, sf_dir).toPandas()
+    assert len(rows) == 25
+    assert (rows.n_over_t <= rows.n_classes).all()
+    assert (rows.mean_tv_milli <= rows.max_tv_milli).all()
+    assert ((rows.max_tv_milli >= 0) & (rows.max_tv_milli <= 1000)).all()
+    # TV against the global distribution cannot be zero for every
+    # class of a finite sample — the audit must measure something
+    assert rows.max_tv_milli.max() > 0
+
+
+def test_trigram_novelty_bounds_and_signal(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.functions.text import trigram_novelty
+
+    rows = trigram_novelty(spark, sf_dir).toPandas()
+    assert len(rows) > 0
+    assert (rows.n_novel <= rows.n_distinct_tg).all()
+    assert ((rows.novelty_milli >= 0) & (rows.novelty_milli <= 1000)).all()
+    assert 0 < rows.novelty_milli.mean() < 1000  # corpus has shared AND novel text
+    # exact consistency of the milli score with its integer parts
+    got = (1000 * rows.n_novel) // rows.n_distinct_tg
+    assert (rows.novelty_milli == got).all()

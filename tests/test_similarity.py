@@ -249,3 +249,27 @@ def test_bitext_mine_structural_invariants(spark):
     assert got["src_id"].is_unique and got["dst_id"].is_unique
     assert (got["src_id"] % 2 == 0).all() and (got["dst_id"] % 2 == 1).all()
     assert (got["margin"] > 1.0).all()
+
+
+def test_embedding_dim_profile_matches_numpy(spark, sf_dir):
+    """Bit-level differential vs numpy on the quantized integers: the
+    single-pass sum-of-squares identity on exact int64 must equal the
+    two-pass numpy variance of the same micro-quantized values."""
+    import numpy as np
+
+    from aliyun_emapreduce_datasources_spark.similarity.dimstats import (
+        embedding_dim_profile,
+    )
+
+    rows = embedding_dim_profile(spark, sf_dir).toPandas().sort_values("dim")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.vstack(emb.embedding.map(np.asarray).to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1e6).astype(np.int64)
+    assert len(rows) == mat.shape[1]
+    assert (rows.n == mat.shape[0]).all()
+    mean = (q.sum(axis=0) / mat.shape[0]) / 1e6
+    m2 = ((q.astype(object) ** 2).sum(axis=0).astype(np.float64) / mat.shape[0]) / 1e12
+    var = m2 - mean * mean
+    np.testing.assert_allclose(rows["mean"].to_numpy(), mean, rtol=1e-12)
+    np.testing.assert_allclose(rows.var_pop.to_numpy(), var, rtol=1e-9)
+    assert (rows.var_pop > 0).all()  # no collapsed dimensions in the corpus
