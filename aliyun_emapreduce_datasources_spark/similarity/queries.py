@@ -5,6 +5,7 @@ from __future__ import annotations
 from aliyun_emapreduce_datasources_spark.similarity import (
     assign,
     bitext,
+    covariance,
     dimstats,
     properties,
     bruteforce,
@@ -29,6 +30,7 @@ QUERIES = {
     "emb_contrastive_triplets": triplets.QUERY,
     "emb_dim_profile": dimstats.QUERY,
     **bitext.QUERIES,
+    **covariance.QUERIES,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
     **properties.QUERIES,
@@ -44,6 +46,7 @@ ORACLES = {
     "emb_contrastive_triplets": triplets.ORACLE,
     "emb_dim_profile": dimstats.ORACLE,
     **bitext.ORACLES,
+    **covariance.ORACLES,
     **kmeans.ORACLES,
     **label_noise.ORACLES,
     **properties.ORACLES,

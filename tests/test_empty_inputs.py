@@ -65,6 +65,8 @@ EMPTY_SAFE = [
     "mix_unimax_alloc",
     "text_trigram_novelty",
     "emb_dim_profile",
+    "emb_covariance",
+    "emb_abtt_residual_check",
 ]
 
 

@@ -273,3 +273,38 @@ def test_embedding_dim_profile_matches_numpy(spark, sf_dir):
     np.testing.assert_allclose(rows["mean"].to_numpy(), mean, rtol=1e-12)
     np.testing.assert_allclose(rows.var_pop.to_numpy(), var, rtol=1e-9)
     assert (rows.var_pop > 0).all()  # no collapsed dimensions in the corpus
+
+
+def test_covariance_diagonal_is_dim_profile_variance(spark, sf_dir):
+    """Cross-operator exactness pin: the covariance diagonal and the
+    dim-profile population variance derive from the same exact integer
+    sums through the same written IEEE sequence — they must be
+    BIT-identical, not merely close."""
+    from aliyun_emapreduce_datasources_spark.similarity.covariance import (
+        embedding_covariance,
+    )
+    from aliyun_emapreduce_datasources_spark.similarity.dimstats import (
+        embedding_dim_profile,
+    )
+
+    cov = embedding_covariance(spark, sf_dir).toPandas()
+    diag = cov[cov.dim_a == cov.dim_b].sort_values("dim_a")
+    prof = embedding_dim_profile(spark, sf_dir).toPandas().sort_values("dim")
+    assert len(diag) == len(prof) > 0
+    assert (diag["cov"].to_numpy() == prof["var_pop"].to_numpy()).all()
+
+
+def test_abtt_check_fires_without_projection(spark, sf_dir):
+    """Mutation sensitivity: dropping the projection step must produce
+    'proj' violations (the corpus has nonzero energy along the top
+    direction), while the real transform produces none."""
+    from aliyun_emapreduce_datasources_spark.similarity.covariance import (
+        abtt_residual_violations,
+    )
+
+    clean = abtt_residual_violations(spark, sf_dir).toPandas()
+    assert len(clean) == 0
+    mutated = abtt_residual_violations(
+        spark, sf_dir, _mutate_skip_projection=True
+    ).toPandas()
+    assert (mutated.kind == "proj").sum() > 0
