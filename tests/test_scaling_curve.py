@@ -121,3 +121,26 @@ def test_scrub_dup_postings_output_bound(work):
     w0, w1 = work
     out_ratio = _ratio(w0, w1, "scrub_removed_tokens")
     assert _ratio(w0, w1, "scrub_dup_postings") <= 1.5 * out_ratio
+
+
+def test_novelty_postings_growth_linear_in_tokens(work):
+    """text_trigram_novelty's entire shuffle volume is the distinct
+    (doc, trigram) postings table — it must track corpus TOKENS
+    (within a distinctness-driven 20% band), nowhere near the
+    quadratic pair curve."""
+    w0, w1 = work
+    quad = (w1["n_docs"] * (w1["n_docs"] - 1)) / (w0["n_docs"] * (w0["n_docs"] - 1))
+    tokens = _ratio(w0, w1, "n_tokens")
+    novelty = _ratio(w0, w1, "novelty_postings")
+    assert novelty <= 1.2 * tokens
+    assert novelty <= 0.5 * quad
+
+
+def test_covariance_rows_linear_in_vectors(work):
+    """emb_covariance's pair expansion is exactly d(d+1)/2 rows per
+    vector — growth must equal the vector count's, not the vector
+    PAIR count's (the map-side combine then collapses each task to
+    2,080 partials regardless)."""
+    w0, w1 = work
+    vec = w1["n_emb"] / w0["n_emb"]
+    assert abs(_ratio(w0, w1, "covariance_pair_rows") - vec) < 0.01

@@ -201,6 +201,25 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         or 0
     )
 
+    # trigram-novelty (round-6): work = distinct (doc, trigram)
+    # postings — BOTH the per-gram count aggregate and the join-back
+    # are postings-sized, so the one number is the operator's whole
+    # shuffle volume. Linear in corpus tokens by construction.
+    from aliyun_emapreduce_datasources_spark.functions.text import _TRIGRAMS
+
+    out["novelty_postings"] = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("tg")
+        ).count()
+    )
+
+    # covariance (round-6): in-row pair expansion rows — exactly
+    # n_emb * d(d+1)/2, linear in vectors; counted from the
+    # operator's own pair frame to pin the claim, not the formula.
+    from aliyun_emapreduce_datasources_spark.similarity.covariance import _q_pairs
+
+    out["covariance_pair_rows"] = _q_pairs(spark, sf_dir).count()
+
     # bloom: probe count = total distinct shingles (linear by design)
     out["bloom_probes"] = (
         docs.select(
@@ -279,6 +298,12 @@ def run(spark: SparkSession) -> dict:
             w1["winnow_prefix_work"] / max(w0["winnow_prefix_work"], 1), 2
         ),
         "bloom_work": round(w1["bloom_probes"] / max(w0["bloom_probes"], 1), 2),
+        "novelty_postings": round(
+            w1["novelty_postings"] / max(w0["novelty_postings"], 1), 2
+        ),
+        "covariance_rows": round(
+            w1["covariance_pair_rows"] / max(w0["covariance_pair_rows"], 1), 2
+        ),
         "tokens": round(w1["n_tokens"] / max(w0["n_tokens"], 1), 2),
         "scrub_postings": round(
             w1["scrub_postings"] / max(w0["scrub_postings"], 1), 2
