@@ -1533,3 +1533,82 @@ ORDER BY nation
 
 QUERIES["audit_t_closeness"] = audit_t_closeness
 ORACLES["audit_t_closeness"] = ORACLE_T_CLOSE
+
+
+# --- join-key skew profiler -------------------------------------------
+
+SKEW_KEYS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def audit_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the fact tables' join columns — the
+    table an engineer reads BEFORE launching a 100 TB join, and the
+    measurement that decides whether operators/skew.py's salting or
+    AQE's skew-join split is needed. Per profiled key column: row
+    count, distinct keys, the heaviest key's row count, the skew
+    factor max/mean in exact milli units
+    (``(1000·max_rows·n_keys) DIV n_rows``), and the hot key itself
+    (smallest key id on ties — picked via an integer struct-max, so
+    the choice is engine-exact, not first-seen).
+
+    Scale shape: per column, ONE map-side-combined count aggregate to
+    |keys| rows and one tiny rollup; the three profiles union into a
+    3-row table. Nothing driver-side, no sort of the key space (the
+    hot key rides the max-struct, not an ORDER BY).
+    """
+    out = None
+    for tbl, col in SKEW_KEYS:
+        g = (
+            t(spark, sf_dir, tbl)
+            .select(F.col(col).cast("long").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        prof = g.agg(
+            F.lit(f"{tbl}.{col}").alias("key_col"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_rows"),
+            (-F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))).getField("nk"))
+            .cast("long")
+            .alias("hot_key"),
+        ).withColumn(
+            "skew_milli",
+            F.expr("(1000 * max_rows * n_keys) DIV n_rows").cast("long"),
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out.select(
+        "key_col", "n_rows", "n_keys", "max_rows", "hot_key", "skew_milli"
+    ).orderBy("key_col")
+
+
+def _skew_oracle_one(tbl: str, col: str) -> str:
+    return f"""
+SELECT '{tbl}.{col}' AS key_col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_rows,
+       CAST(-(MAX(struct_pack(cnt := cnt, nk := -k)).nk) AS BIGINT) AS hot_key,
+       CAST((1000 * MAX(cnt) * COUNT(*)) // SUM(cnt) AS BIGINT) AS skew_milli
+FROM (
+  SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt
+  FROM {tbl} GROUP BY 1
+) g
+"""
+
+
+ORACLE_JOIN_SKEW = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"({_skew_oracle_one(tbl, col)})" for tbl, col in SKEW_KEYS
+    )
+    + ") ORDER BY key_col"
+)
+
+
+QUERIES["audit_join_skew"] = audit_join_skew
+ORACLES["audit_join_skew"] = ORACLE_JOIN_SKEW

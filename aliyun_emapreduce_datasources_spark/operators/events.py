@@ -1046,3 +1046,69 @@ ORDER BY day_idx
 
 QUERIES["events_session_concurrency"] = events_session_concurrency
 ORACLES["events_session_concurrency"] = ORACLE_SESSION_CONCURRENCY
+
+
+# --- exact discrete percentiles per event type ------------------------
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) of ``value`` per event
+    type — the latency-SLO readout every monitoring stack derives from
+    event streams. PERCENTILE_DISC semantics, spelled out so both
+    engines agree to the byte: the p-th percentile is the value at
+    1-based rank ``ceil(p·n/100)`` in (value, event_id) order — the
+    integer ceiling is ``(p·n + 99) DIV 100``, and the event_id
+    tie-break only stabilizes row ORDER (equal doubles yield the same
+    value either way), so the selected value is engine-exact.
+
+    Scale shape: ONE window pass (rank within event_type) + one
+    aggregate — the sort is per-type, parallel across types. At 100 TB
+    a per-type full sort is the wrong plan: swap for the two-pass
+    histogram cut (coarse value-bucket counts → exact scan of the one
+    bucket containing each target rank) or t-digest when approximation
+    is acceptable; this exact rank form is the oracle reference those
+    swaps are validated against.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.max(
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("value"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min("value").alias("v_min"),
+            pick(50).alias("p50"),
+            pick(90).alias("p90"),
+            pick(99).alias("p99"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(value) AS v_min,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+       MAX(value) AS v_max
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_value_percentiles"] = events_value_percentiles
+ORACLES["events_value_percentiles"] = ORACLE_VALUE_PERCENTILES

@@ -67,6 +67,7 @@ EMPTY_SAFE = [
     "emb_dim_profile",
     "emb_covariance",
     "emb_abtt_residual_check",
+    "events_value_percentiles",
 ]
 
 
