@@ -28,10 +28,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_audio",
     "attach_fake_media",
+    "attach_fake_video",
     "audio_features",
     "decode_features",
     "frame_sample",
     "resize_media",
+    "video_frame_sample",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -199,6 +201,83 @@ def frame_sample(media: DataFrame, every_n: int = 4, n_frames: int = 16) -> Data
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+# --- video path --------------------------------------------------------
+
+VIDEO_FPS = 8            # frames/second the stub "decoder" emits
+
+
+def attach_fake_video(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """Video twin of attach_fake_media: payload bytes stand in for an
+    MP4 blob; duration_ms is metadata (1–5 s, derived from the id so
+    the per-media frame count VARIES and is oracle-derivable — unlike
+    frame_sample's fixed n_frames, this exercises the variable-length
+    1→N explode a real video decoder produces)."""
+    payload = F.to_binary(F.sha2(F.col(seed_col).cast("string"), 256), F.lit("hex"))
+    meta = F.struct(
+        F.lit("video").alias("modality"),
+        F.lit("mp4").alias("format"),
+        (F.pmod(F.col(id_col), F.lit(64)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col(id_col), F.lit(48)) + 16).cast("int").alias("height"),
+        (F.pmod(F.col(id_col), F.lit(4000)) + 1000).cast("long").alias("duration_ms"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col(seed_col).cast("string"), 256).alias("digest"),
+    )
+    return df.select(F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def video_frame_sample(
+    media: DataFrame, fps: int = VIDEO_FPS, every_n: int = 3
+) -> DataFrame:
+    """Duration-driven frame sampling: the stub "container" holds
+    ``duration_ms × fps / 1000`` frames; every ``every_n``-th one is
+    sampled, each emitting (frame_idx, frame_ts_ms, frame_digest).
+
+    The row count per media VARIES with metadata (8–39 frames at the
+    defaults), so an oracle over ``generate_series`` pins that every
+    media row fanned out to exactly the right frame set — the
+    variable-explode contract a real ffmpeg swap must keep.
+    frame_digest is sha256 over "<payload-digest>:<idx>" (both engines
+    hash the same UTF-8 string), so frame identity is pinned too, not
+    just the counts. Blob bytes stay executor-side; the explode happens
+    inside mapInPandas so no driver materialization at any scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_digest": []}
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                n_total = int(meta["duration_ms"]) * fps // 1000
+                for idx in range(0, n_total, every_n):
+                    digest = hashlib.sha256(
+                        f"{meta['digest']}:{idx}".encode()
+                    ).hexdigest()
+                    rows["media_id"].append(row["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(idx * 1000 // fps)
+                    rows["frame_digest"].append(digest)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(rows["frame_ts_ms"], dtype="int64"),
+                    "frame_digest": pd.Series(rows["frame_digest"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
 
 
 # --- audio path --------------------------------------------------------

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 from aliyun_emapreduce_datasources_spark.multimodal.media import (
     attach_fake_audio,
     attach_fake_media,
+    attach_fake_video,
     audio_features,
     decode_features,
     frame_sample,
+    video_frame_sample,
 )
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
@@ -74,11 +76,45 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → fake video blobs (duration 1–5 s metadata) →
+    duration-driven frame sampling → one row per sampled frame.
+
+    Unlike media_pipeline's fixed-fanout frame check, the frame count
+    here VARIES per media (8–39 frames at 8 fps), and the oracle's
+    generate_series reconstruction pins the exact frame-index set,
+    timestamps, and per-frame digests — so the variable 1→N explode
+    inside mapInPandas (the real video-decode shape) is hash-checked
+    end to end, not just counted."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    video = attach_fake_video(docs, "doc_id", "text")
+    return video_frame_sample(video, fps=8, every_n=3).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# mirrors attach_fake_video metadata (duration_ms = doc_id%4000+1000,
+# FPS=8, n_total = duration*8//1000) and video_frame_sample's
+# every-3rd-frame walk + sha256("<payload-digest>:<idx>") naming.
+ORACLE_VIDEO = """
+SELECT doc_id AS media_id,
+       CAST(gs.f AS INTEGER) AS frame_idx,
+       CAST(gs.f * 1000 // 8 AS BIGINT) AS frame_ts_ms,
+       sha256(sha256(text) || ':' || CAST(gs.f AS VARCHAR)) AS frame_digest
+FROM documents,
+     unnest(generate_series(0, (doc_id % 4000 + 1000) * 8 // 1000 - 1, 3)) AS gs(f)
+WHERE text IS NOT NULL
+ORDER BY media_id, frame_idx
+"""
+
+
 QUERIES = {
     "media_pipeline": media_pipeline,
     "media_audio_features": media_audio_features,
+    "media_video_frames": media_video_frames,
 }
 ORACLES = {
     "media_pipeline": ORACLE_MEDIA,
     "media_audio_features": ORACLE_AUDIO,
+    "media_video_frames": ORACLE_VIDEO,
 }

@@ -147,3 +147,37 @@ def test_audio_features_short_clip_yields_zero_frames(spark, sf_dir):
     assert (out["n_samples"] == 10 * SR // 1000).all()
     assert out["mean_rms"].isna().all()
     assert out["mean_zcr"].isna().all()
+
+
+def test_video_frame_sample_variable_fanout(spark, sf_dir):
+    """Frame count per media follows duration_ms × fps // 1000 walked
+    every 3rd frame; timestamps are exact integer ms; digests are
+    deterministic functions of (payload digest, idx)."""
+    import hashlib
+
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        attach_fake_video,
+        video_frame_sample,
+    )
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).limit(20)
+    video = attach_fake_video(docs, "doc_id", "text")
+    meta = {
+        r["media_id"]: (r["duration_ms"], r["digest"])
+        for r in video.select("media_id", "meta.duration_ms", "meta.digest").collect()
+    }
+    out = video_frame_sample(video, fps=8, every_n=3).toPandas()
+    grouped = out.groupby("media_id")
+    assert set(grouped.groups) == set(meta)
+    for mid, g in grouped:
+        duration_ms, digest = meta[mid]
+        n_total = duration_ms * 8 // 1000
+        expect_idx = list(range(0, n_total, 3))
+        assert sorted(g["frame_idx"]) == expect_idx
+        g = g.sort_values("frame_idx")
+        assert list(g["frame_ts_ms"]) == [i * 1000 // 8 for i in expect_idx]
+        assert list(g["frame_digest"]) == [
+            hashlib.sha256(f"{digest}:{i}".encode()).hexdigest() for i in expect_idx
+        ]
