@@ -78,8 +78,9 @@ def assign_to_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY = assign_to_prototype
 
-ORACLE = """
-WITH exploded AS (
+# CTE chain shared with the prototype-quality join below (appended
+# after another WITH prefix there, hence no leading WITH)
+_ASSIGN_CTES = """exploded AS (
   SELECT vec_id, label,
          CAST(FLOOR(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS qe,
          CAST(i - 1 AS BIGINT) AS dim
@@ -98,11 +99,79 @@ WITH exploded AS (
          CAST(SUM((e.qe - c.qc) * (e.qe - c.qc)) AS BIGINT) AS dist_sq_micro
   FROM exploded e JOIN cent c ON e.dim = c.dim
   GROUP BY e.vec_id, c.label
-)
-SELECT vec_id, label, dist_sq_micro
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq_micro, label) AS rn
-  FROM dist
-)
-WHERE rn = 1
+), assigned AS (
+  SELECT vec_id, label, dist_sq_micro
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq_micro, label) AS rn
+    FROM dist
+  )
+  WHERE rn = 1
+)"""
+
+ORACLE = f"""
+WITH {_ASSIGN_CTES}
+SELECT vec_id, label, dist_sq_micro FROM assigned
 """
+
+
+# --- prototype × quality cross-family join -------------------------------
+
+def emb_quality_by_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level quality profile: join the nearest-prototype
+    assignment (this module) with the Gopher rule verdicts
+    (functions/text.gopher_signals) on vec_id = doc_id, then report
+    per-prototype population, pass count, pass rate, and total squared
+    distance — the readout a cluster-balanced curation run uses to
+    decide WHICH semantic buckets are quality-starved before it
+    rebalances the mix.
+
+    Scale shape: both inputs reduce before joining (assignment is one
+    row per vector, verdicts one per doc), the join key is the table
+    primary key, and the final agg lands on |labels| rows. Determinism:
+    counts are exact ints; keep_rate is the single-division convention.
+    """
+    from aliyun_emapreduce_datasources_spark.functions.text import gopher_signals
+
+    assigned = assign_to_prototype(spark, sf_dir)
+    verdicts = gopher_signals(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "keep")
+    return (
+        assigned.join(verdicts, assigned.vec_id == verdicts.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.sum("dist_sq_micro").cast("long").alias("sum_dist_sq_micro"),
+        )
+        .withColumn(
+            "keep_rate", F.col("n_keep").cast("double") / F.col("n_vecs")
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_quality_by_prototype() -> str:
+    from aliyun_emapreduce_datasources_spark.functions.text import _GOPHER_CTE
+
+    return f"""{_GOPHER_CTE}, {_ASSIGN_CTES},
+verdicts AS (
+  SELECT doc_id,
+         r_word_count AND r_word_len AND r_symbol AND r_alpha AND r_stopwords
+           AS keep
+  FROM rules
+)
+SELECT a.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(a.dist_sq_micro) AS BIGINT) AS sum_dist_sq_micro,
+       CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_rate
+FROM assigned a JOIN verdicts v ON a.vec_id = v.doc_id
+GROUP BY a.label
+ORDER BY a.label
+"""
+
+
+QUERIES = {"emb_quality_by_prototype": emb_quality_by_prototype}
+ORACLES = {"emb_quality_by_prototype": _oracle_quality_by_prototype()}

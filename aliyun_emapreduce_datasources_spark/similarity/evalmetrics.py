@@ -1,0 +1,444 @@
+"""Model-evaluation metrics over the embedding table — the missing
+fourth leg of a training-data pipeline (curate → dedup → mix →
+**evaluate**): exact AUC, per-class precision/recall/F1, top-k
+accuracy, and retrieval MRR@k, all computed distributed and all
+bit-exact against the DuckDB oracle.
+
+Why a "model" with no model: the scorer is a fixed deterministic
+linear probe (integer coefficients derived from a hash mix, applied to
+the micro-quantized embedding — the centroid.py/kmeans.py portable
+quantization). The *metric arithmetic* is the operator under test;
+the probe just has to be reproducible in both engines, exactly, which
+integer dots guarantee (|q| ≤ ~5·10⁵, |coef| ≤ 3, dim 64 ⇒
+|score| ≤ ~1.1·10⁸ ≪ 2⁵³ — exact in int64 AND in double, so DuckDB's
+list_inner_product agrees byte-for-byte).
+
+Determinism recipe (the repo convention): every count/rank/sum stays
+int64 end to end; each metric performs exactly ONE float division at
+the very end (IEEE division of two exactly-representable integers is
+itself exact), so rtol=0 comparison holds.
+
+Scale shapes:
+- AUC: the classic O(n log n) rank-sum form, but computed as
+  (group-by score → ordered prefix sum over DISTINCT scores) — the
+  shuffle is one hash agg; the window runs over |distinct scores|
+  rows (bounded by the score range, not n). At 100 TB the prefix sum
+  runs over a range-partitioned sort of the tiny per-score table.
+- PRF / top-k accuracy: embeddings × 10 classes via a broadcast
+  cross join (no shuffle of the big side), argmax by per-vector
+  window — partitioned by vec_id, so it scales out.
+- MRR@k: reuses the SAME exact-kNN block-cogroup kernel as the
+  label-noise audit (label_noise.exact_knn_topk) — one implementation,
+  several consumers; shuffle carries n·B·k candidate rows, never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aliyun_emapreduce_datasources_spark.similarity.label_noise import (
+    _quantized,
+    exact_knn_topk,
+)
+
+__all__ = [
+    "eval_auc_binary",
+    "eval_class_prf",
+    "eval_mrr_at_k",
+    "eval_topk_accuracy",
+    "QUERIES",
+    "ORACLES",
+]
+
+DIM = 64
+N_CLASSES = 10
+MRR_K = 10
+# lcm(1..10): every reciprocal rank 1/r scales to an exact integer
+RR_SCALE = 2520
+
+_MIX = 2654435761  # Knuth multiplicative-hash constant — public lore
+
+
+def _coef_binary() -> list[int]:
+    """Deterministic probe weights in [-3, 3]."""
+    return [((i * _MIX) % 7) - 3 for i in range(DIM)]
+
+
+def _coef_class(cls: int) -> list[int]:
+    return [(((cls * DIM + i) * _MIX) % 7) - 3 for i in range(DIM)]
+
+
+def _dot(qe_col, coef: list[int]):
+    """Exact integer dot of the quantized embedding with literal
+    coefficients, entirely in JVM expressions (zip_with + aggregate —
+    no UDF)."""
+    arr = F.array(*[F.lit(c).cast("long") for c in coef])
+    return F.aggregate(
+        F.zip_with(qe_col, arr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_list(coef: list[int]) -> str:
+    return "[" + ", ".join(str(c) for c in coef) + "]::BIGINT[]"
+
+
+# --- binary AUC ---------------------------------------------------------
+
+def eval_auc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the linear probe against the binary target
+    label >= 5, via the rank-sum identity with full tie handling:
+
+        AUC = [ #(s_pos > s_neg) + ½·#(s_pos = s_neg) ] / (n_pos·n_neg)
+
+    computed as one hash-agg per distinct score then an ordered prefix
+    sum: num2 = Σ_s np_s·(2·cum_nn_below(s) + nn_s) (doubled to stay
+    integral), AUC = num2 / (2·n_pos·n_neg). Single float division at
+    the end — bit-exact vs the oracle."""
+    scored = _quantized(spark, sf_dir).select(
+        _dot(F.col("qe"), _coef_binary()).alias("s"),
+        F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    with_cum = per_score.withColumn(
+        "cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long")
+    )
+    agg = with_cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (F.lit(2) * F.col("cum_nn") + F.col("nn")))
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auc"),
+    )
+
+
+def _oracle_auc() -> str:
+    return f"""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), scored AS (
+  SELECT CAST(list_inner_product(qe, {_sql_list(_coef_binary())}) AS BIGINT) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM q
+), g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+  FROM scored GROUP BY s
+), c AS (
+  SELECT *,
+         COALESCE(CAST(SUM(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS cum_nn
+  FROM g
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS auc_num2,
+       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+            THEN CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
+                 / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS BIGINT))
+            ELSE 0.0 END AS auc
+FROM c
+"""
+
+
+# --- multiclass argmax probe: shared scored/pred builders ---------------
+
+def _class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cls, score, rn): per-class probe scores with the
+    per-vector rank (score desc, cls asc tie-break → rn=1 is argmax)."""
+    classes = spark.createDataFrame(
+        [(c, _coef_class(c)) for c in range(N_CLASSES)],
+        "cls int, coef array<long>",
+    )
+    scored = _quantized(spark, sf_dir).crossJoin(F.broadcast(classes)).select(
+        "vec_id",
+        "label",
+        "cls",
+        F.aggregate(
+            F.zip_with("qe", "coef", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cls"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _oracle_class_scores() -> str:
+    values = ",\n         ".join(
+        f"({c}, {_sql_list(_coef_class(c))})" for c in range(N_CLASSES)
+    )
+    return f"""
+q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), cls AS (
+  SELECT * FROM (VALUES {values}) AS t(cls, coef)
+), scored AS (
+  SELECT q.vec_id, q.label, cls.cls,
+         CAST(list_inner_product(q.qe, cls.coef) AS BIGINT) AS score
+  FROM q, cls
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cls) AS rn
+  FROM scored
+)"""
+
+
+def eval_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion accounting of the argmax probe: tp / fp /
+    fn as exact counts plus precision / recall / F1 (one guarded float
+    division each).
+
+    Single-pass shape: each prediction row explodes into a truth-side
+    contribution (n_true, tp) and a prediction-side one (n_pred), so
+    BOTH margins of the confusion matrix come out of ONE scan + ONE
+    hash agg — no self-join diamond recomputing the probe subtree per
+    margin (the naive by_true ⋈ by_pred form scans embeddings twice
+    and joins two 10-row tables with a shuffle)."""
+    pred = (
+        _class_scores(spark, sf_dir)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cls").alias("pred"))
+    )
+    contrib = pred.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("label").cast("int").alias("class_id"),
+                    F.lit(1).alias("n_true_part"),
+                    F.when(F.col("pred") == F.col("label"), 1)
+                    .otherwise(0)
+                    .alias("tp_part"),
+                    F.lit(0).alias("n_pred_part"),
+                ),
+                F.struct(
+                    F.col("pred").cast("int").alias("class_id"),
+                    F.lit(0).alias("n_true_part"),
+                    F.lit(0).alias("tp_part"),
+                    F.lit(1).alias("n_pred_part"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    joined = (
+        contrib.groupBy("class_id")
+        .agg(
+            F.sum("n_true_part").cast("long").alias("n_true"),
+            F.sum("tp_part").cast("long").alias("tp"),
+            F.sum("n_pred_part").cast("long").alias("n_pred"),
+        )
+        .where(F.col("n_true") > 0)  # margins: report label-present classes
+        .select(
+            "class_id",
+            "n_true",
+            "tp",
+            (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n_true") - F.col("tp")).cast("long").alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp").cast("double") / F.col("n_true")
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        (F.lit(2) * F.col("tp")).cast("double")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "class_id",
+        "n_true",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy("class_id")
+
+
+def _oracle_prf() -> str:
+    return f"""
+WITH {_oracle_class_scores()},
+pred AS (
+  SELECT vec_id, label, cls AS pred FROM ranked WHERE rn = 1
+), by_true AS (
+  SELECT label AS class_id,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM pred GROUP BY label
+), by_pred AS (
+  SELECT pred AS class_id, CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM pred GROUP BY pred
+)
+SELECT t.class_id,
+       t.n_true,
+       t.tp,
+       CAST(COALESCE(p.n_pred, 0) - t.tp AS BIGINT) AS fp,
+       CAST(t.n_true - t.tp AS BIGINT) AS fn,
+       CASE WHEN COALESCE(p.n_pred, 0) > 0
+            THEN CAST(t.tp AS DOUBLE) / COALESCE(p.n_pred, 0)
+            ELSE 0.0 END AS precision,
+       CAST(t.tp AS DOUBLE) / t.n_true AS recall,
+       CASE WHEN COALESCE(p.n_pred, 0) + t.n_true > 0
+            THEN CAST(2 * t.tp AS DOUBLE)
+                 / (COALESCE(p.n_pred, 0) + t.n_true)
+            ELSE 0.0 END AS f1
+FROM by_true t LEFT JOIN by_pred p USING (class_id)
+ORDER BY class_id
+"""
+
+
+def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class top-1 / top-3 accuracy of the argmax probe: the rank
+    of the TRUE class among the 10 per-class scores (rn where
+    cls = label), hit counts as exact ints, accuracies as single
+    divisions."""
+    rank_true = (
+        _class_scores(spark, sf_dir)
+        .where(F.col("cls") == F.col("label"))
+        .select(F.col("label").alias("class_id"), "rn")
+    )
+    agg = rank_true.groupBy("class_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("top1_hits"),
+        F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).cast("long").alias("top3_hits"),
+    )
+    return agg.select(
+        "class_id",
+        "n",
+        "top1_hits",
+        "top3_hits",
+        (F.col("top1_hits").cast("double") / F.col("n")).alias("acc_top1"),
+        (F.col("top3_hits").cast("double") / F.col("n")).alias("acc_top3"),
+    ).orderBy("class_id")
+
+
+def _oracle_topk() -> str:
+    return f"""
+WITH {_oracle_class_scores()}
+SELECT label AS class_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS top3_hits,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc_top1,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc_top3
+FROM ranked
+WHERE cls = label
+GROUP BY label
+ORDER BY class_id
+"""
+
+
+# --- retrieval MRR@k -----------------------------------------------------
+
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label retrieval MRR@10 with same-label = relevant: for each
+    query vector, the reciprocal rank of the first same-label neighbor
+    in its exact top-10 (integer-dot, label_noise.exact_knn_topk),
+    scaled by lcm(1..10)=2520 so every 1/r is an exact integer;
+    queries with no hit contribute 0. One float division per label at
+    the end."""
+    topk = exact_knn_topk(spark, sf_dir, k=MRR_K)
+    hits = (
+        topk.where(F.col("nbr_label") == F.col("label"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("rn").alias("first_hit"))
+        .select(
+            "label",
+            F.expr(f"{RR_SCALE} div first_hit").cast("long").alias("rr"),
+        )
+    )
+    per_label_rr = hits.groupBy("label").agg(
+        F.sum("rr").cast("long").alias("sum_rr_x2520")
+    )
+    totals = _quantized(spark, sf_dir).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return (
+        totals.join(per_label_rr, "label", "left")
+        .select(
+            "label",
+            "n_queries",
+            F.coalesce(F.col("sum_rr_x2520"), F.lit(0).cast("long")).alias(
+                "sum_rr_x2520"
+            ),
+            (
+                F.coalesce(F.col("sum_rr_x2520"), F.lit(0)).cast("double")
+                / (F.lit(float(RR_SCALE)) * F.col("n_queries"))
+            ).alias("mrr"),
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_mrr() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS i, a.label AS la, b.vec_id AS nbr, b.label AS lb,
+         CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS dot
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dot DESC, nbr) AS rn
+  FROM pairs
+), hits AS (
+  SELECT i, la AS label, {RR_SCALE} // MIN(rn) AS rr
+  FROM topk WHERE rn <= {MRR_K} AND lb = la
+  GROUP BY i, la
+), per_label AS (
+  SELECT label, CAST(SUM(rr) AS BIGINT) AS sum_rr_x2520 FROM hits GROUP BY label
+), totals AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings GROUP BY label
+)
+SELECT CAST(t.label AS INTEGER) AS label,
+       t.n_queries,
+       COALESCE(p.sum_rr_x2520, 0) AS sum_rr_x2520,
+       CAST(COALESCE(p.sum_rr_x2520, 0) AS DOUBLE)
+         / ({float(RR_SCALE)} * t.n_queries) AS mrr
+FROM totals t LEFT JOIN per_label p USING (label)
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "eval_auc_binary": eval_auc_binary,
+    "eval_class_prf": eval_class_prf,
+    "eval_topk_accuracy": eval_topk_accuracy,
+    "eval_mrr_at_k": eval_mrr_at_k,
+}
+ORACLES = {
+    "eval_auc_binary": _oracle_auc(),
+    "eval_class_prf": _oracle_prf(),
+    "eval_topk_accuracy": _oracle_topk(),
+    "eval_mrr_at_k": _oracle_mrr(),
+}

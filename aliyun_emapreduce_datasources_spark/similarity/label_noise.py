@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
-__all__ = ["emb_label_noise_knn", "QUERIES", "ORACLES"]
+__all__ = ["emb_label_noise_knn", "exact_knn_topk", "QUERIES", "ORACLES"]
 
 K_NN = 5
 N_BLOCKS = 8
@@ -65,11 +65,15 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_label_noise_knn(
+def exact_knn_topk(
     spark: SparkSession, sf_dir: str, k: int = K_NN, n_blocks: int = N_BLOCKS
 ) -> DataFrame:
-    """(vec_id, label, n_same, is_noisy): exact top-`k` integer-dot
-    neighbors, neighbor-label agreement count, strict-minority flag."""
+    """(vec_id, label, nbr, nbr_label, dot, rn): exact top-`k`
+    integer-dot neighbors per vector with their 1-based rank
+    (dot desc, nbr asc tie-break, self excluded). Shared kernel for
+    the label-noise audit and the retrieval-eval metrics
+    (similarity/evalmetrics.py) — one block-cogroup implementation,
+    several consumers."""
 
     # ONE scan+quantize feeds both cogroup sides (localCheckpoint —
     # without it each side re-reads and re-quantizes the table); the
@@ -150,7 +154,15 @@ def emb_label_noise_knn(
         .applyInPandas(partial_topk, _CAND_SCHEMA)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("nbr"))
-    topk = cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def emb_label_noise_knn(
+    spark: SparkSession, sf_dir: str, k: int = K_NN, n_blocks: int = N_BLOCKS
+) -> DataFrame:
+    """(vec_id, label, n_same, is_noisy): exact top-`k` integer-dot
+    neighbors, neighbor-label agreement count, strict-minority flag."""
+    topk = exact_knn_topk(spark, sf_dir, k, n_blocks)
     return (
         topk.groupBy("vec_id", "label")
         .agg(

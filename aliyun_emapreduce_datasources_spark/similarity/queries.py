@@ -7,6 +7,7 @@ from aliyun_emapreduce_datasources_spark.similarity import (
     bitext,
     covariance,
     dimstats,
+    evalmetrics,
     properties,
     bruteforce,
     centroid,
@@ -29,8 +30,10 @@ QUERIES = {
     "emb_assign_prototype": assign.QUERY,
     "emb_contrastive_triplets": triplets.QUERY,
     "emb_dim_profile": dimstats.QUERY,
+    **assign.QUERIES,
     **bitext.QUERIES,
     **covariance.QUERIES,
+    **evalmetrics.QUERIES,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
     **properties.QUERIES,
@@ -45,8 +48,10 @@ ORACLES = {
     "emb_assign_prototype": assign.ORACLE,
     "emb_contrastive_triplets": triplets.ORACLE,
     "emb_dim_profile": dimstats.ORACLE,
+    **assign.ORACLES,
     **bitext.ORACLES,
     **covariance.ORACLES,
+    **evalmetrics.ORACLES,
     **kmeans.ORACLES,
     **label_noise.ORACLES,
     **properties.ORACLES,

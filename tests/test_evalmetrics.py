@@ -1,0 +1,119 @@
+"""Independent numpy recomputation of the eval-metrics family.
+
+The DuckDB parity test pins Spark==oracle; these tests pin both
+against a third, formula-level implementation (naive pairwise AUC,
+dense-matmul argmax, full O(n²) retrieval walk) so a shared
+misreading of the metric definition can't slip through two engines
+that agree with each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+    MRR_K,
+    N_CLASSES,
+    RR_SCALE,
+    _coef_binary,
+    _coef_class,
+    eval_auc_binary,
+    eval_class_prf,
+    eval_mrr_at_k,
+    eval_topk_accuracy,
+)
+
+
+@pytest.fixture(scope="module")
+def ql(spark, sf_dir):
+    """(quantized int64 matrix, labels, vec_ids) straight from parquet."""
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    q = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    return q, labels, ids
+
+
+def test_auc_matches_naive_pairwise(spark, sf_dir, ql):
+    q, labels, _ = ql
+    s = q @ np.array(_coef_binary(), dtype=np.int64)
+    y = labels >= 5
+    pos, neg = s[y], s[~y]
+    # O(n_pos·n_neg) literal definition
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    expect = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    row = eval_auc_binary(spark, sf_dir).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc_num2"] == 2 * gt + eq
+    assert row["auc"] == pytest.approx(expect, abs=0, rel=0)
+
+
+def test_prf_matches_dense_argmax(spark, sf_dir, ql):
+    q, labels, _ = ql
+    coef = np.array([_coef_class(c) for c in range(N_CLASSES)], dtype=np.int64)
+    scores = q @ coef.T                      # (n, 10) exact int64
+    # argmax with smaller-class tie-break == np.argmax (first max wins)
+    pred = scores.argmax(axis=1)
+    out = {r["class_id"]: r for r in eval_class_prf(spark, sf_dir).collect()}
+    assert set(out) == set(np.unique(labels).tolist())
+    for c in out:
+        tp = int(((pred == c) & (labels == c)).sum())
+        fp = int(((pred == c) & (labels != c)).sum())
+        fn = int(((pred != c) & (labels == c)).sum())
+        r = out[c]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["n_true"] == tp + fn
+        assert r["precision"] == (tp / (tp + fp) if tp + fp else 0.0)
+        assert r["recall"] == tp / (tp + fn)
+        assert r["f1"] == (2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0)
+    # micro consistency: every vector predicted exactly once
+    assert sum(r["tp"] + r["fn"] for r in out.values()) == len(labels)
+
+
+def test_topk_accuracy_matches_dense_rank(spark, sf_dir, ql):
+    q, labels, _ = ql
+    coef = np.array([_coef_class(c) for c in range(N_CLASSES)], dtype=np.int64)
+    scores = q @ coef.T
+    # rank of the true class under (score desc, cls asc): stable sort
+    # of -score keeps the smaller class first on ties
+    order = np.argsort(-scores, axis=1, kind="stable")
+    rank_true = (order == labels[:, None]).argmax(axis=1) + 1
+    out = {r["class_id"]: r for r in eval_topk_accuracy(spark, sf_dir).collect()}
+    for c in out:
+        mask = labels == c
+        assert out[c]["n"] == int(mask.sum())
+        assert out[c]["top1_hits"] == int((rank_true[mask] == 1).sum())
+        assert out[c]["top3_hits"] == int((rank_true[mask] <= 3).sum())
+        assert out[c]["acc_top1"] == out[c]["top1_hits"] / out[c]["n"]
+        assert out[c]["acc_top3"] == out[c]["top3_hits"] / out[c]["n"]
+
+
+def test_mrr_matches_full_walk(spark, sf_dir, ql):
+    q, labels, ids = ql
+    dots = q @ q.T
+    n = len(ids)
+    sum_rr = {int(c): 0 for c in np.unique(labels)}
+    n_q = {int(c): 0 for c in np.unique(labels)}
+    for i in range(n):
+        order = np.lexsort((ids, -dots[i]))
+        order = order[ids[order] != ids[i]][:MRR_K]
+        n_q[int(labels[i])] += 1
+        for rank, j in enumerate(order, start=1):
+            if labels[j] == labels[i]:
+                sum_rr[int(labels[i])] += RR_SCALE // rank
+                break
+    out = {r["label"]: r for r in eval_mrr_at_k(spark, sf_dir).collect()}
+    assert set(out) == set(sum_rr)
+    for c in out:
+        assert out[c]["n_queries"] == n_q[c]
+        assert out[c]["sum_rr_x2520"] == sum_rr[c]
+        assert out[c]["mrr"] == sum_rr[c] / (RR_SCALE * n_q[c])

@@ -45,6 +45,7 @@ ENTRIES = [
     "graph_pagerank",  # iterative with localCheckpoint
     "dedup_semantic",  # per-cluster greedy prune
     "emb_label_noise_knn",  # block cogroup + global top-k window
+    "eval_mrr_at_k",  # same kernel, first-hit rank consumer
     # round-4 entries whose window running sums have duplicate-key
     # ties — the classic place a partition-count change reorders rows
     "events_sessionize",
