@@ -763,23 +763,12 @@ MIN_ALPHA_RATIO = 0.8
 MIN_STOP_HITS = 2
 
 
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher quality-rule table (Rae et al. 2021,
-    Appendix A — the standard rule-based pre-filter run before any
-    model-based quality scoring): word count in [50, 100k], mean word
-    length in [3, 10], symbol-to-word ratio ('#' and '...') <= 0.1,
-    >= 80% of words contain a letter, and >= 2 distinct required
-    stopwords present. Emits each measured signal, each rule verdict,
-    and the conjunctive ``keep`` flag, so downstream mixes can both
-    filter on ``keep`` and audit WHICH rule rejected a document.
-
-    Every signal is a built-in JVM expression over one projection —
-    no UDFs, no shuffle at all (the plan is scan → project), so at
-    100 TB this runs at parquet scan speed and the filter pushes into
-    the scan when composed. Ratios are guarded to 0.0 on empty docs
-    (ANSI-safe), so the output is NULL-free by construction.
-    """
-    docs = t(spark, sf_dir, "documents")
+def gopher_signals(docs: DataFrame) -> DataFrame:
+    """Stateless signal/verdict projection behind gopher_rules —
+    DataFrame-in/DataFrame-out (needs doc_id + text) and free of
+    sorts, so the SAME expression tree runs under readStream
+    unchanged (streaming twin: tests/test_streaming.py); the catalog
+    wrapper adds the presentation orderBy batch-side only."""
     tok = tokens("text")
     n_words = F.size(tok)
     nz = n_words > F.lit(0)
@@ -829,12 +818,33 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("r_symbol")
         & F.col("r_alpha")
         & F.col("r_stopwords"),
-    ).orderBy("doc_id")
+    )
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality-rule table (Rae et al. 2021,
+    Appendix A — the standard rule-based pre-filter run before any
+    model-based quality scoring): word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio ('#' and '...') <= 0.1,
+    >= 80% of words contain a letter, and >= 2 distinct required
+    stopwords present. Emits each measured signal, each rule verdict,
+    and the conjunctive ``keep`` flag, so downstream mixes can both
+    filter on ``keep`` and audit WHICH rule rejected a document.
+
+    Every signal is a built-in JVM expression over one projection —
+    no UDFs, no shuffle at all (the plan is scan → project), so at
+    100 TB this runs at parquet scan speed and the filter pushes into
+    the scan when composed. Ratios are guarded to 0.0 on empty docs
+    (ANSI-safe), so the output is NULL-free by construction.
+    """
+    return gopher_signals(t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 _O_GSTOP = "['" + "','".join(GOPHER_STOPWORDS) + "']"
 
-ORACLE_GOPHER = f"""
+# shared CTE prefix: per-doc signals + rule verdicts, reused verbatim
+# by ORACLE_GOPHER and the filter-funnel oracle below
+_GOPHER_CTE = f"""
 WITH sig AS (
   SELECT doc_id,
          CAST(len({_O_TOK}) AS BIGINT) AS n_words,
@@ -863,7 +873,9 @@ WITH sig AS (
          alpha_ratio >= {MIN_ALPHA_RATIO} AS r_alpha,
          stop_hits >= {MIN_STOP_HITS} AS r_stopwords
   FROM sig
-)
+)"""
+
+ORACLE_GOPHER = f"""{_GOPHER_CTE}
 SELECT *,
        r_word_count AND r_word_len AND r_symbol AND r_alpha AND r_stopwords
          AS keep
@@ -873,6 +885,143 @@ ORDER BY doc_id
 
 QUERIES["text_gopher_rules"] = gopher_rules
 ORACLES["text_gopher_rules"] = ORACLE_GOPHER
+
+
+# --- filter-funnel attribution ------------------------------------------
+
+# evaluation order of the cascade — attribution goes to the FIRST
+# failing rule, mirroring how a real pipeline short-circuits
+FUNNEL_STAGES = (
+    ("word_count", "r_word_count"),
+    ("word_len", "r_word_len"),
+    ("symbol", "r_symbol"),
+    ("alpha", "r_alpha"),
+    ("stopwords", "r_stopwords"),
+)
+
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-funnel report over the Gopher cascade: every document
+    attributed to the FIRST rule that rejects it (or 'pass'), with
+    counts and corpus shares — the ops dashboard that tells a curation
+    team WHICH filter is eating their tokens before they re-tune
+    thresholds. Same stateless signal projection as text_gopher_rules;
+    the funnel adds one 6-group agg and a 6-row share window."""
+    sig = gopher_signals(t(spark, sf_dir, "documents"))
+    stage = F.lit("pass")
+    stage_ord = F.lit(len(FUNNEL_STAGES) + 1)
+    for i, (name, col) in reversed(list(enumerate(FUNNEL_STAGES, start=1))):
+        stage = F.when(~F.col(col), F.lit(name)).otherwise(stage)
+        stage_ord = F.when(~F.col(col), F.lit(i)).otherwise(stage_ord)
+    g = sig.select(
+        stage_ord.cast("int").alias("stage_ord"), stage.alias("stage")
+    ).groupBy("stage_ord", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        g.withColumn("share", F.col("n").cast("double") / total)
+        .orderBy("stage_ord")
+    )
+
+
+_FUNNEL_STAGE_CASE = " ".join(
+    f"WHEN NOT {col} THEN '{name}'" for name, col in FUNNEL_STAGES
+)
+_FUNNEL_ORD_CASE = " ".join(
+    f"WHEN NOT {col} THEN {i}" for i, (_, col) in enumerate(FUNNEL_STAGES, start=1)
+)
+
+ORACLE_FUNNEL_TEXT = f"""{_GOPHER_CTE},
+staged AS (
+  SELECT CAST(CASE {_FUNNEL_ORD_CASE} ELSE {len(FUNNEL_STAGES) + 1} END AS INTEGER)
+           AS stage_ord,
+         CASE {_FUNNEL_STAGE_CASE} ELSE 'pass' END AS stage
+  FROM rules
+), g AS (
+  SELECT stage_ord, stage, CAST(COUNT(*) AS BIGINT) AS n
+  FROM staged GROUP BY stage_ord, stage
+)
+SELECT stage_ord, stage, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share
+FROM g ORDER BY stage_ord
+"""
+
+QUERIES["text_filter_funnel"] = filter_funnel
+ORACLES["text_filter_funnel"] = ORACLE_FUNNEL_TEXT
+
+
+# --- vocabulary coverage curve ------------------------------------------
+
+# real corpora sweep 1e4–1e5; the driver's synthetic vocabulary is
+# ~31 types, so the shipped cutoffs sit inside it to keep the curve
+# non-degenerate (coverage strictly between head-share and 1.0)
+COVERAGE_KS = (5, 10, 20)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design readout: what fraction of all token
+    OCCURRENCES a top-k vocabulary covers (k = 100 / 1k / 10k, ranked
+    by frequency, ties broken lexically). The Zipf head-mass curve
+    that decides vocab size before a BPE train — complements
+    text_vocab_topk (which lists the head) with the cumulative mass a
+    cutoff keeps.
+
+    Scale shape: one explode→hash-agg onto the vocabulary (bounded by
+    |vocab|, not corpus size), one rank window over the vocab table,
+    then a broadcast ×3 fan-out and a 3-group agg. The corpus-sized
+    explode has map-side partial counts; nothing corpus-sized ever
+    sorts."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn(
+            "coverage",
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tk AS (
+  SELECT unnest({_O_TOK}) AS token FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY token
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM c
+), ks AS (
+  SELECT * FROM (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) t(k)
+)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rank <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST(SUM(CASE WHEN rank <= k THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS BIGINT) AS coverage
+FROM r, ks
+GROUP BY k ORDER BY k
+"""
+
+QUERIES["text_vocab_coverage"] = vocab_coverage
+ORACLES["text_vocab_coverage"] = ORACLE_VOCAB_COVERAGE
 
 
 # --- trigram novelty (corpus-uniqueness score) ------------------------

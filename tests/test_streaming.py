@@ -659,3 +659,37 @@ def test_executor_sink_partition_task_retry_is_idempotent(spark, tmp_path):
     spark.sparkContext.parallelize([0], 1).foreachPartition(run_twice)
     got = sorted(int(v[0]) for v in sink.read_all())
     assert got == list(range(20)), got
+
+
+def test_streaming_gopher_rules_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of the Gopher quality pre-filter: the SAME
+    gopher_signals expression tree (stateless scan→project, no sort,
+    no state) applied to a chunked document stream in append mode
+    yields row-for-row the batch answer — the shape of rule-filtering
+    ON INGEST, where quality verdicts attach before a doc ever lands
+    in the lake."""
+    import json as _json
+
+    from aliyun_emapreduce_datasources_spark.functions.text import gopher_signals
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    src = tmp_path / "docstream"
+    src.mkdir()
+    chunk_size = (len(docs) + 3) // 4
+    for chunk in range(4):
+        with open(src / f"c{chunk}.jsonl", "w") as fh:
+            for r in docs[chunk * chunk_size : (chunk + 1) * chunk_size]:
+                fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    name = _run_to_memory(gopher_signals(stream), "append")
+    got = spark.table(name).orderBy("doc_id").collect()
+    want = gopher_signals(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id").collect()
+    assert len(got) == len(want) == len(docs)
+    assert got == want
