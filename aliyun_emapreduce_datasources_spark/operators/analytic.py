@@ -1612,3 +1612,138 @@ ORACLE_JOIN_SKEW = (
 
 QUERIES["audit_join_skew"] = audit_join_skew
 ORACLES["audit_join_skew"] = ORACLE_JOIN_SKEW
+
+
+# --- Benford first-digit audit ------------------------------------------
+
+# log10(1 + 1/d), embedded as IDENTICAL double literals in the Spark
+# plan and the oracle SQL (computed once here, repr-roundtripped), so
+# the delta column is an exact subtraction of identical inputs in both
+# engines — no engine-side transcendental evaluation anywhere.
+import math as _math
+
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values vs
+    Benford's law — the classic synthetic-data / fraud / unit-mixup
+    audit (a corpus whose amounts were generated, duplicated, or
+    re-scaled drifts from the law). Values go to integer cents with
+    ONE IEEE multiply + floor (exact and engine-identical), and the
+    first digit is taken from the integer's decimal string — no
+    log10/pow on the data path, so digits can never flip on a
+    last-ulp boundary.
+
+    Scale shape: scan → project → 9-group hash agg with map-side
+    partials; the share window runs over 9 rows. Nothing else moves.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("value") > 0)
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    benford = F.create_map(
+        *[x for d, p in BENFORD_P.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("digit")]
+    return (
+        g.withColumn("share", F.col("n").cast("double") / total)
+        .withColumn("benford_p", benford)
+        .withColumn("delta", F.col("share") - F.col("benford_p"))
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items()
+)
+
+ORACLE_BENFORD = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(value * 100.0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM events WHERE value > 0
+), g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+), s AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share,
+         CASE digit {_BENFORD_CASE} END AS benford_p
+  FROM g
+)
+SELECT digit, n, share, benford_p, share - benford_p AS delta
+FROM s ORDER BY digit
+"""
+
+QUERIES["audit_benford"] = audit_benford
+ORACLES["audit_benford"] = ORACLE_BENFORD
+
+
+# --- token-budget inequality (Gini) --------------------------------------
+
+def audit_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document token counts — the
+    inequality audit of a corpus mix: a source whose token budget is
+    concentrated in a few huge documents (gini → 1) behaves very
+    differently under per-document sampling than an even one
+    (gini → 0), so mixture designers read this before setting
+    per-source caps (cf. per_source_cap / mix_* family).
+
+    Exact-arithmetic form: with per-doc counts x sorted ascending and
+    1-based rank i, G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — every term an
+    int64, ONE final float division. Rank ties (equal x) permute only
+    equal values, so Σi·x_i is tie-order invariant and the result is
+    engine-exact without any tie-break column.
+
+    Scale shape: one per-source sort window (parallel across sources)
+    + one agg onto |sources| rows."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", F.size(F.split(F.col("text"), " ")).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    ranked = docs.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"),
+    )
+    gini = F.when(
+        F.col("total_tokens") > 0,
+        (F.lit(2) * F.col("s1") - (F.col("n_docs") + 1) * F.col("total_tokens"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("total_tokens")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source", "n_docs", "total_tokens", gini.alias("gini")
+    ).orderBy("source")
+
+
+ORACLE_TOKEN_GINI = """
+WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT source, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS i
+  FROM d
+), g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS total_tokens,
+         CAST(SUM(i * x) AS BIGINT) AS s1
+  FROM r GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CASE WHEN total_tokens > 0
+            THEN CAST(2 * s1 - (n_docs + 1) * total_tokens AS DOUBLE)
+                 / (n_docs * total_tokens)
+            ELSE 0.0 END AS gini
+FROM g ORDER BY source
+"""
+
+QUERIES["audit_token_gini"] = audit_token_gini
+ORACLES["audit_token_gini"] = ORACLE_TOKEN_GINI

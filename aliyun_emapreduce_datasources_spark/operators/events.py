@@ -440,7 +440,140 @@ ORDER BY s.user_id, hour
 """
 
 
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU and rolling 7-day WAU (distinct users active in the
+    trailing week) — the canonical engagement health metric. Distinct
+    counts can't ride a plain window frame (COUNT(DISTINCT) OVER a
+    range is unsupported and wrong under re-visits), so the standard
+    distributed form is used: dedupe to (user, day) pairs FIRST, then
+    a bounded range join fans each pair to the ≤7 window days it
+    serves, and the distinct-count happens per window day.
+
+    Scale shape: the dedupe is one hash agg with map-side partials
+    (output bounded by users × days, not events); the fan-out is
+    exactly 7× on the already-tiny pair set; the final agg shuffles on
+    day. No event-grain shuffle anywhere — at 100 TB the pair table is
+    the only thing that moves.
+    """
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()  # one scan+dedupe feeds spine, DAU and the fan-out
+    )
+    spine = pairs.select("day").distinct()
+    wau = (
+        spine.alias("d")
+        .join(
+            pairs.alias("p"),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").cast("long").alias("wau7"))
+    )
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(F.col("day").cast("string").alias("day"), "dau", "wau7")
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), spine AS (
+  SELECT DISTINCT day FROM pairs
+), wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau7
+  FROM spine d JOIN pairs p
+    ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+), dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM pairs GROUP BY day
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau7
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time distribution (exact p50/p90/p99 in
+    integer microseconds) — the event-rate health readout that feeds
+    watermark sizing (streaming/windows.py) and anomaly thresholds: a
+    p99 gap tells you how late "normal" can be before it's an outage.
+
+    Gaps are int64 microsecond diffs of (ts, event_id)-ordered rows;
+    the percentile is PERCENTILE_DISC at 1-based rank
+    ``(p·n + 99) DIV 100`` (events_value_percentiles convention) —
+    everything integer end to end, no float anywhere.
+
+    Scale shape: two window passes over the same per-type partitioning
+    (lag, then rank — one shuffle, the second window reuses the sort)
+    + one agg onto |event_types| rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    wg = Window.partitionBy("event_type").orderBy("gap")
+    ranked = gaps.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.max(
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("gap"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            pick(50).cast("long").alias("p50_us"),
+            pick(90).cast("long").alias("p90_us"),
+            pick(99).cast("long").alias("p99_us"),
+            F.max("gap").cast("long").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+), gaps AS (
+  SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL
+), r AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN gap END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN gap END) AS BIGINT) AS p90_us,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap END) AS BIGINT) AS p99_us,
+       CAST(MAX(gap) AS BIGINT) AS max_us
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_rolling_wau": events_rolling_wau,
+    "events_interarrival_stats": events_interarrival_stats,
     "events_attribution": events_attribution,
     "events_resample_hourly": events_resample_hourly,
     "events_funnel": events_funnel,
@@ -452,6 +585,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_wau": ORACLE_ROLLING_WAU,
+    "events_interarrival_stats": ORACLE_INTERARRIVAL,
     "events_attribution": ORACLE_ATTRIBUTION,
     "events_resample_hourly": ORACLE_RESAMPLE,
     "events_funnel": ORACLE_FUNNEL,
@@ -1069,7 +1204,15 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is acceptable; this exact rank form is the oracle reference those
     swaps are validated against.
     """
-    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # NULL values are excluded OUTRIGHT (not ranked): Spark windows
+    # default NULLS FIRST, DuckDB NULLS LAST, so a NULL reaching the
+    # rank walk silently shifts every percentile — the null-robustness
+    # suite caught exactly that
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
@@ -1097,6 +1240,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n,

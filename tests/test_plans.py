@@ -485,3 +485,55 @@ def test_simhash_bits_check_semi_joins_members_before_refingerprint(
     plan = plan_of(QUERIES["dedup_simhash_bits_check"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "MapInPandas" in plan
+
+
+def test_eval_class_scores_broadcast_cross_join(spark, sf_dir):
+    """The 10-class probe fan-out must ride a broadcast (classes are
+    bytes), never a shuffle of the embedding side — and the confusion
+    margins must come from ONE pass (no self-join diamond scanning
+    embeddings twice)."""
+    plan = plan_of(QUERIES["eval_class_prf"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # embeddings once (+ formatted dup section)
+    plan_s = plan_of(QUERIES["eval_class_prf"](spark, sf_dir), mode="simple")
+    assert plan_s.count("FileScan") == 1, "embeddings must be scanned once"
+
+
+def test_eval_auc_is_join_free_with_partial_agg(spark, sf_dir):
+    """AUC = hash agg per score + one tiny window: no join anywhere,
+    map-side partials on the score agg."""
+    plan = plan_of(QUERIES["eval_auc_binary"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_vocab_coverage_broadcasts_k_table(spark, sf_dir):
+    """The ×3 k fan-out is a broadcast of the 3-row k table; the
+    corpus-sized explode aggregates with map-side partials first."""
+    plan = plan_of(QUERIES["text_vocab_coverage"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_benford_is_single_scan_no_join(spark, sf_dir):
+    plan = plan_of(QUERIES["audit_benford"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
+
+
+def test_rolling_wau_joins_deduped_pairs_not_events(spark, sf_dir):
+    """The range join's inputs must be the (user, day) pair table and
+    the day spine — both post-aggregation — never raw event rows: the
+    plan has aggregates BELOW the join."""
+    plan = plan_of(QUERIES["events_rolling_wau"](spark, sf_dir), mode="simple")
+    ji = plan.index("Join")
+    assert "HashAggregate" in plan[ji:], "join inputs must be pre-aggregated"
+
+
+def test_quality_by_prototype_single_key_join(spark, sf_dir):
+    """Cross-family join runs on the primary key with reduced inputs —
+    hash or broadcast, never a cartesian."""
+    plan = plan_of(QUERIES["emb_quality_by_prototype"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
