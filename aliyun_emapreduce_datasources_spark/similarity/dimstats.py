@@ -89,3 +89,61 @@ SELECT dim, n,
 FROM agg
 ORDER BY dim
 """
+
+
+# --- norm histogram (retrieval/quantization pre-flight) -----------------
+
+
+def emb_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of squared embedding norms in integer micro² units —
+    the pre-flight QC before choosing dot-product vs cosine retrieval
+    (a wide norm spread makes raw dot ranking norm-dominated) and
+    before PQ/int8 codebook training (norm outliers blow up
+    quantization error: ann_int8/ann_pq family).
+
+    norm²_micro = Σ q_i² with q = floor(double(x)·1e6) — exact int64
+    (≤ 64·(5.3e5)² ≈ 1.8e13 ≪ 2⁶³); buckets are norm²_micro DIV 1e12
+    (i.e. ~unit-norm² steps). Pure scan → project → hash agg onto a
+    handful of buckets; everything integer, no division at all.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    norm2 = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    g = emb.select(norm2.alias("n2")).select(
+        F.expr("n2 div 1000000000000").alias("bucket"), "n2"
+    )
+    return (
+        g.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("n2").alias("min_norm2_micro"),
+            F.max("n2").alias("max_norm2_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_NORM_HIST = """
+WITH q AS (
+  SELECT CAST(list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+         AS BIGINT) AS n2
+  FROM embeddings
+)
+SELECT n2 // 1000000000000 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(n2) AS BIGINT) AS min_norm2_micro,
+       CAST(MAX(n2) AS BIGINT) AS max_norm2_micro
+FROM q
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES = {"emb_norm_histogram": emb_norm_histogram}
+ORACLES = {"emb_norm_histogram": ORACLE_NORM_HIST}

@@ -442,3 +442,239 @@ ORACLES = {
     "eval_topk_accuracy": _oracle_topk(),
     "eval_mrr_at_k": _oracle_mrr(),
 }
+
+
+# --- probe agreement: exact Kendall tau-b --------------------------------
+
+KT_BLOCKS = 8
+
+
+def eval_kendall_tau(
+    spark: SparkSession, sf_dir: str, n_blocks: int = KT_BLOCKS
+) -> DataFrame:
+    """Exact Kendall tau-b rank agreement between two probes (the
+    binary probe and class-0's probe) — the metric that answers "do
+    two quality scorers order the corpus the same way?" before one
+    replaces the other in a curation cascade.
+
+    All five pair classes (concordant / discordant / tied-A-only /
+    tied-B-only / tied-both) are exact int64 counts; tau_b performs
+    one sqrt of an exactly-representable integer product (< 2⁵³) and
+    one division — IEEE-identical in both engines.
+
+    Scale shape: O(n²) pair work by definition, distributed the same
+    way as the exact-kNN kernel: a B×B block grid (upper triangle)
+    where each cogroup task counts its block pair in one vectorized
+    numpy pass and emits FIVE scalars — the shuffle carries n·B rows
+    in and B² 5-int rows out, never n² pairs. The sign matrices are
+    int8, so a task's memory is block_size² bytes. At 100 TB you raise
+    B; the per-task arithmetic is unchanged."""
+    base = (
+        _quantized(spark, sf_dir)
+        .select(
+            "vec_id",
+            _dot(F.col("qe"), _coef_binary()).alias("sa"),
+            _dot(F.col("qe"), _coef_class(0)).alias("sb"),
+        )
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .localCheckpoint()  # one scan+score feeds both cogroup sides
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "blk_l int, blk_r int",
+    )
+
+    def replicated(side: str) -> DataFrame:
+        tag = "l" if side == "blk_l" else "r"
+        b, g = base.alias(f"kb{tag}"), grid.alias(f"kg{tag}")
+        return b.join(
+            F.broadcast(g), F.col(f"kb{tag}.blk") == F.col(f"kg{tag}.{side}")
+        ).select(
+            F.col(f"kg{tag}.blk_l").alias("blk_l"),
+            F.col(f"kg{tag}.blk_r").alias("blk_r"),
+            F.col(f"kb{tag}.vec_id").alias("vec_id"),
+            F.col(f"kb{tag}.sa").alias("sa"),
+            F.col(f"kb{tag}.sb").alias("sb"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    def partial_counts(key, pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+        cols = ("c", "d", "ta", "tb", "tab")
+        if pl.empty or pr.empty:
+            return pd.DataFrame({k: [] for k in cols})
+        # same-block pairs are counted via the strict upper triangle of
+        # a CONSISTENT ordering — both sides sorted by vec_id
+        pl = pl.sort_values("vec_id")
+        pr = pr.sort_values("vec_id")
+        sa_l = pl["sa"].to_numpy(np.int64)
+        sb_l = pl["sb"].to_numpy(np.int64)
+        sa_r = pr["sa"].to_numpy(np.int64)
+        sb_r = pr["sb"].to_numpy(np.int64)
+        da = np.sign(sa_l[:, None] - sa_r[None, :]).astype(np.int8)
+        db = np.sign(sb_l[:, None] - sb_r[None, :]).astype(np.int8)
+        if key[0] == key[1]:
+            mask = np.triu(np.ones(da.shape, dtype=bool), k=1)
+        else:
+            mask = np.ones(da.shape, dtype=bool)
+        prod = da * db
+        return pd.DataFrame(
+            {
+                "c": [int(((prod > 0) & mask).sum())],
+                "d": [int(((prod < 0) & mask).sum())],
+                "ta": [int(((da == 0) & (db != 0) & mask).sum())],
+                "tb": [int(((db == 0) & (da != 0) & mask).sum())],
+                "tab": [int(((da == 0) & (db == 0) & mask).sum())],
+            }
+        )
+
+    partials = (
+        replicated("blk_l")
+        .groupBy("blk_l", "blk_r")
+        .cogroup(replicated("blk_r").groupBy("blk_l", "blk_r"))
+        .applyInPandas(partial_counts, "c long, d long, ta long, tb long, tab long")
+    )
+    agg = partials.agg(
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("d").cast("long").alias("discordant"),
+        F.sum("ta").cast("long").alias("tied_a_only"),
+        F.sum("tb").cast("long").alias("tied_b_only"),
+        F.sum("tab").cast("long").alias("tied_both"),
+    ).withColumn(
+        "n_pairs",
+        (
+            F.col("concordant")
+            + F.col("discordant")
+            + F.col("tied_a_only")
+            + F.col("tied_b_only")
+            + F.col("tied_both")
+        ).cast("long"),
+    )
+    denom_a = F.col("n_pairs") - F.col("tied_a_only") - F.col("tied_both")
+    denom_b = F.col("n_pairs") - F.col("tied_b_only") - F.col("tied_both")
+    tau = F.when(
+        (denom_a > 0) & (denom_b > 0),
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(denom_a.cast("double") * denom_b),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "tied_a_only",
+        "tied_b_only",
+        "tied_both",
+        tau.alias("tau_b"),
+    )
+
+
+def _oracle_kendall() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), s AS (
+  SELECT vec_id,
+         CAST(list_inner_product(qe, {_sql_list(_coef_binary())}) AS BIGINT) AS sa,
+         CAST(list_inner_product(qe, {_sql_list(_coef_class(0))}) AS BIGINT) AS sb
+  FROM q
+), p AS (
+  SELECT CAST(sign(a.sa - b.sa) AS INTEGER) AS da,
+         CAST(sign(a.sb - b.sb) AS INTEGER) AS db
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN da = 0 AND db <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_a_only,
+         CAST(SUM(CASE WHEN db = 0 AND da <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_b_only,
+         CAST(SUM(CASE WHEN da = 0 AND db = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_both,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM p
+)
+SELECT n_pairs, concordant, discordant, tied_a_only, tied_b_only, tied_both,
+       CASE WHEN n_pairs - tied_a_only - tied_both > 0
+             AND n_pairs - tied_b_only - tied_both > 0
+            THEN CAST(concordant - discordant AS DOUBLE)
+                 / sqrt(CAST(n_pairs - tied_a_only - tied_both AS DOUBLE)
+                        * (n_pairs - tied_b_only - tied_both))
+            ELSE 0.0 END AS tau_b
+FROM agg
+"""
+
+
+QUERIES["eval_kendall_tau"] = eval_kendall_tau
+ORACLES["eval_kendall_tau"] = _oracle_kendall()
+
+
+# --- calibration-style score deciles --------------------------------------
+
+def eval_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table of the binary probe: rows ordered by
+    (score, vec_id) cut into 10 equal-count buckets, each reporting
+    population, positive count, positive rate, and the score span —
+    the sigmoid-free calibration curve (monotone pos_rate across
+    deciles ⇔ well-ordered scorer) every model-gated curation step
+    reads before trusting a threshold.
+
+    NTILE over a deterministic total order (score, vec_id) buckets
+    identically in both engines; counts are exact ints, pos_rate is
+    the single-division convention. Scale note: the global NTILE sort
+    is the reference semantics; at 100 TB swap the cut for
+    range-partitioned quantile boundaries and keep this as the oracle.
+    """
+    scored = _quantized(spark, sf_dir).select(
+        "vec_id",
+        _dot(F.col("qe"), _coef_binary()).alias("s"),
+        F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("s", "vec_id")
+    g = scored.withColumn("decile", F.ntile(10).over(w)).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.min("s").alias("s_min"),
+        F.max("s").alias("s_max"),
+    )
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        "s_min",
+        "s_max",
+    ).orderBy("decile")
+
+
+def _oracle_score_deciles() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), scored AS (
+  SELECT vec_id,
+         CAST(list_inner_product(qe, {_sql_list(_coef_binary())}) AS BIGINT) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM q
+), d AS (
+  SELECT s, y, NTILE(10) OVER (ORDER BY s, vec_id) AS decile FROM scored
+), g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(MIN(s) AS BIGINT) AS s_min,
+         CAST(MAX(s) AS BIGINT) AS s_max
+  FROM d GROUP BY decile
+)
+SELECT decile, n, n_pos,
+       CAST(n_pos AS DOUBLE) / n AS pos_rate,
+       s_min, s_max
+FROM g ORDER BY decile
+"""
+
+
+QUERIES["eval_score_deciles"] = eval_score_deciles
+ORACLES["eval_score_deciles"] = _oracle_score_deciles()

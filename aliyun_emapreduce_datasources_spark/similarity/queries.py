@@ -33,6 +33,7 @@ QUERIES = {
     **assign.QUERIES,
     **bitext.QUERIES,
     **covariance.QUERIES,
+    **dimstats.QUERIES,
     **evalmetrics.QUERIES,
     **kmeans.QUERIES,
     **label_noise.QUERIES,
@@ -51,6 +52,7 @@ ORACLES = {
     **assign.ORACLES,
     **bitext.ORACLES,
     **covariance.ORACLES,
+    **dimstats.ORACLES,
     **evalmetrics.ORACLES,
     **kmeans.ORACLES,
     **label_noise.ORACLES,

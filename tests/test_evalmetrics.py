@@ -117,3 +117,31 @@ def test_mrr_matches_full_walk(spark, sf_dir, ql):
         assert out[c]["n_queries"] == n_q[c]
         assert out[c]["sum_rr_x2520"] == sum_rr[c]
         assert out[c]["mrr"] == sum_rr[c] / (RR_SCALE * n_q[c])
+
+
+def test_kendall_matches_naive_pairs(spark, sf_dir, ql):
+    import math
+
+    from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+        eval_kendall_tau,
+    )
+
+    q, _, _ = ql
+    sa = q @ np.array(_coef_binary(), dtype=np.int64)
+    sb = q @ np.array(_coef_class(0), dtype=np.int64)
+    da = np.sign(sa[:, None] - sa[None, :])
+    db = np.sign(sb[:, None] - sb[None, :])
+    m = np.triu(np.ones(da.shape, dtype=bool), k=1)
+    prod = da * db
+    c = int(((prod > 0) & m).sum())
+    d = int(((prod < 0) & m).sum())
+    ta = int(((da == 0) & (db != 0) & m).sum())
+    tb = int(((db == 0) & (da != 0) & m).sum())
+    tab = int(((da == 0) & (db == 0) & m).sum())
+    row = eval_kendall_tau(spark, sf_dir).collect()[0]
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert (row["tied_a_only"], row["tied_b_only"], row["tied_both"]) == (ta, tb, tab)
+    n0 = c + d + ta + tb + tab
+    assert row["n_pairs"] == n0 == len(sa) * (len(sa) - 1) // 2
+    expect = (c - d) / math.sqrt(float((n0 - ta - tab)) * (n0 - tb - tab))
+    assert row["tau_b"] == expect

@@ -46,6 +46,7 @@ ENTRIES = [
     "dedup_semantic",  # per-cluster greedy prune
     "emb_label_noise_knn",  # block cogroup + global top-k window
     "eval_mrr_at_k",  # same kernel, first-hit rank consumer
+    "eval_kendall_tau",  # block-grid pair counting (triangle dedup)
     # round-4 entries whose window running sums have duplicate-key
     # ties — the classic place a partition-count change reorders rows
     "events_sessionize",
