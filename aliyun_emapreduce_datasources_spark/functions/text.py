@@ -1106,3 +1106,128 @@ ORDER BY doc_id
 
 QUERIES["text_trigram_novelty"] = trigram_novelty
 ORACLES["text_trigram_novelty"] = ORACLE_TRIGRAM_NOVELTY
+
+
+# --- pairwise source drift (total-variation matrix) -----------------------
+
+def source_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between the token
+    distributions of every source pair — the corpus-drift matrix a mix
+    designer reads before pooling sources (TV = 0 same distribution,
+    1 disjoint; the multi-source generalization of events_drift_tv).
+
+    Exact integer form (the t-closeness int-milli recipe, generalized):
+    with per-source token counts a_t, b_t and totals T_a, T_b,
+
+        TV·2·T_a·T_b = Σ_union |a_t·T_b − b_t·T_a|
+
+    and the union sum folds closed-form to the COMMON tokens plus two
+    remainder terms: Σ_common |a_t·T_b − b_t·T_a|
+    + (T_a − Σ_common a_t)·T_b + (T_b − Σ_common b_t)·T_a — so only the
+    inner join on token materializes; tokens private to one side never
+    join. Everything int64 (counts ≤ 1e6-scale, totals ≤ 1e7 at sf0.1;
+    products < 2⁵³), ONE float division per pair.
+
+    Scale shape: counts is one explode→hash agg bounded by
+    |sources|×|vocab|; the self-join fans out ≤ |sources|² rows per
+    token (bounded by source count, not corpus size); totals are a
+    |sources|-row broadcast. The pair spine comes from a totals×totals
+    cross join so pairs with NO shared vocabulary still report TV=1.
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # one scan feeds totals + both join sides
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").cast("long").alias("tt"))
+    spine = (
+        totals.alias("ta")
+        .crossJoin(totals.alias("tb"))
+        .where(F.col("ta.source") < F.col("tb.source"))
+        .select(
+            F.col("ta.source").alias("source_a"),
+            F.col("tb.source").alias("source_b"),
+            F.col("ta.tt").alias("t_a"),
+            F.col("tb.tt").alias("t_b"),
+        )
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    common = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source")))
+        .join(F.broadcast(totals.alias("tta")), F.col("a.source") == F.col("tta.source"))
+        .join(F.broadcast(totals.alias("ttb")), F.col("b.source") == F.col("ttb.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(
+                F.abs(F.col("a.cnt") * F.col("ttb.tt") - F.col("b.cnt") * F.col("tta.tt"))
+            ).cast("long").alias("s_abs"),
+            F.sum("a.cnt").cast("long").alias("a_common"),
+            F.sum("b.cnt").cast("long").alias("b_common"),
+        )
+    )
+    out = spine.join(common, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        (
+            F.coalesce(F.col("s_abs"), F.lit(0))
+            + (F.col("t_a") - F.coalesce(F.col("a_common"), F.lit(0))) * F.col("t_b")
+            + (F.col("t_b") - F.coalesce(F.col("b_common"), F.lit(0))) * F.col("t_a")
+        ).cast("long").alias("tv_num"),
+        "t_a",
+        "t_b",
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "tv_num",
+        (F.col("tv_num").cast("double") / (F.lit(2.0) * F.col("t_a") * F.col("t_b"))).alias("tv"),
+    ).orderBy("source_a", "source_b")
+
+
+ORACLE_SOURCE_TV = f"""
+WITH c AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({_O_TOK}) AS token
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY source, token
+), tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tt FROM c GROUP BY source
+), spine AS (
+  SELECT ta.source AS source_a, tb.source AS source_b,
+         ta.tt AS t_a, tb.tt AS t_b
+  FROM tot ta, tot tb WHERE ta.source < tb.source
+), com AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(ABS(a.cnt * ttb.tt - b.cnt * tta.tt)) AS BIGINT) AS s_abs,
+         CAST(SUM(a.cnt) AS BIGINT) AS a_common,
+         CAST(SUM(b.cnt) AS BIGINT) AS b_common
+  FROM c a
+  JOIN c b ON a.token = b.token AND a.source < b.source
+  JOIN tot tta ON a.source = tta.source
+  JOIN tot ttb ON b.source = ttb.source
+  GROUP BY 1, 2
+), folded AS (
+  SELECT s.source_a, s.source_b,
+         COALESCE(m.n_common, 0) AS n_common,
+         COALESCE(m.s_abs, 0)
+           + (s.t_a - COALESCE(m.a_common, 0)) * s.t_b
+           + (s.t_b - COALESCE(m.b_common, 0)) * s.t_a AS tv_num,
+         s.t_a, s.t_b
+  FROM spine s LEFT JOIN com m USING (source_a, source_b)
+)
+SELECT source_a, source_b, n_common, CAST(tv_num AS BIGINT) AS tv_num,
+       CAST(tv_num AS DOUBLE) / (2.0 * t_a * t_b) AS tv
+FROM folded
+ORDER BY source_a, source_b
+"""
+
+QUERIES["text_source_tv_matrix"] = source_tv_matrix
+ORACLES["text_source_tv_matrix"] = ORACLE_SOURCE_TV

@@ -1747,3 +1747,58 @@ FROM g ORDER BY source
 
 QUERIES["audit_token_gini"] = audit_token_gini
 ORACLES["audit_token_gini"] = ORACLE_TOKEN_GINI
+
+
+# --- month-over-month revenue trend ---------------------------------------
+
+def trend_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: per calendar month, exact-decimal
+    revenue, the previous month's figure (lag), absolute delta, and
+    percent change — the dashboard staple stacked on the decimal-sum
+    convention so both engines agree to the byte (sums are exact
+    decimals cast to double; delta/pct are IEEE ops on identical
+    inputs, pct is the single-division rule).
+
+    Shape: one month-keyed hash agg with map-side partials, then a lag
+    window over the ≤|months| aggregate rows — nothing order-grain
+    past the first agg."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("month")
+    out = monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+    return out.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        "prev_revenue",
+        (F.col("revenue") - F.col("prev_revenue")).alias("delta"),
+        F.when(
+            F.col("prev_revenue").isNotNull() & (F.col("prev_revenue") != 0.0),
+            (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"),
+        ).alias("pct_change"),
+    ).orderBy("month")
+
+
+ORACLE_MOM_REVENUE = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {o_dsum(o_m('o_totalprice'), 'revenue')}
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, revenue,
+         LAG(revenue) OVER (ORDER BY month) AS prev_revenue
+  FROM monthly
+)
+SELECT CAST(month AS VARCHAR) AS month,
+       revenue,
+       prev_revenue,
+       revenue - prev_revenue AS delta,
+       CASE WHEN prev_revenue IS NOT NULL AND prev_revenue <> 0.0
+            THEN (revenue - prev_revenue) / prev_revenue END AS pct_change
+FROM lagged
+ORDER BY month
+"""
+
+QUERIES["trend_mom_revenue"] = trend_mom_revenue
+ORACLES["trend_mom_revenue"] = ORACLE_MOM_REVENUE

@@ -571,9 +571,85 @@ ORDER BY event_type
 """
 
 
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    'purchase' follows their first 'view', the lag in whole seconds —
+    reported as exact rank percentiles (events_value_percentiles
+    convention). The funnel's missing time axis: events_funnel says
+    HOW MANY convert, this says HOW LONG they take.
+
+    Shape: one user-keyed agg folds each user to two timestamps
+    (map-side partials, conditional min — no self-join of the event
+    table), then one global rank window over the ≤|users| converted
+    rows. Integer microseconds → DIV to seconds, all int64."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase"),
+    )
+    lags = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        F.expr("(first_purchase - first_view) div 1000000").alias("lag_s"),
+    )
+    w = Window.orderBy("lag_s", "user_id")
+    ranked = lags.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    pick = lambda p: F.max(
+        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("lag_s"))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("lag_s").cast("long").alias("min_s"),
+        pick(50).cast("long").alias("p50_s"),
+        pick(90).cast("long").alias("p90_s"),
+        pick(99).cast("long").alias("p99_s"),
+        F.max("lag_s").cast("long").alias("max_s"),
+    )
+
+
+ORACLE_CONVERSION_LAG = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+), lags AS (
+  SELECT user_id, CAST((fp - fv) // 1000000 AS BIGINT) AS lag_s
+  FROM firsts
+  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+), r AS (
+  SELECT lag_s,
+         ROW_NUMBER() OVER (ORDER BY lag_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lags
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(lag_s) AS BIGINT) AS min_s,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN lag_s END) AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN lag_s END) AS BIGINT) AS p90_s,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_s END) AS BIGINT) AS p99_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_s
+FROM r
+"""
+
+
 QUERIES = {
     "events_rolling_wau": events_rolling_wau,
     "events_interarrival_stats": events_interarrival_stats,
+    "events_conversion_lag": events_conversion_lag,
     "events_attribution": events_attribution,
     "events_resample_hourly": events_resample_hourly,
     "events_funnel": events_funnel,
@@ -587,6 +663,7 @@ QUERIES = {
 ORACLES = {
     "events_rolling_wau": ORACLE_ROLLING_WAU,
     "events_interarrival_stats": ORACLE_INTERARRIVAL,
+    "events_conversion_lag": ORACLE_CONVERSION_LAG,
     "events_attribution": ORACLE_ATTRIBUTION,
     "events_resample_hourly": ORACLE_RESAMPLE,
     "events_funnel": ORACLE_FUNNEL,

@@ -693,3 +693,29 @@ def test_streaming_gopher_rules_matches_batch(spark, sf_dir, tmp_path):
     ).orderBy("doc_id").collect()
     assert len(got) == len(want) == len(docs)
     assert got == want
+
+
+def test_streaming_dau_matches_batch(spark, sf_dir, events_stream_dir):
+    """Streaming twin of events_rolling_wau's DAU leg: the scale path
+    for distinct-actives on ingest is dedupe-to-(user, day) within the
+    watermark horizon (bounded state), then a plain per-day count —
+    complete mode must equal the batch distinct count per day."""
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="2")
+    stream = st.read_stream(spark).withColumn("day", F.to_date("ts"))
+    daily = (
+        stream.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    name = _run_to_memory(daily, "complete")
+    got = {str(r["day"]): r["dau"] for r in spark.table(name).collect()}
+    want = {
+        r["day"]: r["dau"]
+        for r in QUERIES["events_rolling_wau"](spark, sf_dir)
+        .select("day", "dau")
+        .collect()
+    }
+    assert got == want
