@@ -144,3 +144,37 @@ def test_covariance_rows_linear_in_vectors(work):
     w0, w1 = work
     vec = w1["n_emb"] / w0["n_emb"]
     assert abs(_ratio(w0, w1, "covariance_pair_rows") - vec) < 0.01
+
+
+def test_tv_join_rows_vocab_bound(work):
+    """text_source_tv_matrix's join volume is Σ_t C(sources_with_t, 2)
+    — bounded by |vocab|·C(|sources|,2). With this corpus' stable
+    vocabulary the join volume must stay ~FLAT while the corpus grows
+    10× (and in general must undercut token growth)."""
+    w0, w1 = work
+    tokens = _ratio(w0, w1, "n_tokens")
+    tv = _ratio(w0, w1, "tv_join_rows")
+    assert tv <= 0.3 * tokens, f"tv join grew {tv}x vs tokens {tokens}x"
+
+
+def test_wau_fanout_bounded_by_pairs(work):
+    """events_rolling_wau: the range join fans each deduped (user,day)
+    pair to ≤7 window days, and the pair table is the dedupe of the
+    event stream — both bounds hold at every SF."""
+    for w in work:
+        assert w["wau_fanout_rows"] <= 7 * w["wau_pairs"]
+        assert w["wau_pairs"] <= w["n_events"]
+
+
+def test_kendall_pair_work_distributed(work):
+    """eval_kendall_tau is O(n²) BY DEFINITION; the scale property is
+    the distribution bound: total == C(n,2) by construction and the
+    largest single block task touches ~(n/B)² pairs — i.e. ≤ 2/B² of
+    the total with even blocks (≤ 4/B² allowing 2× block skew)."""
+    from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+        KT_BLOCKS,
+    )
+
+    for w in work:
+        total = w["kendall_total_pairs"]
+        assert w["kendall_max_task_pairs"] <= max(4 * total // (KT_BLOCKS**2), 1)
