@@ -368,6 +368,15 @@ def run(spark: SparkSession) -> dict:
         "scrub_removed": round(
             w1["scrub_removed_tokens"] / max(w0["scrub_removed_tokens"], 1), 2
         ),
+        "tv_join_rows": round(
+            w1["tv_join_rows"] / max(w0["tv_join_rows"], 1), 2
+        ),
+        "wau_fanout": round(
+            w1["wau_fanout_rows"] / max(w0["wau_fanout_rows"], 1), 2
+        ),
+        "kendall_max_task_share": round(
+            w1["kendall_max_task_pairs"] / max(w1["kendall_total_pairs"], 1), 4
+        ),
     }
     return res
 
