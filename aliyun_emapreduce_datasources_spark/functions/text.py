@@ -1026,15 +1026,6 @@ ORACLES["text_vocab_coverage"] = ORACLE_VOCAB_COVERAGE
 
 # --- trigram novelty (corpus-uniqueness score) ------------------------
 
-_TRIGRAMS = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], "
-    "split(text, ' ')[i+1])) "
-    "ELSE array() END"
-)
-
-
 def trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's
     DISTINCT word trigrams that appear in no other document. The
@@ -1061,9 +1052,16 @@ def trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle-exact reference.
     """
     docs = t(spark, sf_dir, "documents")
+    # trigrams via the zip_with shingles builder, NOT index-into-split
+    # inside a transform lambda (_TRIGRAMS' old shape): a captured
+    # split() re-evaluates per ELEMENT in a lambda — O(tokens²) splits
+    # per doc, measured 7.0 → 2.3 s at sf0.1. The postings table also
+    # feeds TWO consumers (the df count and the join-back), so it is
+    # checkpointed once instead of recomputed.
     tg = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("tg")
-    )
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("tg"),
+    ).localCheckpoint()
     counts = tg.groupBy("tg").agg(F.count(F.lit(1)).cast("long").alias("n_docs_with"))
     return (
         tg.join(counts, "tg")

@@ -47,6 +47,16 @@ COMMENT = {
     "events_sessionize": "ONE hashpartitioning Exchange on user_id serves the lag window, the running session-id sum, and the per-session aggregate — three logical passes, one shuffle, no joins.",
     "dedup_scrub_spans": "Keeper election is a window over 64-bit shingle hashes (8-byte shuffle keys, no raw-string shuffle); cut positions explode only from non-keeper duplicated postings; reconstruction is ONE anti-join on (doc_id, pos) — every documents scan is pruned to doc_id+text, and nothing is ever all-pairs.",
     "dedup_scrub_intra": "The repeat test is a window keyed (doc_id, shingle-hash) — the doc id rides in the partition key, so a globally popular shingle never concentrates on one reducer; cuts and reconstruction reuse the same anti-join shape as the cross-doc scrub.",
+    "eval_auc_binary": "No join anywhere: probe score is an in-row zip_with/aggregate fold, per-score partials reduce map-side into one hash agg, and the prefix-sum Window runs over the distinct-score table only — the corpus never sorts.",
+    "eval_class_prf": "The 10-class probe fan-out is a BroadcastNestedLoopJoin of bytes; argmax compiles to WindowGroupLimit (partial per-partition rank cut before the vec_id shuffle); BOTH confusion margins come from ONE explode-contribution pass — a single FileScan, no self-join diamond.",
+    "eval_mrr_at_k": "Same block-cogroup kernel as emb_label_noise_knn (FlatMapCoGroupsInPandas over a broadcast grid); candidates entering the global first-hit window are bounded n.B.k; label totals join back broadcast-size.",
+    "eval_kendall_tau": "Upper-triangle block grid via BroadcastHashJoin replication; each FlatMapCoGroupsInPandas task reduces its block pair to FIVE int64 scalars, so the post-kernel aggregate sees B² rows — pair volume never shuffles.",
+    "events_rolling_wau": "Both range-join inputs are pre-aggregated (the deduped (user, day) pair table and its day spine); the non-equi window join is BroadcastNestedLoopJoin with the tiny spine broadcast; event-grain rows never pass an Exchange.",
+    "text_source_tv_matrix": "Per-source token counts reduce map-side once (localCheckpoint feeds totals, the pair spine, and both join sides); the common-token self-join is a shuffled equi join on token (SMJ — AQE may demote to shuffled-hash at runtime); totals ride BroadcastHashJoins; the TV fold is in-row integer arithmetic.",
+    "text_vocab_coverage": "Corpus-sized explode reduces to the vocabulary with partial counts before its Exchange; the rank Window runs over |vocab| rows; the ×3 cutoff fan-out is a BroadcastNestedLoopJoin of a 3-row table.",
+    "audit_benford": "Scan → project (int-cents digit) → 9-group hash agg with map-side partials; the share Window spans 9 rows. No join, no sort of data rows.",
+    "media_video_frames": "Binary payloads stay executor-side through one MapInPandas explode; the only Exchange is the catalog's presentation sort of the frame table.",
+    "trend_mom_revenue": "Decimal-exact monthly sums reduce map-side to ≤|months| rows; the lag Window and pct projection run over that aggregate only.",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries

@@ -205,11 +205,12 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     # postings — BOTH the per-gram count aggregate and the join-back
     # are postings-sized, so the one number is the operator's whole
     # shuffle volume. Linear in corpus tokens by construction.
-    from aliyun_emapreduce_datasources_spark.functions.text import _TRIGRAMS
-
+    # (Counted with the shipped zip_with shingles builder — the
+    # index-into-split form was replaced session 3 for a 3× win.)
     out["novelty_postings"] = (
         docs.select(
-            "doc_id", F.explode(F.array_distinct(F.expr(_TRIGRAMS))).alias("tg")
+            "doc_id",
+            F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("tg"),
         ).count()
     )
 
