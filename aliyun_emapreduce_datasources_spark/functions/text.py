@@ -621,9 +621,17 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin.
     """
     docs = t(spark, sf_dir, "documents")
+    # non-overlapping 2-token blocks via index-filtered zip (split runs
+    # O(1) per row): the old sequence+slice transform captured
+    # split(text) inside the lambda, re-evaluating it per BLOCK —
+    # O(tokens²) splits per doc, the same pathology shingles() documents
+    # (2.8 → 1.5 s at sf0.1; output byte-identical, concat_ws drops the
+    # null zip pad on odd-length docs exactly like the short slice did)
     blocks = F.expr(
-        "transform(sequence(0, (size(split(text, ' ')) + 1) DIV 2 - 1), "
-        "i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' '))"
+        "zip_with("
+        " filter(split(text, ' '), (x, i) -> i % 2 = 0),"
+        " filter(split(text, ' '), (x, i) -> i % 2 = 1),"
+        " (a, b) -> concat_ws(' ', a, b))"
     )
     exploded = docs.select(
         "doc_id",
@@ -913,6 +921,12 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (name, col) in reversed(list(enumerate(FUNNEL_STAGES, start=1))):
         stage = F.when(~F.col(col), F.lit(name)).otherwise(stage)
         stage_ord = F.when(~F.col(col), F.lit(i)).otherwise(stage_ord)
+    # NULL text short-circuits FIRST (n_words is NULL exactly for NULL
+    # text): its rule verdicts are all NULL, which a bare CASE walk
+    # silently routes to 'pass' — a curation funnel must reject
+    # unevaluable docs explicitly, not launder them
+    stage = F.when(F.col("n_words").isNull(), F.lit("null_text")).otherwise(stage)
+    stage_ord = F.when(F.col("n_words").isNull(), F.lit(0)).otherwise(stage_ord)
     g = sig.select(
         stage_ord.cast("int").alias("stage_ord"), stage.alias("stage")
     ).groupBy("stage_ord", "stage").agg(
@@ -934,9 +948,11 @@ _FUNNEL_ORD_CASE = " ".join(
 
 ORACLE_FUNNEL_TEXT = f"""{_GOPHER_CTE},
 staged AS (
-  SELECT CAST(CASE {_FUNNEL_ORD_CASE} ELSE {len(FUNNEL_STAGES) + 1} END AS INTEGER)
+  SELECT CAST(CASE WHEN n_words IS NULL THEN 0
+              {_FUNNEL_ORD_CASE} ELSE {len(FUNNEL_STAGES) + 1} END AS INTEGER)
            AS stage_ord,
-         CASE {_FUNNEL_STAGE_CASE} ELSE 'pass' END AS stage
+         CASE WHEN n_words IS NULL THEN 'null_text'
+              {_FUNNEL_STAGE_CASE} ELSE 'pass' END AS stage
   FROM rules
 ), g AS (
   SELECT stage_ord, stage, CAST(COUNT(*) AS BIGINT) AS n

@@ -719,3 +719,84 @@ def test_streaming_dau_matches_batch(spark, sf_dir, events_stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_scd2_matches_batch(spark, sf_dir, events_stream_dir):
+    """Streaming twin of cdc_scd2_history: the change log replayed in
+    event-time order is maintained INCREMENTALLY via foreachBatch —
+    close the open version of every key touched, insert non-DELETE
+    rows as new open versions (the MERGE INTO a warehouse dimension
+    runs per micro-batch) — and the maintained table must equal the
+    one-shot batch lead() window over the full log."""
+    import pandas as pd
+
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+    stream = (
+        st.read_stream(spark)
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT"))
+            .alias("op"),
+        )
+    )
+
+    versions = []   # the maintained dimension (driver-side test store)
+    open_idx = {}   # user_id -> index of the open version
+
+    def merge_batch(df, batch_id):
+        pdf = df.toPandas().sort_values(["ts", "event_id"])
+        for r in pdf.itertuples():
+            prev = open_idx.pop(r.user_id, None)
+            if prev is not None:
+                versions[prev]["valid_to"] = pd.Timestamp(r.ts)
+            if r.op != "DELETE":
+                versions.append(
+                    {
+                        "user_id": r.user_id,
+                        "event_id": r.event_id,
+                        "valid_from": pd.Timestamp(r.ts),
+                        "valid_to": None,
+                        "value": r.value,
+                    }
+                )
+                open_idx[r.user_id] = len(versions) - 1
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = sorted(
+        (
+            v["user_id"],
+            v["event_id"],
+            v["valid_from"],
+            v["valid_to"] if v["valid_to"] is not None else pd.Timestamp.max,
+            v["valid_to"] is None,
+            v["value"],
+        )
+        for v in versions
+    )
+    want = sorted(
+        (
+            r["user_id"],
+            r["event_id"],
+            # the JSON replay carries millisecond timestamps; floor the
+            # batch side's micros to compare like with like (no per-user
+            # same-millisecond collisions exist in the corpus)
+            pd.Timestamp(r["valid_from"]).floor("ms"),
+            pd.Timestamp(r["valid_to"]).floor("ms") if r["valid_to"] is not None else pd.Timestamp.max,
+            bool(r["is_current"]),
+            r["value"],
+        )
+        for r in QUERIES["cdc_scd2_history"](spark, sf_dir).collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
