@@ -800,3 +800,101 @@ def test_streaming_scd2_matches_batch(spark, sf_dir, events_stream_dir):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_dedup_on_ingest_matches_batch_prefix(spark, sf_dir, tmp_path):
+    """Streaming twin of near-dup dedup-on-ingest: documents replayed
+    in doc_id order; each micro-batch's docs are matched against a
+    maintained shingle store (every PREVIOUSLY ingested doc) by exact
+    integer-micro Jaccard, best match kept. Must equal the batch
+    retrospective pass — the prefix-pair self-join where every doc
+    matches only strictly-earlier doc_ids. Pins that ingest-order
+    incremental dedup and the one-shot batch job agree decision for
+    decision (the store is driver-side here; in production it's the
+    standing-corpus postings table of dedup_incremental)."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from aliyun_emapreduce_datasources_spark.dedup.incremental import (
+        MIN_JACC_MICRO,
+        _postings,
+    )
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    # --- batch reference: best strictly-earlier match per doc (Spark)
+    a = _postings(docs, "earlier_id", "n_earlier")
+    b = _postings(docs, "doc_id", "n_doc")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("earlier_id") < F.col("doc_id"))
+        .groupBy("doc_id", "earlier_id", "n_doc", "n_earlier")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ranked = shared.select(
+        "doc_id",
+        "earlier_id",
+        F.expr("(1000000 * shared) div (n_doc + n_earlier - shared)").alias(
+            "jacc_micro"
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("jacc_micro").desc(), "earlier_id"
+            )
+        ),
+    )
+    want = {
+        r["doc_id"]: (r["earlier_id"], r["jacc_micro"])
+        for r in ranked.where(
+            (F.col("rn") == 1) & (F.col("jacc_micro") >= MIN_JACC_MICRO)
+        ).collect()
+    }
+
+    # --- streaming ingest: doc_id-ordered chunks, driver-side store
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    src = tmp_path / "ingest"
+    src.mkdir()
+    chunk = (len(rows) + 3) // 4
+    for c in range(4):
+        with open(src / f"c{c}.jsonl", "w") as fh:
+            for r in rows[c * chunk : (c + 1) * chunk]:
+                fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    store = {}   # doc_id -> frozenset of shingle hashes
+    got = {}     # doc_id -> (match_id, jacc_micro)
+
+    def ingest(df, batch_id):
+        sh = _postings(df, "doc_id", "n").collect()
+        by_doc = {}
+        for r in sh:
+            by_doc.setdefault(r["doc_id"], set()).add(r["s"])
+        for did in sorted(by_doc):
+            s = by_doc[did]
+            best = None
+            for prev_id, prev_s in store.items():
+                inter = len(s & prev_s)
+                if inter == 0:
+                    continue
+                jacc = (1_000_000 * inter) // (len(s) + len(prev_s) - inter)
+                cand = (-jacc, prev_id)
+                if best is None or cand < best:
+                    best = cand
+            if best is not None and -best[0] >= MIN_JACC_MICRO:
+                got[did] = (best[1], -best[0])
+            store[did] = frozenset(s)
+
+    q = stream.writeStream.foreachBatch(ingest).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(want) > 0, "corpus should contain near-dup prefix pairs"
+    assert got == want
