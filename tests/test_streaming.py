@@ -898,3 +898,47 @@ def test_streaming_dedup_on_ingest_matches_batch_prefix(spark, sf_dir, tmp_path)
 
     assert len(want) > 0, "corpus should contain near-dup prefix pairs"
     assert got == want
+
+
+def test_streaming_dau_late_replay_matches_batch(spark, sf_dir, tmp_path):
+    """DAU twin under the simulator's late profile (≤5% of rows
+    delivered a micro-batch late): with a watermark horizon far wider
+    than the delivery delay, dropDuplicatesWithinWatermark keeps every
+    late row, so the per-day distinct counts still equal the batch
+    answer exactly — the contract that makes dedupe-on-ingest safe
+    under real delivery jitter."""
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+    from aliyun_emapreduce_datasources_spark.streaming.sources import (
+        replay_to_json_dir,
+    )
+
+    d = tmp_path / "late-events"
+    d.mkdir()
+    replay_to_json_dir(
+        t(spark, sf_dir, "events"),
+        str(d),
+        n_chunks=4,
+        order_col="ts",
+        late_fraction=0.05,
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+        .withColumn("day", F.to_date("ts"))
+    )
+    daily = (
+        stream.withWatermark("ts", "72 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    name = _run_to_memory(daily, "complete")
+    got = {str(r["day"]): r["dau"] for r in spark.table(name).collect()}
+    want = {
+        r["day"]: r["dau"]
+        for r in QUERIES["events_rolling_wau"](spark, sf_dir)
+        .select("day", "dau")
+        .collect()
+    }
+    assert got == want
