@@ -678,3 +678,67 @@ FROM g ORDER BY decile
 
 QUERIES["eval_score_deciles"] = eval_score_deciles
 ORACLES["eval_score_deciles"] = _oracle_score_deciles()
+
+
+# --- hard-negative mining -------------------------------------------------
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    highest-similarity neighbor with a DIFFERENT label (its rank, id,
+    label and integer dot) from the exact top-10 — the standard
+    "mine hard negatives from the current index" step that turns a
+    random-negative triplet set (emb_contrastive_triplets) into a
+    hard-negative one. Anchors whose entire top-10 shares their label
+    have no row (no negative that hard exists).
+
+    Third consumer of label_noise.exact_knn_topk — same kernel, same
+    scale shape (n·B·k shuffle, block-matrix compute); the struct-min
+    pick is deterministic because rn is unique per anchor."""
+    topk = exact_knn_topk(spark, sf_dir, k=MRR_K)
+    hn = (
+        topk.where(F.col("nbr_label") != F.col("label"))
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct("rn", "nbr", "nbr_label", "dot")).alias("h"))
+    )
+    return hn.select(
+        "vec_id",
+        "label",
+        F.col("h.rn").alias("hn_rank"),
+        F.col("h.nbr").alias("hn_id"),
+        F.col("h.nbr_label").alias("hn_label"),
+        F.col("h.dot").alias("hn_dot"),
+    ).orderBy("vec_id")
+
+
+def _oracle_hard_negatives() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS i, a.label AS la, b.vec_id AS nbr, b.label AS lb,
+         CAST(list_inner_product(a.qe, b.qe) AS BIGINT) AS dot
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dot DESC, nbr) AS rn
+  FROM pairs
+), hard AS (
+  SELECT i, la, rn, nbr, lb, dot,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY rn) AS pick
+  FROM topk WHERE rn <= {MRR_K} AND lb <> la
+)
+SELECT i AS vec_id,
+       CAST(la AS INTEGER) AS label,
+       CAST(rn AS INTEGER) AS hn_rank,
+       nbr AS hn_id,
+       CAST(lb AS INTEGER) AS hn_label,
+       dot AS hn_dot
+FROM hard WHERE pick = 1
+ORDER BY vec_id
+"""
+
+
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+ORACLES["emb_hard_negatives"] = _oracle_hard_negatives()
