@@ -145,3 +145,55 @@ def test_kendall_matches_naive_pairs(spark, sf_dir, ql):
     assert row["n_pairs"] == n0 == len(sa) * (len(sa) - 1) // 2
     expect = (c - d) / math.sqrt(float((n0 - ta - tab)) * (n0 - tb - tab))
     assert row["tau_b"] == expect
+
+
+def test_score_deciles_match_numpy_ntile(spark, sf_dir, ql):
+    """NTILE(10) over (score, vec_id): the first (n mod 10) buckets
+    hold ceil(n/10) rows, the rest floor(n/10) — recomputed directly
+    from the numpy sort."""
+    from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+        eval_score_deciles,
+    )
+
+    q, labels, ids = ql
+    s = q @ np.array(_coef_binary(), dtype=np.int64)
+    y = (labels >= 5).astype(np.int64)
+    order = np.lexsort((ids, s))
+    n = len(s)
+    base, extra = divmod(n, 10)
+    out = {r["decile"]: r for r in eval_score_deciles(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, 11))
+    pos = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        idx = order[pos : pos + size]
+        pos += size
+        r = out[d]
+        assert r["n"] == size
+        assert r["n_pos"] == int(y[idx].sum())
+        assert r["pos_rate"] == r["n_pos"] / size
+        assert r["s_min"] == int(s[idx].min())
+        assert r["s_max"] == int(s[idx].max())
+    assert pos == n
+
+
+def test_hard_negatives_match_full_walk(spark, sf_dir, ql):
+    from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+        emb_hard_negatives,
+    )
+
+    q, labels, ids = ql
+    dots = q @ q.T
+    want = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -dots[i]))
+        order = order[ids[order] != ids[i]][:MRR_K]
+        for rank, j in enumerate(order, start=1):
+            if labels[j] != labels[i]:
+                want[int(ids[i])] = (rank, int(ids[j]), int(labels[j]), int(dots[i][j]))
+                break
+    got = {
+        r["vec_id"]: (r["hn_rank"], r["hn_id"], r["hn_label"], r["hn_dot"])
+        for r in emb_hard_negatives(spark, sf_dir).collect()
+    }
+    assert got == want
