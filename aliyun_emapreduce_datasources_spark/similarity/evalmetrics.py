@@ -742,3 +742,52 @@ ORDER BY vec_id
 
 QUERIES["emb_hard_negatives"] = emb_hard_negatives
 ORACLES["emb_hard_negatives"] = _oracle_hard_negatives()
+
+
+# --- full confusion matrix -------------------------------------------------
+
+def eval_confusion_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full confusion matrix of the argmax probe — (true class,
+    predicted class, count, row share) for every observed cell. The
+    cell-level artifact eval_class_prf's margins summarize: WHERE the
+    classifier bleeds (which class pairs confuse) rather than how much.
+    One groupBy over the argmax table; ≤ |classes|² output rows at any
+    corpus size; row_share is the single-division convention."""
+    pred = (
+        _class_scores(spark, sf_dir)
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("label").cast("int").alias("true_class"),
+            F.col("cls").alias("pred_class"),
+        )
+    )
+    cells = pred.groupBy("true_class", "pred_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("true_class"))
+    return (
+        cells.withColumn("row_share", F.col("n").cast("double") / row_total)
+        .orderBy("true_class", "pred_class")
+    )
+
+
+def _oracle_confusion_cells() -> str:
+    return f"""
+WITH {_oracle_class_scores()},
+pred AS (
+  SELECT CAST(label AS INTEGER) AS true_class, cls AS pred_class
+  FROM ranked WHERE rn = 1
+), cells AS (
+  SELECT true_class, pred_class, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_class, pred_class, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY true_class) AS BIGINT) AS row_share
+FROM cells
+ORDER BY true_class, pred_class
+"""
+
+
+QUERIES["eval_confusion_cells"] = eval_confusion_cells
+ORACLES["eval_confusion_cells"] = _oracle_confusion_cells()

@@ -197,3 +197,24 @@ def test_hard_negatives_match_full_walk(spark, sf_dir, ql):
         for r in emb_hard_negatives(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_confusion_cells_match_dense_argmax(spark, sf_dir, ql):
+    from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+        eval_confusion_cells,
+    )
+
+    q, labels, _ = ql
+    coef = np.array([_coef_class(c) for c in range(N_CLASSES)], dtype=np.int64)
+    pred = (q @ coef.T).argmax(axis=1)
+    want = {}
+    for t_, p_ in zip(labels, pred):
+        want[(int(t_), int(p_))] = want.get((int(t_), int(p_)), 0) + 1
+    rows = eval_confusion_cells(spark, sf_dir).collect()
+    got = {(r["true_class"], r["pred_class"]): r["n"] for r in rows}
+    assert got == want
+    for r in rows:
+        row_n = sum(v for (t_, _), v in want.items() if t_ == r["true_class"])
+        assert r["row_share"] == r["n"] / row_n
+    # cells sum to the corpus
+    assert sum(got.values()) == len(labels)
