@@ -1245,3 +1245,119 @@ ORDER BY source_a, source_b
 
 QUERIES["text_source_tv_matrix"] = source_tv_matrix
 ORACLES["text_source_tv_matrix"] = ORACLE_SOURCE_TV
+
+
+# --- n-gram-profile language ID (Cavnar–Trenkle) --------------------------
+
+PROFILE_K = 50
+
+
+def langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (Cavnar & Trenkle 1994 —
+    the classic pre-fastText method): train a top-50 trigram profile
+    per labeled language, classify every document by largest profile
+    overlap (ties → lexically first language), report the confusion
+    matrix against the labels. The trainable upgrade of text_lang_id's
+    fixed stopword heuristic — profiles come FROM the corpus, so it
+    ports to any language mix without a word list.
+
+    Testdata note: the synthetic corpus shares one vocabulary across
+    languages, so separability is weak by construction — the checkable
+    content is the exact profile construction (count rank, tie-break)
+    and the overlap argmax, which the oracle pins bit-for-bit.
+
+    Scale shape: trigram postings reduce map-side onto (lang, trigram);
+    profiles are |langs|·50 rows and BROADCAST into the scoring join,
+    so the corpus-sized postings never shuffle for scoring; the argmax
+    is a per-doc window over ≤|langs| candidate rows. The trigram
+    substring lambda captures only a plain column (cheap per-element
+    re-read), not a computed expression — the shingles() trap does not
+    apply."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tg = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    ).localCheckpoint()  # one scan feeds profile training AND scoring
+    # profiles train ONLY on labeled docs: a NULL "language" must not
+    # become a classification candidate (and a NULL cand in the argmax
+    # tie-break hits the engines' NULLS FIRST/LAST asymmetry — the
+    # null-robustness suite caught exactly that); unlabeled docs are
+    # still classified against the labeled profiles
+    ranked = (
+        tg.where(F.col("true_lang").isNotNull())
+        .groupBy(F.col("true_lang").alias("lang"), "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+    )
+    prof = ranked.where(F.col("rn") <= PROFILE_K).select(
+        F.col("lang").alias("cand"), "g"
+    )
+    scored = (
+        tg.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("overlap"), F.asc("cand")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+ORACLE_LANGID_PROFILE = f"""
+WITH tg AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 0)),
+           i -> substring(text, i, 3)))) AS g
+  FROM documents WHERE text IS NOT NULL
+), prof AS (
+  SELECT lang AS cand, g FROM (
+    SELECT true_lang AS lang, g, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY true_lang
+                              ORDER BY COUNT(*) DESC, g) AS rn
+    FROM tg WHERE true_lang IS NOT NULL GROUP BY true_lang, g
+  ) WHERE rn <= {PROFILE_K}
+), scored AS (
+  SELECT t.doc_id, t.true_lang, p.cand, COUNT(*) AS overlap
+  FROM tg t JOIN prof p ON t.g = p.g
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT true_lang, cand AS pred_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY overlap DESC, cand) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["text_langid_ngram_profile"] = langid_ngram_profile
+ORACLES["text_langid_ngram_profile"] = ORACLE_LANGID_PROFILE
