@@ -675,11 +675,17 @@ def test_streaming_gopher_rules_matches_batch(spark, sf_dir, tmp_path):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
     src = tmp_path / "docstream"
     src.mkdir()
+    import os as _os
+    import time as _time
+
     chunk_size = (len(docs) + 3) // 4
+    base_mt = int(_time.time()) - 100
     for chunk in range(4):
-        with open(src / f"c{chunk}.jsonl", "w") as fh:
+        p = src / f"c{chunk}.jsonl"
+        with open(p, "w") as fh:
             for r in docs[chunk * chunk_size : (chunk + 1) * chunk_size]:
                 fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        _os.utime(p, (base_mt + chunk, base_mt + chunk))
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -857,11 +863,20 @@ def test_streaming_dedup_on_ingest_matches_batch_prefix(spark, sf_dir, tmp_path)
     rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
     src = tmp_path / "ingest"
     src.mkdir()
+    import os as _os
+    import time as _time
+
     chunk = (len(rows) + 3) // 4
+    base_mt = int(_time.time()) - 100
     for c in range(4):
-        with open(src / f"c{c}.jsonl", "w") as fh:
+        p = src / f"c{c}.jsonl"
+        with open(p, "w") as fh:
             for r in rows[c * chunk : (c + 1) * chunk]:
                 fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        # FileStreamSource orders by mtime: strictly increasing stamps
+        # pin delivery order = chunk order (same-millisecond writes
+        # otherwise replay in arbitrary order — observed flake)
+        _os.utime(p, (base_mt + c, base_mt + c))
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
