@@ -1333,3 +1333,80 @@ ORDER BY event_type
 
 QUERIES["events_value_percentiles"] = events_value_percentiles
 ORACLES["events_value_percentiles"] = ORACLE_VALUE_PERCENTILES
+
+
+def events_value_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT semantics (linear interpolation) per event type
+    — the ANSI companion of events_value_percentiles' PERCENTILE_DISC:
+    the p-th percentile sits at 0-based position p·(n−1)/100, and when
+    that lands between ranks the value interpolates. Together the two
+    entries cover both standard percentile semantics a reference SQL
+    user expects.
+
+    Exact-arithmetic form: position decomposes INTEGRALLY — lo-rank =
+    (p·(n−1)) DIV 100, remainder f100 = (p·(n−1)) MOD 100 — so the
+    interpolation is v_lo + f100·(v_hi − v_lo)/100.0: three IEEE ops
+    in the same written order in both engines, bit-exact. Same
+    one-window-per-type shape (and the same two-pass histogram-cut
+    100 TB swap) as the DISC entry."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+
+    def pick(p: int):
+        lo_rank = F.expr(f"({p} * (n - 1)) DIV 100") + 1
+        f100 = F.expr(f"({p} * (n - 1)) % 100")
+        v_lo = F.max(F.when(F.col("rn") == lo_rank, F.col("value")))
+        v_hi = F.max(
+            F.when(F.col("rn") == F.least(lo_rank + 1, F.col("n")), F.col("value"))
+        )
+        f_here = F.max(F.when(F.col("rn") == lo_rank, f100))
+        return v_lo + f_here.cast("double") * (v_hi - v_lo) / F.lit(100.0)
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            pick(50).alias("p50"),
+            pick(90).alias("p90"),
+            pick(99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES_CONT = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL
+), pct AS (
+  SELECT event_type, n,
+         MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN value END) AS lo50,
+         MAX(CASE WHEN rn = least((50 * (n - 1)) // 100 + 2, n) THEN value END) AS hi50,
+         MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN value END) AS lo90,
+         MAX(CASE WHEN rn = least((90 * (n - 1)) // 100 + 2, n) THEN value END) AS hi90,
+         MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS lo99,
+         MAX(CASE WHEN rn = least((99 * (n - 1)) // 100 + 2, n) THEN value END) AS hi99
+  FROM ranked
+  GROUP BY event_type, n
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       lo50 + CAST((50 * (n - 1)) % 100 AS DOUBLE) * (hi50 - lo50) / 100.0 AS p50,
+       lo90 + CAST((90 * (n - 1)) % 100 AS DOUBLE) * (hi90 - lo90) / 100.0 AS p90,
+       lo99 + CAST((99 * (n - 1)) % 100 AS DOUBLE) * (hi99 - lo99) / 100.0 AS p99
+FROM pct
+ORDER BY event_type
+"""
+
+QUERIES["events_value_percentiles_cont"] = events_value_percentiles_cont
+ORACLES["events_value_percentiles_cont"] = ORACLE_VALUE_PERCENTILES_CONT
