@@ -513,27 +513,56 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(p·n + 99) DIV 100`` (events_value_percentiles convention) —
     everything integer end to end, no float anywhere.
 
-    Scale shape: two window passes over the same per-type partitioning
-    (lag, then rank — one shuffle, the second window reuses the sort)
-    + one agg onto |event_types| rows."""
+    Scale shape (round-7 swap of the per-type raw-row windows): the
+    adjacent-diff runs inside HOURLY time buckets — the sort window is
+    partitioned by (event_type, hour), so a task holds one type-hour
+    of events, never a type's whole history — and the one gap each
+    bucket boundary hides is stitched exactly: the per-bucket last
+    timestamp (a grid-sized agg) lags over the |types|·|hours| bucket
+    spine and joins back to each bucket's first row. Cross-bucket
+    ordering is strictly by timestamp (same-``us`` ties share a
+    bucket by construction), so the stitched gap multiset is
+    bit-identical to the single-sort form. The rank walk then runs on
+    the (type, gap) count grid — windows over |distinct gaps|, not
+    |events| (events_robust_outliers convention)."""
+    bucket_us = 3_600_000_000  # 1 h; the task-size knob at 100 TB
     ev = t(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("us"), "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    gaps = (
-        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
-        .where(F.col("gap").isNotNull())
-        .select("event_type", "gap")
+    evb = ev.withColumn("bkt", F.expr(f"us DIV {bucket_us}"))
+    w_in = Window.partitionBy("event_type", "bkt").orderBy("us", "event_id")
+    with_lag = evb.withColumn("prev_us", F.lag("us").over(w_in))
+    in_gaps = with_lag.where(F.col("prev_us").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev_us")).alias("gap")
     )
-    wg = Window.partitionBy("event_type").orderBy("gap")
-    ranked = gaps.withColumn("rn", F.row_number().over(wg)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    lasts = evb.groupBy("event_type", "bkt").agg(
+        F.max(F.struct("us", "event_id")).alias("last")
     )
-    pick = lambda p: F.max(
-        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("gap"))
+    w_b = Window.partitionBy("event_type").orderBy("bkt")
+    prevs = lasts.withColumn(
+        "prev_last_us", F.lag("last.us").over(w_b)
+    ).select("event_type", "bkt", "prev_last_us")
+    stitch_gaps = (
+        with_lag.where(F.col("prev_us").isNull())
+        .join(F.broadcast(prevs), ["event_type", "bkt"])
+        .where(F.col("prev_last_us").isNotNull())
+        .select("event_type", (F.col("us") - F.col("prev_last_us")).alias("gap"))
+    )
+    gaps = in_gaps.unionByName(stitch_gaps)
+    grid = gaps.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.min(
+        F.when(F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("gap"))
     )
     return (
-        ranked.groupBy("event_type")
+        c.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_gaps"),
             pick(50).cast("long").alias("p50_us"),
@@ -580,8 +609,14 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one user-keyed agg folds each user to two timestamps
     (map-side partials, conditional min — no self-join of the event
-    table), then one global rank window over the ≤|users| converted
-    rows. Integer microseconds → DIV to seconds, all int64."""
+    table), then the count-grid rank walk (round-7 swap of the global
+    raw-row window): lags reduce to the (lag_s → count) grid and the
+    percentile crossings read the cumulative grid — the only
+    unpartitioned window runs over |distinct whole-second lags|
+    (bounded by the observation span in seconds), never |users|.
+    Integer microseconds → DIV to seconds, all int64; identical values
+    to the raw rank walk since the crossing picks the value at the
+    target rank and the user_id tie-break never changed the value."""
     ev = t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
@@ -601,14 +636,17 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("(first_purchase - first_view) div 1000000").alias("lag_s"),
     )
-    w = Window.orderBy("lag_s", "user_id")
-    ranked = lags.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    grid = lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    pick = lambda p: F.max(
-        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("lag_s"))
+    c = grid.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
     )
-    return ranked.agg(
+    pick = lambda p: F.min(
+        F.when(F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("lag_s"))
+    )
+    return c.agg(
         F.max("n").cast("long").alias("n_converted"),
         F.min("lag_s").cast("long").alias("min_s"),
         pick(50).cast("long").alias("p50_s"),
@@ -1273,13 +1311,17 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break only stabilizes row ORDER (equal doubles yield the same
     value either way), so the selected value is engine-exact.
 
-    Scale shape: ONE window pass (rank within event_type) + one
-    aggregate — the sort is per-type, parallel across types. At 100 TB
-    a per-type full sort is the wrong plan: swap for the two-pass
-    histogram cut (coarse value-bucket counts → exact scan of the one
-    bucket containing each target rank) or t-digest when approximation
-    is acceptable; this exact rank form is the oracle reference those
-    swaps are validated against.
+    Scale shape (the events_robust_outliers count-grid form, round-7
+    swap of the raw-row rank walk): raw events reduce ONCE — with
+    map-side partials — to the (event_type, value) count grid; the
+    cumulative window and the rank crossing then run over |distinct
+    values| grid rows, never |event| rows, so no task ever holds a
+    type's full event set. The crossing ``MIN(value WHERE cum ≥ rank)``
+    selects exactly the value at the target rank (the grid is ordered
+    by value and cum is nondecreasing), so the result is bit-identical
+    to the raw rank walk — the event_id tie-break of the reference
+    form only stabilized row ORDER among equal values, which the grid
+    collapses by construction.
     """
     # NULL values are excluded OUTRIGHT (not ranked): Spark windows
     # default NULLS FIRST, DuckDB NULLS LAST, so a NULL reaching the
@@ -1288,17 +1330,22 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
-        .select("event_type", "value", "event_id")
+        .select("event_type", "value")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    grid = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pick = lambda p: F.max(
-        F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"), F.col("value"))
+    c = grid.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.min(
+        F.when(F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("value"))
     )
     return (
-        ranked.groupBy("event_type")
+        c.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n"),
             F.min("value").alias("v_min"),
@@ -1347,30 +1394,35 @@ def events_value_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame
     (p·(n−1)) DIV 100, remainder f100 = (p·(n−1)) MOD 100 — so the
     interpolation is v_lo + f100·(v_hi − v_lo)/100.0: three IEEE ops
     in the same written order in both engines, bit-exact. Same
-    one-window-per-type shape (and the same two-pass histogram-cut
-    100 TB swap) as the DISC entry."""
+    count-grid scale shape as the DISC entry (one map-side-combined
+    reduce to the (type, value) grid, windows over |distinct values|);
+    CONT just reads TWO crossings — the grid rows bracketing the
+    interpolation position — instead of one."""
     ev = (
         t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
-        .select("event_type", "value", "event_id")
+        .select("event_type", "value")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    grid = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
     )
 
     def pick(p: int):
-        lo_rank = F.expr(f"({p} * (n - 1)) DIV 100") + 1
-        f100 = F.expr(f"({p} * (n - 1)) % 100")
-        v_lo = F.max(F.when(F.col("rn") == lo_rank, F.col("value")))
-        v_hi = F.max(
-            F.when(F.col("rn") == F.least(lo_rank + 1, F.col("n")), F.col("value"))
-        )
-        f_here = F.max(F.when(F.col("rn") == lo_rank, f100))
+        lo_rank = F.expr(f"({p} * (n - 1)) DIV 100 + 1")
+        hi_rank = F.least(F.expr(f"({p} * (n - 1)) DIV 100 + 2"), F.col("n"))
+        v_lo = F.min(F.when(F.col("cum") >= lo_rank, F.col("value")))
+        v_hi = F.min(F.when(F.col("cum") >= hi_rank, F.col("value")))
+        f_here = F.max(F.expr(f"({p} * (n - 1)) % 100"))
         return v_lo + f_here.cast("double") * (v_hi - v_lo) / F.lit(100.0)
 
     return (
-        ranked.groupBy("event_type")
+        c.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n"),
             pick(50).alias("p50"),

@@ -96,7 +96,17 @@ def eval_auc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as one hash-agg per distinct score then an ordered prefix
     sum: num2 = Σ_s np_s·(2·cum_nn_below(s) + nn_s) (doubled to stay
     integral), AUC = num2 / (2·n_pos·n_neg). Single float division at
-    the end — bit-exact vs the oracle."""
+    the end — bit-exact vs the oracle.
+
+    The prefix sum is RANGE-PARTITIONED (round-7 swap of the global
+    single-partition window): scores bucket by their high bits
+    (``s >> 20`` — arithmetic shift, monotone for negatives), a
+    grid-sized pass computes each bucket's negative-count offset
+    (|buckets| ≈ score-range/2²⁰ ≈ 210 rows — the only unpartitioned
+    window), and the within-bucket prefix runs partitioned by bucket.
+    cum_nn = bucket offset + in-bucket prefix, identical term by term
+    to the global walk — no task ever sorts more than one bucket of
+    the per-score table."""
     scored = _quantized(spark, sf_dir).select(
         _dot(F.col("qe"), _coef_binary()).alias("s"),
         F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
@@ -104,10 +114,20 @@ def eval_auc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("long").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+    ).withColumn("rb", F.shiftright("s", 20))
+    btot = per_score.groupBy("rb").agg(F.sum("nn").alias("nn_b"))
+    w_b = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    boffs = btot.withColumn(
+        "nn_before", F.coalesce(F.sum("nn_b").over(w_b), F.lit(0))
+    ).select("rb", "nn_before")
+    w_in = Window.partitionBy("rb").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    with_cum = per_score.withColumn(
-        "cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long")
+    with_cum = per_score.join(F.broadcast(boffs), "rb").withColumn(
+        "cum_nn",
+        (
+            F.col("nn_before") + F.coalesce(F.sum("nn").over(w_in), F.lit(0))
+        ).cast("long"),
     )
     agg = with_cum.agg(
         F.sum("np").cast("long").alias("n_pos"),
@@ -446,11 +466,27 @@ ORACLES = {
 
 # --- probe agreement: exact Kendall tau-b --------------------------------
 
-KT_BLOCKS = 8
+# Per-block row target: a block-pair task's sign matrices are
+# KT_BLOCK_ROWS² int8 cells (512² = 256 KiB) — constant task memory
+# and arithmetic at ANY corpus size once B derives from n.
+KT_BLOCK_ROWS = 512
+KT_MIN_BLOCKS = 2
+
+
+def kt_auto_blocks(n: int, target_rows: int = KT_BLOCK_ROWS) -> int:
+    """Scale-prescribed block count (the auto_planes/auto_tables
+    convention): B = ceil(n / target_rows), floored at KT_MIN_BLOCKS,
+    so the largest block task touches ~(n/B)² ≤ target_rows² pairs —
+    the 2/B² max-task share bound holds at any n instead of only at
+    the n the old fixed B=8 was tuned for. Pinned in
+    tests/test_scaling_curve.py::test_kendall_pair_work_distributed."""
+    if n <= 1:
+        return KT_MIN_BLOCKS
+    return max(KT_MIN_BLOCKS, -(-n // target_rows))
 
 
 def eval_kendall_tau(
-    spark: SparkSession, sf_dir: str, n_blocks: int = KT_BLOCKS
+    spark: SparkSession, sf_dir: str, n_blocks: int | None = None
 ) -> DataFrame:
     """Exact Kendall tau-b rank agreement between two probes (the
     binary probe and class-0's probe) — the metric that answers "do
@@ -467,8 +503,11 @@ def eval_kendall_tau(
     where each cogroup task counts its block pair in one vectorized
     numpy pass and emits FIVE scalars — the shuffle carries n·B rows
     in and B² 5-int rows out, never n² pairs. The sign matrices are
-    int8, so a task's memory is block_size² bytes. At 100 TB you raise
-    B; the per-task arithmetic is unchanged."""
+    int8, so a task's memory is block_size² bytes. B AUTO-SCALES with
+    the corpus (kt_auto_blocks: B = ceil(n/512), one count() of the
+    already-checkpointed score table) so per-task pair work stays
+    ~512² at any n — raising the corpus raises the task COUNT, never
+    the task size."""
     base = (
         _quantized(spark, sf_dir)
         .select(
@@ -476,8 +515,14 @@ def eval_kendall_tau(
             _dot(F.col("qe"), _coef_binary()).alias("sa"),
             _dot(F.col("qe"), _coef_class(0)).alias("sb"),
         )
-        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .localCheckpoint()  # one scan+score feeds both cogroup sides
+        # (and the auto-block count() below reads this checkpoint, not
+        # a second corpus scan)
+    )
+    if n_blocks is None:
+        n_blocks = kt_auto_blocks(base.count())
+    base = base.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
@@ -621,17 +666,44 @@ def eval_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NTILE over a deterministic total order (score, vec_id) buckets
     identically in both engines; counts are exact ints, pos_rate is
-    the single-division convention. Scale note: the global NTILE sort
-    is the reference semantics; at 100 TB swap the cut for
-    range-partitioned quantile boundaries and keep this as the oracle.
+    the single-division convention.
+
+    Scale shape (round-7 swap of the global NTILE sort): global ranks
+    come from the score count grid — per-distinct-score row counts,
+    cumulative offsets over |distinct scores| (range-bounded, the
+    eval_auc_binary argument), joined back on the score — plus a
+    per-score row_number window partitioned by ``s``; NTILE's bucket
+    assignment is then the CLOSED FORM of its size rule (first
+    ``n MOD 10`` buckets hold ``n DIV 10 + 1`` rows, the rest
+    ``n DIV 10``), evaluated per row. No unpartitioned raw-row sort
+    anywhere; bit-identical to NTILE because the (off + within-score
+    rank) pair IS the (s, vec_id) global rank. The score-grid shuffle
+    co-partitions the join and the per-score window — one exchange of
+    the scored rows total.
     """
     scored = _quantized(spark, sf_dir).select(
         "vec_id",
         _dot(F.col("qe"), _coef_binary()).alias("s"),
         F.when(F.col("label") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
-    w = Window.orderBy("s", "vec_id")
-    g = scored.withColumn("decile", F.ntile(10).over(w)).groupBy("decile").agg(
+    per_s = scored.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_g = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_s.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_g), F.lit(0)).cast("long")
+    ).withColumn("n_all", F.sum("cnt").over(Window.partitionBy()).cast("long"))
+    w_s = Window.partitionBy("s").orderBy("vec_id")
+    ranked = (
+        scored.join(offs.select("s", "off", "n_all"), "s")
+        .withColumn("rn", F.col("off") + F.row_number().over(w_s))
+        .withColumn("q", F.expr("n_all DIV 10"))
+        .withColumn("r", F.expr("n_all % 10"))
+    )
+    decile = F.expr(
+        "CASE WHEN q = 0 THEN rn "
+        "WHEN rn <= r * (q + 1) THEN (rn + q) DIV (q + 1) "
+        "ELSE r + (rn - r * (q + 1) + q - 1) DIV q END"
+    )
+    g = ranked.withColumn("decile", decile.cast("int")).groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
         F.min("s").alias("s_min"),

@@ -500,12 +500,84 @@ def test_eval_class_scores_broadcast_cross_join(spark, sf_dir):
     assert plan_s.count("FileScan") == 1, "embeddings must be scanned once"
 
 
-def test_eval_auc_is_join_free_with_partial_agg(spark, sf_dir):
-    """AUC = hash agg per score + one tiny window: no join anywhere,
-    map-side partials on the score agg."""
+def test_eval_auc_range_partitioned_prefix(spark, sf_dir):
+    """AUC = hash agg per score + a range-partitioned prefix walk: the
+    only join is the BROADCAST of the ~210-row bucket-offset table,
+    map-side partials on the score agg, and the single-partition
+    exchange (the bucket-offset window) sits above aggregates only —
+    never above raw score rows."""
     plan = plan_of(QUERIES["eval_auc_binary"](spark, sf_dir))
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
+    simple = plan_of(QUERIES["eval_auc_binary"](spark, sf_dir), mode="simple")
+    _assert_single_partition_only_above_aggregates(simple)
+
+
+def _assert_single_partition_only_above_aggregates(plan: str) -> None:
+    """Every Exchange SinglePartition (an unpartitioned window's
+    shuffle) must have an aggregate BELOW it — i.e. it only ever moves
+    a grid/aggregate-sized table to one task, never raw rows. Simple-
+    mode plans print parents before children, so 'below' = 'after'."""
+    idx = 0
+    while True:
+        i = plan.find("Exchange SinglePartition", idx)
+        if i == -1:
+            break
+        assert "HashAggregate" in plan[i:], (
+            "single-partition exchange over non-aggregated (raw-row) input"
+        )
+        idx = i + 1
+
+
+def _assert_windows_above_aggregates(plan: str) -> None:
+    """The bottom-most Window must still have an aggregate below it:
+    rank walks run over the count grid, never raw rows."""
+    wi = plan.rindex("Window")
+    assert "HashAggregate" in plan[wi:], (
+        "found a Window with no aggregate below it (raw-row rank walk)"
+    )
+
+
+def test_percentile_family_rank_walks_on_count_grid(spark, sf_dir):
+    """Round-7 contract for the exact order-statistics family: every
+    rank/percentile window runs over the (key, value) COUNT GRID (an
+    aggregate below every window) and any single-partition exchange
+    moves grid rows only — the raw-row single-task sort shape is
+    forbidden (mirror of test_rolling_wau_joins_deduped_pairs_not_events)."""
+    for name in (
+        "events_value_percentiles",
+        "events_value_percentiles_cont",
+        "events_conversion_lag",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+        _assert_windows_above_aggregates(plan)
+        _assert_single_partition_only_above_aggregates(plan)
+
+
+def test_interarrival_bucketed_lag_and_grid_walk(spark, sf_dir):
+    """events_interarrival_stats: the adjacent-diff window is
+    partitioned by (event_type, hour-bucket) — never a bare
+    per-type partitioning whose task holds a type's full history —
+    and the gap rank walk runs on the count grid (single-partition
+    exchanges above aggregates only)."""
+    plan = plan_of(QUERIES["events_interarrival_stats"](spark, sf_dir), mode="simple")
+    _assert_single_partition_only_above_aggregates(plan)
+    assert "bkt" in plan, "hourly bucket column missing from the lag window"
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "us#" in spec:  # the raw-row lag window
+            assert "bkt" in spec, f"raw-row window not bucket-partitioned: {spec}"
+
+
+def test_score_deciles_no_global_sort(spark, sf_dir):
+    """eval_score_deciles: NTILE's closed form — no unpartitioned
+    raw-row window; the only single-partition exchange carries the
+    per-score grid, and the per-score row_number is partitioned by s."""
+    plan = plan_of(QUERIES["eval_score_deciles"](spark, sf_dir), mode="simple")
+    _assert_single_partition_only_above_aggregates(plan)
+    assert "ntile" not in plan.lower(), "global NTILE crept back in"
 
 
 def test_vocab_coverage_broadcasts_k_table(spark, sf_dir):

@@ -170,11 +170,20 @@ def test_kendall_pair_work_distributed(work):
     """eval_kendall_tau is O(n²) BY DEFINITION; the scale property is
     the distribution bound: total == C(n,2) by construction and the
     largest single block task touches ~(n/B)² pairs — i.e. ≤ 2/B² of
-    the total with even blocks (≤ 4/B² allowing 2× block skew)."""
+    the total with even blocks (≤ 4/B² allowing 2× block skew). B is
+    DERIVED from n (kt_auto_blocks, round-7): the pin checks the
+    derivation itself — B == ceil(n/512) floored at 2 — and the bound
+    at that derived B at EVERY measured scale, so per-task pair work
+    is capped near 512² however large the corpus grows."""
     from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
-        KT_BLOCKS,
+        KT_BLOCK_ROWS,
+        KT_MIN_BLOCKS,
+        kt_auto_blocks,
     )
 
     for w in work:
         total = w["kendall_total_pairs"]
-        assert w["kendall_max_task_pairs"] <= max(4 * total // (KT_BLOCKS**2), 1)
+        b = kt_auto_blocks(w["n_emb"])
+        assert b == max(KT_MIN_BLOCKS, -(-w["n_emb"] // KT_BLOCK_ROWS))
+        assert w.get("kendall_blocks", b) == b
+        assert w["kendall_max_task_pairs"] <= max(4 * total // (b**2), 1)

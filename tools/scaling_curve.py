@@ -259,12 +259,14 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     # largest single task touches ≤ ceil(n/B)·(ceil(n/B)+skew) pairs.
     # Both terms counted from the operator's own block assignment.
     from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
-        KT_BLOCKS,
+        kt_auto_blocks,
     )
 
+    kt_b = kt_auto_blocks(n_emb)
+    out["kendall_blocks"] = kt_b
     blk_sizes = [
         int(r["n"])
-        for r in emb.select(F.pmod("vec_id", F.lit(KT_BLOCKS)).alias("blk"))
+        for r in emb.select(F.pmod("vec_id", F.lit(kt_b)).alias("blk"))
         .groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
