@@ -1759,6 +1759,14 @@ def trend_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals cast to double; delta/pct are IEEE ops on identical
     inputs, pct is the single-division rule).
 
+    Gap semantics (documented contract): ``prev_revenue`` is the last
+    POPULATED month's figure, not strictly the previous calendar month
+    — LAG runs over existing month rows, so across a calendar gap
+    delta/pct compare non-adjacent months (both engines agree; a
+    strict calendar-MoM needs a densified min..max month spine before
+    the lag, which changes the row set). The TPC-H order stream has no
+    empty months, so the two readings coincide on every test SF.
+
     Shape: one month-keyed hash agg with map-side partials, then a lag
     window over the ≤|months| aggregate rows — nothing order-grain
     past the first agg."""

@@ -376,10 +376,20 @@ class StreamingSqlSession:
             sql,
             re.IGNORECASE,
         )
-        # a comma also separates SELECT-list items and function args —
-        # harmless: the probes below skip names that aren't registered
-        # views, so only genuine table refs can ever bind a watermark.
-        alias_map = {a: v for v, a in refs if a}
+        # a comma also separates SELECT-list items and function args,
+        # so a SELECT-list fragment like `a, b c` would capture a
+        # spurious c→b pair — and last-write-wins could SHADOW a
+        # genuine table alias of the same name. Admit a pair into the
+        # alias map only when its target is a registered relation:
+        # spurious captures point at column names, which aren't.
+        def _is_relation(name: str) -> bool:
+            try:
+                self.spark.table(name)
+                return True
+            except Exception:
+                return False
+
+        alias_map = {a: v for v, a in refs if a and _is_relation(v)}
         if "." in col:
             alias, bare = col.split(".", 1)
             view = alias_map.get(alias, alias)
