@@ -27,8 +27,9 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram.QUERY,
     "dedup_dup_spans": spans.QUERY,
     "dedup_scrub_spans": spans.scrub_dup_spans,
-    # iterative (driver loop) — no closed-form SQL twin; its invariant
-    # is hash-checked by dedup_scrub_fixpoint_check in properties.py
+    # iterative (driver loop); oracled since round 7 via the unrolled
+    # 8-pass CTE chain (spans.ORACLE_SCRUB_FIXPOINT) AND hash-checked
+    # by dedup_scrub_fixpoint_check in properties.py
     "dedup_scrub_fixpoint": spans.scrub_spans_fixpoint,
     "dedup_scrub_intra": spans.scrub_intra_doc_repeats,
     "dedup_minhash_lsh": minhash.QUERY,
@@ -56,6 +57,10 @@ ORACLES = {
     "dedup_ngram_jaccard": ngram.ORACLE,
     "dedup_dup_spans": spans.ORACLE,
     "dedup_scrub_spans": spans.ORACLE_SCRUB,
+    # round-7 promotion (verdict ask #7): the driver loop's 6+1 passes
+    # unrolled as an idempotent 8-pass CTE chain — full value-hash
+    # oracle instead of rows-only + property companion
+    "dedup_scrub_fixpoint": spans.ORACLE_SCRUB_FIXPOINT,
     "dedup_scrub_intra": spans.ORACLE_INTRA,
     "dedup_incremental": incremental.ORACLE,
     "dedup_semantic": semantic.ORACLE,

@@ -212,7 +212,7 @@ def _true_token_count(text_col) -> "F.Column":
 
 
 def scrub_spans_fixpoint(
-    spark: SparkSession, sf_dir: str, k: int = 3, max_iters: int = 6
+    spark: SparkSession, sf_dir: str, k: int = 3, max_iters: int = 40
 ) -> DataFrame:
     """Iterate scrub_pass until NO k-token shingle occurs in ≥ 2
     documents (removing a span can make its neighbors adjacent and
@@ -224,8 +224,15 @@ def scrub_spans_fixpoint(
     emptiness of the post-fixpoint duplicate set is the hash-checked
     companion (`dedup_scrub_fixpoint_check`). Convergence: every pass
     that removes anything removes ≥ k tokens from some doc, so passes
-    strictly shrink the corpus; real corpora settle in 2-3 passes
-    (sf0.01: 2). Each pass localCheckpoints so the loop's lineage (and
+    strictly shrink the corpus and the fixpoint EXISTS; the loop runs
+    until a pass removes nothing (sf0.01: 6 shrinking passes + the
+    confirming one), with ``max_iters`` as a hard safety cap that now
+    RAISES instead of silently returning a pre-fixpoint corpus — the
+    companion check treats post-fixpoint emptiness as an invariant, so
+    an exhausted budget must be loud (round-6 advisor finding: the old
+    cap of 6 exited early on this very corpus and only the check's
+    own re-scrub being empty saved it). Each pass localCheckpoints so
+    the loop's lineage (and
     the per-pass `removed` scalar read on the driver) stays bounded —
     the same iterative-operator discipline as graph_pagerank."""
     docs = (
@@ -235,12 +242,23 @@ def scrub_spans_fixpoint(
     )
     orig = docs.select("doc_id", _true_token_count(F.col("text")).alias("n_orig"))
     cur = docs
+    removed = 0
     for _ in range(max_iters):
         out = scrub_pass(cur, k).localCheckpoint()
         removed = out.agg(F.sum("n_removed")).collect()[0][0] or 0
         cur = out.select("doc_id", F.col("clean_text").alias("text"))
         if removed == 0:
             break
+    if removed != 0:
+        # the companion check treats post-fixpoint emptiness as a hard
+        # invariant — a silent early exit would blame the operator for
+        # what is actually an exhausted iteration budget
+        raise RuntimeError(
+            f"scrub_spans_fixpoint: iteration budget max_iters={max_iters} "
+            f"exhausted with {removed} tokens still being removed — raise "
+            "max_iters (each pass strictly shrinks the corpus, so the "
+            "fixpoint exists)"
+        )
     final = cur.select(
         "doc_id",
         F.col("text").alias("clean_text"),
@@ -351,3 +369,81 @@ SELECT sh.doc_id, COUNT(*) AS n_dup_shingles
 FROM sh JOIN dup USING (s)
 GROUP BY sh.doc_id
 """
+
+def _fixpoint_pass_cte(prev: str, i: int) -> str:
+    """One unrolled scrub pass as SQL CTEs: corpus ``{prev}``
+    (doc_id, tk VARCHAR[]) → corpus ``c{i}`` — the exact ORACLE_SCRUB
+    body re-expressed over token LISTS so passes chain without string
+    round-trips (re-splitting a joined token list is the identity, so
+    the list form matches the engine's text-carrying loop exactly).
+
+    ``AS MATERIALIZED`` on sh{i}/c{i} is load-bearing: DuckDB inlines
+    plain CTEs, and each pass references its predecessor three times —
+    an unmaterialized 8-pass chain expands to 3⁸ scans of
+    ``documents`` (observed: fd exhaustion before any result)."""
+    return f"""
+, sh{i} AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+    FROM {prev}
+  )
+), cuts{i} AS (
+  SELECT DISTINCT q.doc_id, q.pos + d.d AS pos
+  FROM (
+    SELECT sh.doc_id, sh.pos
+    FROM sh{i} sh JOIN (
+      SELECT s, doc_id,
+             COUNT(*) OVER (PARTITION BY s) AS n_docs,
+             MIN(doc_id) OVER (PARTITION BY s) AS keeper
+      FROM (SELECT DISTINCT s, doc_id FROM sh{i})
+    ) m ON sh.s = m.s AND sh.doc_id = m.doc_id
+    WHERE m.n_docs >= 2 AND m.doc_id <> m.keeper
+  ) q, (SELECT unnest(generate_series(0, 2)) AS d) d
+), kept{i} AS (
+  SELECT t.doc_id, list(t.tok ORDER BY t.pos) AS tk
+  FROM (
+    SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+    FROM (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM {prev}
+    )
+  ) t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts{i} c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+  GROUP BY t.doc_id
+), c{i} AS MATERIALIZED (
+  SELECT p.doc_id, COALESCE(k.tk, CAST([] AS VARCHAR[])) AS tk
+  FROM {prev} p LEFT JOIN kept{i} k USING (doc_id)
+)"""
+
+
+# How many passes the unrolled oracle carries. Measured: BOTH on-disk
+# corpora (sf0.01 AND sf0.1) reach the fixpoint in 6 shrinking passes
+# + 1 confirming pass; a pass over a converged corpus is the IDENTITY
+# (no shingle occurs twice, so the cut set is empty), so unrolling one
+# spare pass is harmless and buys convergence slack. If a future
+# corpus needs more, the engine side raises (max_iters exhaustion) and
+# this constant is the matching oracle knob.
+FIXPOINT_ORACLE_PASSES = 8
+
+ORACLE_SCRUB_FIXPOINT = (
+    """
+WITH c0 AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+)"""
+    + "".join(
+        _fixpoint_pass_cte(f"c{i - 1}", i)
+        for i in range(1, FIXPOINT_ORACLE_PASSES + 1)
+    )
+    + f"""
+SELECT c0.doc_id,
+       -- DuckDB's array_to_string([]) is NULL, not '' — coalesce to
+       -- match the engine's fully-scrubbed-doc convention
+       COALESCE(array_to_string(cf.tk, ' '), '') AS clean_text,
+       CAST(len(c0.tk) - len(cf.tk) AS BIGINT) AS n_removed
+FROM c0 JOIN c{FIXPOINT_ORACLE_PASSES} cf USING (doc_id)
+"""
+)

@@ -22,11 +22,12 @@ TABLE, not the corpus:
 
 Determinism: counts are integers; the winning pair tie-breaks
 lexicographically — so the merge list is reproducible run-to-run and
-engine-independent. No SQL oracle (the loop re-segments state
-iteratively — not expressible in one SQL statement); correctness is a
-randomized differential against a pure-Python reference implementation
-in tests/test_bpe_train.py, the same pattern as the DSIR and
-incremental-dedup differentials.
+engine-independent. Correctness is triple-checked: a randomized
+differential against a pure-Python reference in tests/test_bpe_train.py
+(the DSIR / incremental-dedup pattern), PLUS — since round 7 — a full
+DuckDB value-hash oracle (ORACLE_TRAIN_MERGES / ORACLE_ENCODE_CORPUS
+below): the merge loop unrolled as N_MERGES chained CTE stages with
+the greedy apply as a bounded per-word recursive walk.
 """
 
 from __future__ import annotations
@@ -107,8 +108,9 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: N_MERGES BPE merges trained on the documents
     table; output (rank, left, right, merged, pair_count) — the merge
-    table a tokenizer would ship. Rows-only (iterative; differential
-    vs a pure-Python reference in tests)."""
+    table a tokenizer would ship. Full-oracle since round 7
+    (ORACLE_TRAIN_MERGES) + differential vs a pure-Python reference
+    in tests."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens("text")).alias("w"))
@@ -156,8 +158,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup. 100 TB of text encodes through a vocabulary-sized
     UDF, never a corpus-sized one.
 
-    Rows-only (iterative training upstream); differential-tested
-    against the pure-Python encoder in tests/test_bpe_train.py.
+    Full-oracle since round 7 (ORACLE_ENCODE_CORPUS — the unrolled
+    train chain's final word table IS the encoded vocabulary);
+    differential-tested against the pure-Python encoder in
+    tests/test_bpe_train.py.
     """
     docs = t(spark, sf_dir, "documents")
     words = (
@@ -200,3 +204,126 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_encode_corpus"] = bpe_encode_corpus
+
+# --- round-7 promotion: full SQL oracle for the training loop ----------
+#
+# The merge loop unrolls into N_MERGES chained CTE stages (the same
+# unrolled-CTE technique as emb_kmeans_train and the scrub-fixpoint
+# oracle): stage i counts adjacent pairs over the stage-(i-1) word
+# table, elects the (count DESC, l, r) winner, and applies the greedy
+# left-to-right NON-OVERLAPPING merge — the only genuinely sequential
+# part — as a per-word recursive walk (cursor j advances +2 on a merge,
+# +1 otherwise; ≤ |word|+1 levels over the ~vocab-sized word table, so
+# the recursion is bounded and tiny). MATERIALIZED is load-bearing:
+# each stage references its predecessor multiple times and DuckDB
+# inlines plain CTEs (see spans._fixpoint_pass_cte).
+
+
+def _bpe_stage_cte(prev: str, i: int) -> str:
+    return f"""
+, p{i} AS MATERIALIZED (
+  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS j
+    FROM {prev}
+  )
+  GROUP BY 1, 2
+), t{i} AS MATERIALIZED (
+  SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1
+), r{i} AS (
+  SELECT wid, w, cnt, syms, 1 AS j, CAST([] AS VARCHAR[]) AS out FROM {prev}
+  UNION ALL
+  SELECT q.wid, q.w, q.cnt, q.syms,
+         CASE WHEN q.j < len(q.syms) AND q.syms[q.j] = t.l
+                   AND q.syms[q.j + 1] = t.r
+              THEN q.j + 2 ELSE q.j + 1 END,
+         CASE WHEN q.j < len(q.syms) AND q.syms[q.j] = t.l
+                   AND q.syms[q.j + 1] = t.r
+              THEN list_append(q.out, t.l || t.r)
+              ELSE list_append(q.out, q.syms[q.j]) END
+  FROM r{i} q, t{i} t
+  WHERE q.j <= len(q.syms)
+), s{i} AS MATERIALIZED (
+  SELECT wid, w, cnt, out AS syms FROM r{i} WHERE j = len(syms) + 1
+)"""
+
+
+ORACLE_TRAIN_MERGES = (
+    """
+WITH RECURSIVE s0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
+         list_append(
+           list_transform(generate_series(1, length(w)), i -> w[i]), '</w>'
+         ) AS syms
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    )
+    WHERE length(w) > 0
+    GROUP BY w
+  )
+)"""
+    + "".join(_bpe_stage_cte(f"s{i - 1}", i) for i in range(1, N_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, l AS "left", r AS "right",'
+        f' l || r AS merged, n AS pair_count FROM t{i}'
+        for i in range(1, N_MERGES + 1)
+    )
+    + "\nORDER BY rank\n"
+)
+
+ORACLES["bpe_train_merges"] = ORACLE_TRAIN_MERGES
+
+# Encode oracle: after the training chain, the FINAL word table s{N}
+# already holds every distinct word's fully-merged symbol sequence —
+# applying the merge list in training order to a word is exactly what
+# the chain did to it (encode_word replays training's apply steps).
+# So the encode oracle is the train chain + a per-doc rollup join of
+# the documents' word counts against len(s{N}.syms).
+_ENCODE_CHAIN = """
+WITH RECURSIVE s0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt,
+         list_append(
+           list_transform(generate_series(1, length(w)), i -> w[i]), '</w>'
+         ) AS syms
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    )
+    WHERE length(w) > 0
+    GROUP BY w
+  )
+)""" + "".join(_bpe_stage_cte(f"s{i - 1}", i) for i in range(1, N_MERGES + 1))
+
+ORACLE_ENCODE_CORPUS = (
+    _ENCODE_CHAIN
+    + f"""
+, vocab AS MATERIALIZED (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM s{N_MERGES}
+), pdw AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE length(w) > 0
+  GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_syms) AS BIGINT) AS n_bpe_symbols,
+       CAST(SUM(c * (length(w) + 1)) AS BIGINT) AS n_chars_eow,
+       CAST((1000 * SUM(c * (length(w) + 1))) // SUM(c * n_syms) AS BIGINT)
+         AS compression_milli
+FROM pdw JOIN vocab USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+ORACLES["bpe_encode_corpus"] = ORACLE_ENCODE_CORPUS
