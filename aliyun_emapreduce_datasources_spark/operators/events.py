@@ -542,9 +542,22 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevs = lasts.withColumn(
         "prev_last_us", F.lag("last.us").over(w_b)
     ).select("event_type", "bkt", "prev_last_us")
+    # NULL-SAFE on event_type: a NULL type is a legitimate group (both
+    # engines window/group it), and a SPARSE type's gaps are almost all
+    # cross-bucket stitches — a plain equi-join would silently drop
+    # every one of them (caught by the null-robustness suite)
+    prevs2 = prevs.select(
+        F.col("event_type").alias("p_et"),
+        F.col("bkt").alias("p_bkt"),
+        "prev_last_us",
+    )
     stitch_gaps = (
         with_lag.where(F.col("prev_us").isNull())
-        .join(F.broadcast(prevs), ["event_type", "bkt"])
+        .join(
+            F.broadcast(prevs2),
+            F.col("event_type").eqNullSafe(F.col("p_et"))
+            & (F.col("bkt") == F.col("p_bkt")),
+        )
         .where(F.col("prev_last_us").isNotNull())
         .select("event_type", (F.col("us") - F.col("prev_last_us")).alias("gap"))
     )

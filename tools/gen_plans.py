@@ -47,7 +47,12 @@ COMMENT = {
     "events_sessionize": "ONE hashpartitioning Exchange on user_id serves the lag window, the running session-id sum, and the per-session aggregate — three logical passes, one shuffle, no joins.",
     "dedup_scrub_spans": "Keeper election is a window over 64-bit shingle hashes (8-byte shuffle keys, no raw-string shuffle); cut positions explode only from non-keeper duplicated postings; reconstruction is ONE anti-join on (doc_id, pos) — every documents scan is pruned to doc_id+text, and nothing is ever all-pairs.",
     "dedup_scrub_intra": "The repeat test is a window keyed (doc_id, shingle-hash) — the doc id rides in the partition key, so a globally popular shingle never concentrates on one reducer; cuts and reconstruction reuse the same anti-join shape as the cross-doc scrub.",
-    "eval_auc_binary": "No join anywhere: probe score is an in-row zip_with/aggregate fold, per-score partials reduce map-side into one hash agg, and the prefix-sum Window runs over the distinct-score table only — the corpus never sorts.",
+    "eval_auc_binary": "Probe score is an in-row zip_with/aggregate fold; per-score partials reduce map-side into one hash agg; the prefix walk is RANGE-PARTITIONED (round 7): the only single-partition Window runs over the ~210-row bucket-offset table (shiftright(s,20) buckets), which joins back as BroadcastHashJoin, and the within-bucket prefix Window is partitioned by bucket — no task sorts more than one bucket of the per-score table.",
+    "events_value_percentiles": "Count-grid order statistics (round 7): events reduce ONCE with partial+final HashAggregate to the (type, value) grid; the cumulative and rank-crossing Windows are partitioned by type and run over |distinct values| grid rows — no raw-row sort window anywhere.",
+    "events_value_percentiles_cont": "Same grid plan as the DISC entry; CONT reads TWO crossings (the bracketing grid rows) and interpolates in-row — aggregates below every Window.",
+    "events_conversion_lag": "User timelines fold via ONE map-side-combined conditional-min aggregate; lags reduce to the (lag_s) grid; the single-partition Window sits above that aggregate and spans |distinct whole-second lags|, never |users|.",
+    "events_interarrival_stats": "Adjacent-diff Window is partitioned by (event_type, HOUR bucket) — a task holds one type-hour, not a type's history; the one hidden gap per boundary is stitched by lagging the bucket-spine last-timestamp table (grid-sized) and joining it back broadcast; the percentile walk then runs on the (type, gap) count grid.",
+    "eval_score_deciles": "NTILE's closed form: per-score grid offsets (single-partition Window above the score aggregate only), one hash join back on s co-partitioned with the per-score row_number Window, bucket assignment as in-row integer arithmetic — the scored rows shuffle ONCE and never globally sort.",
     "eval_class_prf": "The 10-class probe fan-out is a BroadcastNestedLoopJoin of bytes; argmax compiles to WindowGroupLimit (partial per-partition rank cut before the vec_id shuffle); BOTH confusion margins come from ONE explode-contribution pass — a single FileScan, no self-join diamond.",
     "eval_mrr_at_k": "Same block-cogroup kernel as emb_label_noise_knn (FlatMapCoGroupsInPandas over a broadcast grid); candidates entering the global first-hit window are bounded n.B.k; label totals join back broadcast-size.",
     "eval_kendall_tau": "Upper-triangle block grid via BroadcastHashJoin replication; each FlatMapCoGroupsInPandas task reduces its block pair to FIVE int64 scalars, so the post-kernel aggregate sees B² rows — pair volume never shuffles.",

@@ -384,6 +384,70 @@ def run(spark: SparkSession) -> dict:
     return res
 
 
+# size base each work metric scales against, for the 3-point fit
+_FIT_BASE = {
+    "minhash_candidates": "n_docs",
+    "simhash_candidates": "n_docs",
+    "simhash_emitted": "n_docs",
+    "winnow_candidates": "n_docs",
+    "winnow_prefix_gen": "n_docs",
+    "winnow_prefix_verify": "n_docs",
+    "winnow_prefix_work": "n_docs",
+    "n_tokens": "n_docs",
+    "scrub_postings": "n_tokens",
+    "scrub_dup_postings": "n_tokens",
+    "scrub_removed_tokens": "n_tokens",
+    "novelty_postings": "n_tokens",
+    "bloom_probes": "n_tokens",
+    "tv_join_rows": "n_tokens",
+    "embedding_lsh_comparisons": "n_emb",
+    "embedding_scaled_comparisons": "n_emb",
+    "covariance_pair_rows": "n_emb",
+    "kendall_total_pairs": "n_emb",
+    "wau_pairs": "n_events",
+    "wau_fanout_rows": "n_events",
+}
+
+
+def fit3(spark: SparkSession, dirs: list[str]) -> dict:
+    """Three-point scaling fit (round-6 verdict ask #4): measure the
+    work counts at each dir and fit log(count) ~ exponent·log(base)
+    by least squares — the recorded evidence is a fitted EXPONENT over
+    a decade-and-a-half of scale, not one 10× ratio. The quadratic
+    reference exponent is 2.0 against the same base."""
+    import math
+
+    works = [measure_work(spark, d) for d in dirs]
+
+    def _slope(xs: list[float], ys: list[float]) -> float:
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        den = sum((x - mx) ** 2 for x in xs)
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+
+    fits = {}
+    for k, base in _FIT_BASE.items():
+        if any(k not in w or base not in w for w in works):
+            continue
+        xs = [math.log(max(w[base], 1)) for w in works]
+        ys = [math.log(max(w[k], 1)) for w in works]
+        fits[k] = {
+            "base": base,
+            "points": {w[base]: w[k] for w in works},
+            "exponent": round(_slope(xs, ys), 3),
+        }
+    return {
+        "dirs": dirs,
+        "work": works,
+        "fit": fits,
+        "kendall_max_task_share": [
+            round(w["kendall_max_task_pairs"] / max(w["kendall_total_pairs"], 1), 4)
+            for w in works
+        ],
+        "kendall_blocks": [w.get("kendall_blocks") for w in works],
+    }
+
+
 if __name__ == "__main__":
     import json
     import os
@@ -392,4 +456,12 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from aliyun_emapreduce_datasources_spark.session import get_session
 
-    print(json.dumps(run(get_session("scaling-curve")), indent=2))
+    if len(sys.argv) > 1 and sys.argv[1] == "--three":
+        third = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scaling_sf1"
+        print(
+            json.dumps(
+                fit3(get_session("scaling-curve"), [*SF_DIRS, third]), indent=2
+            )
+        )
+    else:
+        print(json.dumps(run(get_session("scaling-curve")), indent=2))
