@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import _O_BG, shingles, tokens
-from aliyun_emapreduce_datasources_spark.operators.common import md5_bucket, t
+from aliyun_emapreduce_datasources_spark.operators.common import bucketed_rank, md5_bucket, ntile_case, t
 
 __all__ = ["dsir_importance", "lm_bigram_surprise", "QUERIES", "ORACLES"]
 
@@ -205,25 +205,34 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division, so the tercile ordering (score asc, doc_id asc) is
     bit-identical across engines and NTILE boundaries cannot flip.
 
-    Scale shape: rides lm_bigram_surprise's plan (vocabulary-bounded
-    LM tables, one doc_id shuffle), then ONE additional shuffle on
-    ``lang`` for the ranking window. A language is a coarse partition
-    key (heavy skew toward 'en' at web scale) — at 100 TB the NTILE
-    swaps for a two-pass approx-quantile cut (computed per lang on the
-    score distribution, then a map-side bucket join), which is
-    shuffle-free on the assignment side; the window form here is the
-    exact-oracle reference for that cut.
+    Scale shape (round-7 swap of the per-``lang`` raw-row NTILE — a
+    language is a coarse partition key with heavy 'en' skew at web
+    scale, so that window put one language's entire score table in ONE
+    task): rides lm_bigram_surprise's plan (vocabulary-bounded LM
+    tables, one doc_id shuffle), then the distributed exact rank of
+    common.bucketed_rank — scores bucket by shiftright(floor(avg), 18)
+    (monotone; the occupied-bucket grid is score-range/2¹⁸ ≈ 150 rows
+    at test scale, the eval_auc_binary range-bounded argument), bucket
+    offsets come from a grid-only window, and the sole raw-row window
+    is partitioned by (lang, bucket). NTILE(3) is its closed-form size
+    rule evaluated in-row (common.ntile_case) — bit-identical to the
+    single-window NTILE because (offset + in-bucket row_number) IS the
+    (avg_surprise, doc_id) per-lang rank.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     scores = lm_bigram_surprise(spark, sf_dir).select("doc_id", "avg_surprise")
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(
-        F.asc("avg_surprise"), F.asc("doc_id")
+    ranked = bucketed_rank(
+        docs.join(scores, "doc_id"),
+        bucket=F.shiftright(F.floor("avg_surprise").cast("long"), 18),
+        order=[F.asc("avg_surprise"), F.asc("doc_id")],
+        part_cols=("lang",),
+        bucket_asc=True,
+        rn="rn",
+        n="n_lang",
     )
     return (
-        docs.join(scores, "doc_id")
-        .withColumn("bucket_id", F.ntile(3).over(w).cast("long"))
+        ranked.withColumn("bucket_id", ntile_case("rn", "n_lang", 3).cast("long"))
         .withColumn(
             "bucket",
             F.when(F.col("bucket_id") == 1, F.lit("head"))

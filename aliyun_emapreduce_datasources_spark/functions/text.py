@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import bucketed_rank, t
 
 __all__ = ["tokens", "shingles", "EN_STOPWORDS", "QUERIES", "ORACLES"]
 
@@ -519,26 +519,30 @@ def quality_stratified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     language stratum equalizes retention. Keep rule is integer-exact:
     ``10·rank ≤ 9·n_lang`` (floor(0.9·n) per language).
 
-    Scale shape: one shuffle on ``lang`` serves both the rank window
-    and the per-language count — language cardinality is tiny but the
-    window is partitioned, so no single-partition sort appears at any
-    corpus size. The float score is the same IEEE arithmetic tree as
-    ``quality_score`` (oracle-identical), with doc_id tie-breaks."""
+    Scale shape (round-7 swap of the per-``lang`` raw-row rank window
+    — language cardinality is tiny, so that window put one language's
+    ENTIRE corpus slice in one task): the distributed exact rank of
+    common.bucketed_rank — quality ∈ [0,1] buckets by
+    floor(quality·4096) (monotone; ≤ 4097 occupied buckets per lang),
+    per-(lang, bucket) counts reduce map-side, the offsets window runs
+    over the occupied-bucket GRID only, and the sole raw-row window is
+    partitioned by (lang, bucket) — a 1/4096 quality slice of one
+    stratum per task (the bucket width is the task-size knob).
+    rank = offset + in-bucket row_number is bit-identical to the
+    single-window form. The float score is the same IEEE arithmetic
+    tree as ``quality_score`` (oracle-identical), with doc_id
+    tie-breaks."""
     docs = t(spark, sf_dir, "documents")
     score = _quality_expr(tokens("text"))
-    w = Window.partitionBy("lang")
-    ranked = docs.select(
-        "doc_id", "lang", score.alias("quality")
-    ).select(
-        "doc_id",
-        "lang",
-        "quality",
-        F.row_number()
-        .over(w.orderBy(F.col("quality").desc(), "doc_id"))
-        .cast("long")
-        .alias("lang_rank"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_lang"),
-    )
+    ranked = bucketed_rank(
+        docs.select("doc_id", "lang", score.alias("quality")),
+        bucket=F.floor(F.col("quality") * F.lit(4096.0)),
+        order=[F.col("quality").desc(), F.col("doc_id")],
+        part_cols=("lang",),
+        bucket_asc=False,
+        rn="lang_rank",
+        n="n_lang",
+    ).select("doc_id", "lang", "quality", "lang_rank", "n_lang")
     return ranked.where(
         F.col("lang_rank") * 10 <= F.col("n_lang") * 9
     ).orderBy("doc_id")
@@ -983,35 +987,50 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_vocab_topk (which lists the head) with the cumulative mass a
     cutoff keeps.
 
-    Scale shape: one explode→hash-agg onto the vocabulary (bounded by
-    |vocab|, not corpus size), one rank window over the vocab table,
-    then a broadcast ×3 fan-out and a 3-group agg. The corpus-sized
-    explode has map-side partial counts; nothing corpus-sized ever
-    sorts."""
+    Scale shape (round-7 swap of the rank window over the FULL vocab
+    table — web-scale vocabularies are corpus-sized in the tail, so
+    that window sorted every distinct token in one task): one
+    explode→hash-agg onto the vocabulary (map-side partial counts),
+    then orderBy+limit(max k) — TakeOrderedAndProject: per-partition
+    heaps of depth max(k), a driver-side merge of |partitions|·k rows,
+    never a global sort — and the rank window runs over those ≤ max(k)
+    rows only (a bounded constant). |vocab| and total occurrences come
+    from a 1-row agg of the full count table, broadcast back; covered
+    mass for every k ≤ max(k) is identical to the full-table rank by
+    construction."""
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     counts = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    )
+    k_max = max(COVERAGE_KS)
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k_max)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        )
     )
     ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
     return (
-        ranked.crossJoin(F.broadcast(ks))
+        top.crossJoin(F.broadcast(ks))
         .groupBy("k")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("vocab_size"),
-            F.sum("cnt").cast("long").alias("total_tokens"),
             F.sum(F.when(F.col("rank") <= F.col("k"), F.col("cnt")).otherwise(0))
             .cast("long")
             .alias("covered_tokens"),
         )
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "coverage",
             F.col("covered_tokens").cast("double") / F.col("total_tokens"),
         )
+        .select("k", "vocab_size", "total_tokens", "covered_tokens", "coverage")
         .orderBy("k")
     )
 

@@ -23,7 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import dsum, m, o_dsum, o_m, t
+from aliyun_emapreduce_datasources_spark.operators.common import (
+    bucketed_rank,
+    dsum,
+    m,
+    ntile_case,
+    o_dsum,
+    o_m,
+    t,
+)
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -1347,19 +1355,35 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile's share of total revenue in exact milli units — the "top
     10% of customers drive X% of revenue" report.
 
-    Scale shape: one orders aggregate to customer grain; the decile
-    assignment is ntile over a rank-ordered window (one shuffle of
-    customer-grain rows); shares are decimal-exact sums
-    cross-multiplied against the broadcast grand total. Customer-grain
-    windows at 100 TB: same cost class as any per-customer rollup.
+    Scale shape (round-7 swap of the global raw-row NTILE sort): one
+    orders aggregate to customer grain, then the distributed exact
+    rank — spend buckets by its integer high bits (shiftright 12;
+    spend is price-bounded, so the occupied-bucket grid stays
+    grid-sized at any customer count), bucket offsets come from a
+    grid-only cumulative window, and the only raw-row window is
+    partitioned per bucket (common.bucketed_rank). NTILE(10) is then
+    its closed-form size rule evaluated in-row (common.ntile_case) —
+    bit-identical to the single-task NTILE because (offset + in-bucket
+    row_number) IS the (spend DESC, custkey) global rank. Shares are
+    decimal-exact sums cross-multiplied against the broadcast grand
+    total.
     """
     by_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(m("o_totalprice")).alias("spend"))
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    deciled = by_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    ranked = bucketed_rank(
+        by_cust,
+        bucket=F.shiftright(F.col("spend").cast("long"), 12),
+        order=[F.col("spend").desc(), F.col("o_custkey")],
+        bucket_asc=False,
+        rn="rn",
+        n="n_cust",
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_case("rn", "n_cust", 10).cast("long")
+    )
     total = by_cust.agg(F.sum("spend").alias("total"))
     return (
         deciled.groupBy("decile")
@@ -1697,19 +1721,36 @@ def audit_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal values, so Σi·x_i is tie-order invariant and the result is
     engine-exact without any tie-break column.
 
-    Scale shape: one per-source sort window (parallel across sources)
-    + one agg onto |sources| rows."""
+    Scale shape (round-7 swap of the per-source raw-row sort window —
+    |sources| is tiny, so that window put a constant fraction of the
+    corpus in ONE task): docs reduce once to the (source, doc-length)
+    COUNT GRID (map-side partials; |distinct lengths| is length-range-
+    bounded, not corpus-bounded), and the tie-invariance the docstring
+    proves makes Σi·x_i a CLOSED FORM over the grid: a tie group of
+    size c whose predecessors count cum contributes
+    x·(c·cum + c(c+1)/2). All windows run over the grid
+    (events_robust_outliers convention); one agg onto |sources| rows."""
     docs = (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("source", F.size(F.split(F.col("text"), " ")).cast("long").alias("x"))
     )
-    w = Window.partitionBy("source").orderBy("x")
-    ranked = docs.withColumn("i", F.row_number().over(w).cast("long"))
-    agg = ranked.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("x").cast("long").alias("total_tokens"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"),
+    g = docs.groupBy("source", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn("cum", F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long"))
+    agg = cum.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("x") * F.col("c")).cast("long").alias("total_tokens"),
+        F.sum(
+            F.col("x")
+            * (F.col("c") * F.col("cum") + F.expr("c * (c + 1) DIV 2"))
+        )
+        .cast("long")
+        .alias("s1"),
     )
     gini = F.when(
         F.col("total_tokens") > 0,

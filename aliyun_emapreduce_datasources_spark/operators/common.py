@@ -24,10 +24,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE", "centi_band", "o_centi_band"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE", "centi_band", "o_centi_band", "bucketed_rank", "ntile_case"]
 
 DEC = "decimal(18,6)"
 
@@ -129,6 +129,87 @@ def revenue() -> Column:
 
 
 O_REVENUE = f"{o_m('l_extendedprice')} * (1 - {o_m('l_discount')})"
+
+
+def bucketed_rank(
+    df: DataFrame,
+    bucket: Column,
+    order: list,
+    part_cols: tuple = (),
+    bucket_asc: bool = True,
+    rn: str = "rn",
+    n: str = "n_part",
+) -> DataFrame:
+    """Exact 1-based row rank by ``order`` (within ``part_cols``)
+    WITHOUT a raw-row sort window on a low-cardinality partition key —
+    the row-grain sibling of the count-grid rank walk
+    (events_robust_outliers convention), shared by pareto_revenue,
+    quality_stratified_filter and text_ccnet_buckets.
+
+    ``bucket`` must be a monotone coarsening of the leading ``order``
+    expression (floor-scale for bounded floats, shiftright for ints;
+    ``bucket_asc`` names its direction). Plan: one map-side-combined
+    count per (part, bucket); a cumulative-offset window over the
+    OCCUPIED-BUCKET grid (|score-range / bucket-width| rows — the
+    eval_auc_binary argument, never raw rows); the grid broadcast back
+    (null-safe on part_cols: a NULL stratum is a legitimate group and
+    an equi-join would silently drop it); and a row_number window
+    partitioned by (part_cols, bucket), so no task ever sorts more
+    than one bucket's slice of one stratum. rank = bucket offset +
+    in-bucket row_number — identical term by term to the global walk.
+    Bucket width is the task-size knob at 100 TB."""
+    part_cols = list(part_cols)
+    b = df.withColumn("_rb", bucket.cast("long"))
+    per_b = b.groupBy(*part_cols, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
+    bo = F.asc("_rb") if bucket_asc else F.desc("_rb")
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bo)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        per_b.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            n, F.sum("_bc").over(Window.partitionBy(*part_cols)).cast("long")
+        )
+        .select(
+            *[F.col(c).alias(f"_pc_{i}") for i, c in enumerate(part_cols)],
+            F.col("_rb").alias("_rb2"),
+            "_off",
+            n,
+        )
+    )
+    # null-safe on _rb as well: a NULL ordering key (e.g. quality of a
+    # NULL-text doc) lands in a NULL bucket, which must still rank
+    # (nulls-last) rather than vanish through an equi-join
+    cond = F.col("_rb").eqNullSafe(F.col("_rb2"))
+    for i, c in enumerate(part_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_pc_{i}"))
+    w_in = Window.partitionBy(*part_cols, "_rb").orderBy(*order)
+    return (
+        b.join(F.broadcast(offs), cond)
+        .withColumn(rn, (F.col("_off") + F.row_number().over(w_in)).cast("long"))
+        .drop("_rb", "_rb2", "_off", *[f"_pc_{i}" for i in range(len(part_cols))])
+    )
+
+
+def ntile_case(rn: str, n: str, k: int) -> Column:
+    """NTILE(k)'s bucket assignment as a CLOSED FORM over a
+    precomputed rank — ANSI size rule: with q = n DIV k, r = n MOD k,
+    the first r buckets hold q+1 rows, the rest q (q = 0 guarded:
+    fewer rows than buckets → bucket = rank). Evaluated in-row, so a
+    distributed exact rank (bucketed_rank) replaces the raw-row NTILE
+    sort bit-identically — the eval_score_deciles convention, shared
+    here so pareto_revenue and text_ccnet_buckets can't drift."""
+    q = f"({n} DIV {k})"
+    r = f"({n} % {k})"
+    return F.expr(
+        f"CASE WHEN {q} = 0 THEN {rn} "
+        f"WHEN {rn} <= {r} * ({q} + 1) THEN ({rn} + {q}) DIV ({q} + 1) "
+        f"ELSE {r} + ({rn} - {r} * ({q} + 1) + {q} - 1) DIV {q} END"
+    )
 
 
 def centi_band(value_col: str, width_centi: int):

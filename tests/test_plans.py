@@ -589,6 +589,63 @@ def test_vocab_coverage_broadcasts_k_table(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_vocab_coverage_rank_is_takeordered_topk(spark, sf_dir):
+    """round-7.5: the vocab rank never sorts the full vocabulary — the
+    head is a TakeOrderedAndProject (per-partition heaps of depth
+    max(k)) and the rank window runs over those <= max(k) rows only."""
+    plan = plan_of(QUERIES["text_vocab_coverage"](spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, "top-k head is a full sort"
+    wi = plan.find("Window")
+    assert wi != -1 and "TakeOrderedAndProject" in plan[wi:], (
+        "rank window not above the TakeOrdered head"
+    )
+
+
+def _assert_rank_windows_bucketed_or_grid(plan: str) -> None:
+    """round-7.5 contract for the bucketed-rank family: every window
+    either carries the `_rb` bucket in its partition spec (the raw-row
+    window sorts one bucket slice per task) or sits above an aggregate
+    (a grid walk). A window over raw rows partitioned only by a
+    low-cardinality stratum (lang / nothing) is forbidden."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "windowspecdefinition" not in line:
+            continue
+        rest = "\n".join(lines[i + 1 :])
+        assert "_rb" in line or "HashAggregate" in rest, (
+            f"raw-row rank window without bucket partitioning: {line.strip()[:160]}"
+        )
+
+
+def test_bucketed_rank_family_no_raw_stratum_sorts(spark, sf_dir):
+    """pareto_revenue / text_stratified_filter / text_ccnet_buckets:
+    the per-stratum exact ranks run via common.bucketed_rank — the
+    offsets window moves the occupied-bucket grid only, the raw-row
+    window is partitioned by (stratum, _rb), and NTILE never appears
+    (closed form in-row). audit_token_gini joins the family with a
+    pure grid walk (every window above the (source, x) count grid)."""
+    for name in ("pareto_revenue", "text_stratified_filter", "text_ccnet_buckets"):
+        plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "_rb" in plan, f"{name}: bucketed rank not in the plan"
+        assert "ntile" not in plan.lower(), f"{name}: raw NTILE crept back in"
+        _assert_rank_windows_bucketed_or_grid(plan)
+        _assert_single_partition_only_above_aggregates(plan)
+    gini = plan_of(QUERIES["audit_token_gini"](spark, sf_dir), mode="simple")
+    _assert_windows_above_aggregates(gini)
+    _assert_single_partition_only_above_aggregates(gini)
+
+
+def test_win_topk_entries_compile_to_window_group_limit(spark, sf_dir):
+    """The rank<=k demo windows stay scale-safe through Catalyst's
+    WindowGroupLimit (per-partition partial top-k BEFORE the group
+    shuffle) — the reason they need no bucketed_rank rewrite. Pin it
+    so a refactor that breaks the limit-pushdown pattern (e.g. filter
+    moved behind another projection) is caught."""
+    for name in ("win_topk_per_group", "win_rank_suppliers"):
+        plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "WindowGroupLimit" in plan, f"{name}: top-k not pushed down"
+
+
 def test_benford_is_single_scan_no_join(spark, sf_dir):
     plan = plan_of(QUERIES["audit_benford"](spark, sf_dir))
     assert "Join" not in plan

@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators import events as ev_mod
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import m, t
 
 
 def _write_events(dirpath) -> str:
@@ -104,9 +104,104 @@ def _write_embeddings(dirpath) -> str:
     return str(dirpath)
 
 
+def _write_documents(dirpath) -> str:
+    """Adversarial documents table for the round-7.5 rank swaps:
+    duplicated texts → IDENTICAL quality scores and avg_surprise in
+    runs that straddle the 90%-keep cut and tercile boundaries; a NULL
+    lang stratum (equi-joins would drop it); NULL texts (NULL quality
+    → NULL bucket); single-token docs (zero bigrams — outside the
+    ccnet LM's domain); and token counts engineered so the vocabulary
+    has exact count TIES at the top-k=20 coverage boundary."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    rows = []
+    did = 0
+
+    def add(text, lang, source):
+        nonlocal did
+        rows.append((did, text, lang, source))
+        did += 1
+
+    # 40 distinct base texts, each repeated 8x (tie runs of 8), spread
+    # over 3 langs + a NULL lang and 4 sources
+    langs = ["en", "de", "fr", None]
+    for b in range(40):
+        n_tok = int(rng.integers(3, 40))
+        base = " ".join(rng.choice(vocab[: 30 + b % 30], n_tok))
+        for r in range(8):
+            add(base, langs[b % 4], f"s{b % 4}")
+    # unique-text filler so ranks aren't all inside tie runs
+    for i in range(80):
+        n_tok = int(rng.integers(2, 60))
+        add(" ".join(rng.choice(vocab, n_tok)), langs[i % 4], f"s{i % 4}")
+    for i in range(6):
+        add(None, langs[i % 4], "s0")  # NULL text → NULL quality
+    for i in range(5):
+        add(vocab[i], "en", "s1")  # single token: zero bigrams
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/documents.parquet")
+    return str(dirpath)
+
+
+def _write_orders(dirpath) -> str:
+    """Orders with per-customer spends drawn from a SMALL value set →
+    massive spend ties straddling decile boundaries (the closed-form
+    NTILE must split tie runs exactly where the raw NTILE does)."""
+    rng = np.random.default_rng(5)
+    spend_vals = [1000.0, 2500.5, 2500.5, 7777.25, 50000.0]
+    rows = []
+    okey = 0
+    base = np.datetime64("2023-06-01T00:00:00.000000")
+    for cust in range(903):  # 903 % 10 != 0: unequal NTILE buckets
+        for _ in range(int(rng.integers(1, 4))):
+            rows.append(
+                (
+                    okey,
+                    cust,
+                    "O",
+                    float(spend_vals[int(rng.integers(0, 5))]),
+                    base + np.timedelta64(int(rng.integers(0, 10**6)), "s"),
+                    "1-URGENT",
+                )
+            )
+            okey += 1
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows]),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/orders.parquet")
+    return str(dirpath)
+
+
 @pytest.fixture(scope="module")
 def ev_dir(tmp_path_factory):
     return _write_events(tmp_path_factory.mktemp("rankwalk_events"))
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    return _write_documents(tmp_path_factory.mktemp("rankwalk_docs"))
+
+
+@pytest.fixture(scope="module")
+def ord_dir(tmp_path_factory):
+    return _write_orders(tmp_path_factory.mktemp("rankwalk_orders"))
 
 
 @pytest.fixture(scope="module")
@@ -356,3 +451,161 @@ def test_auc_range_partitioned_equals_global_prefix(spark, emb_dir):
         .alias("auc"),
     )
     _frames_equal(eval_auc_binary(spark, emb_dir), naive, [F.lit(1)])
+
+
+# --- round-7.5 sweep: the five rank windows the plan-audit net missed ----
+
+def test_pareto_bucketed_rank_equals_ntile(spark, ord_dir):
+    """Spend ties straddle decile boundaries (5 distinct spends over
+    903 customers, n % 10 != 0): the bucketed rank + closed-form NTILE
+    must reproduce the raw global NTILE row-for-row."""
+    from aliyun_emapreduce_datasources_spark.operators.analytic import pareto_revenue
+
+    by_cust = (
+        t(spark, ord_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(m("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    deciled = by_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    total = by_cust.agg(F.sum("spend").alias("total"))
+    naive = (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.expr("CAST(CAST(rev * 1000 AS BIGINT) AS BIGINT)").alias("rev_milli"),
+            F.expr(
+                "CAST((1000 * CAST(rev * 1000 AS BIGINT)) DIV CAST(total * 1000 AS BIGINT) AS BIGINT)"
+            ).alias("share_milli"),
+        )
+    )
+    _frames_equal(pareto_revenue(spark, ord_dir), naive, ["decile"])
+
+
+def test_stratified_filter_bucketed_rank_equals_lang_window(spark, doc_dir):
+    """Quality tie runs of 8 straddle the 90% cut, a NULL lang stratum
+    and NULL-text docs (NULL quality → NULL bucket) are kept: the
+    bucketed per-lang rank must match the raw per-lang window."""
+    from aliyun_emapreduce_datasources_spark.functions.text import (
+        _quality_expr,
+        quality_stratified_filter,
+        tokens,
+    )
+
+    docs = t(spark, doc_dir, "documents")
+    score = _quality_expr(tokens("text"))
+    w = Window.partitionBy("lang")
+    ranked = docs.select("doc_id", "lang", score.alias("quality")).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.col("quality").desc(), "doc_id"))
+        .cast("long")
+        .alias("lang_rank"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_lang"),
+    )
+    naive = ranked.where(F.col("lang_rank") * 10 <= F.col("n_lang") * 9)
+    _frames_equal(quality_stratified_filter(spark, doc_dir), naive, ["doc_id"])
+
+
+def test_ccnet_bucketed_rank_equals_lang_ntile(spark, doc_dir):
+    """avg_surprise tie runs (8 copies per text) split across tercile
+    boundaries; zero-bigram docs stay outside the domain; NULL lang is
+    a stratum: bucketed rank + closed-form NTILE(3) vs raw NTILE."""
+    from aliyun_emapreduce_datasources_spark.functions.lm import (
+        lm_bigram_surprise,
+        text_ccnet_buckets,
+    )
+
+    docs = t(spark, doc_dir, "documents").select("doc_id", "lang")
+    scores = lm_bigram_surprise(spark, doc_dir).select("doc_id", "avg_surprise")
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_surprise"), F.asc("doc_id"))
+    naive = (
+        docs.join(scores, "doc_id")
+        .withColumn("bucket_id", F.ntile(3).over(w).cast("long"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("bucket_id") == 1, F.lit("head"))
+            .when(F.col("bucket_id") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("doc_id", "lang", "avg_surprise", "bucket_id", "bucket")
+    )
+    _frames_equal(text_ccnet_buckets(spark, doc_dir), naive, ["doc_id"])
+
+
+def test_vocab_coverage_topk_equals_full_rank(spark, doc_dir):
+    """Exact count ties at the k=20 boundary (token tie-break): the
+    TakeOrdered top-k path must report the same covered mass as the
+    full-vocab rank window."""
+    from aliyun_emapreduce_datasources_spark.functions.text import (
+        COVERAGE_KS,
+        tokens,
+        vocab_coverage,
+    )
+
+    docs = t(spark, doc_dir, "documents").where(F.col("text").isNotNull())
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    naive = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn(
+            "coverage",
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"),
+        )
+    )
+    _frames_equal(vocab_coverage(spark, doc_dir), naive, ["k"])
+
+
+def test_token_gini_grid_closed_form_equals_rank_sum(spark, doc_dir):
+    """Doc-length tie runs per source: the grid closed form
+    x·(c·cum + c(c+1)/2) must equal Σi·x_i from the raw per-source
+    rank (tie-order invariance makes them identical, not just close)."""
+    from aliyun_emapreduce_datasources_spark.operators.analytic import (
+        audit_token_gini,
+    )
+
+    docs = (
+        t(spark, doc_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("x")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    ranked = docs.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"),
+    )
+    gini = F.when(
+        F.col("total_tokens") > 0,
+        (F.lit(2) * F.col("s1") - (F.col("n_docs") + 1) * F.col("total_tokens"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("total_tokens")),
+    ).otherwise(F.lit(0.0))
+    naive = agg.select("source", "n_docs", "total_tokens", gini.alias("gini"))
+    _frames_equal(audit_token_gini(spark, doc_dir), naive, ["source"])

@@ -58,7 +58,11 @@ COMMENT = {
     "eval_kendall_tau": "Upper-triangle block grid via BroadcastHashJoin replication; each FlatMapCoGroupsInPandas task reduces its block pair to FIVE int64 scalars, so the post-kernel aggregate sees B² rows — pair volume never shuffles.",
     "events_rolling_wau": "Both range-join inputs are pre-aggregated (the deduped (user, day) pair table and its day spine); the non-equi window join is BroadcastNestedLoopJoin with the tiny spine broadcast; event-grain rows never pass an Exchange.",
     "text_source_tv_matrix": "Per-source token counts reduce map-side once (localCheckpoint feeds totals, the pair spine, and both join sides); the common-token self-join is a shuffled equi join on token (SMJ — AQE may demote to shuffled-hash at runtime); totals ride BroadcastHashJoins; the TV fold is in-row integer arithmetic.",
-    "text_vocab_coverage": "Corpus-sized explode reduces to the vocabulary with partial counts before its Exchange; the rank Window runs over |vocab| rows; the ×3 cutoff fan-out is a BroadcastNestedLoopJoin of a 3-row table.",
+    "text_vocab_coverage": "Corpus-sized explode reduces to the vocabulary with partial counts before its Exchange; the head is TakeOrderedAndProject (per-partition depth-max(k) heaps — the full vocab never sorts) and the rank Window spans those <= max(k) rows; |vocab| and total mass ride a 1-row broadcast; the ×3 cutoff fan-out is a BroadcastNestedLoopJoin of a 3-row table.",
+    "pareto_revenue": "Distributed exact rank (round 7): customer-grain spend aggregate buckets by shiftright(spend,12); the only single-partition Window walks the occupied-bucket offset grid (price-bounded, not customer-bounded), which joins back as a BroadcastHashJoin; the raw-row row_number Window is partitioned per bucket and NTILE(10) is closed-form in-row arithmetic.",
+    "text_stratified_filter": "Per-lang exact rank without a per-lang raw-row sort (round 7): quality buckets by floor(q*4096); per-(lang,bucket) counts reduce map-side; the offsets Window runs over the occupied-bucket grid only (null-safe broadcast join back — a NULL stratum must rank, not vanish); the sole raw-row Window is partitioned by (lang, _rb) — one 1/4096 quality slice of one stratum per task.",
+    "text_ccnet_buckets": "Per-lang exact rank over the LM scores (round 7): avg_surprise buckets by shiftright(floor(avg),18); grid-only offset Window + (lang, _rb)-partitioned row_number; NTILE(3) is the closed-form size rule in-row — the 'en'-skewed single-task per-lang sort is gone while staying bit-identical to NTILE.",
+    "audit_token_gini": "Pure count-grid closed form (round 7): docs reduce once to the (source, doc-length) grid with map-side partials; Σi·x_i is in-row arithmetic over the grid cumulative (tie groups contribute x·(c·cum + c(c+1)/2)) — every Window runs above the aggregate, no raw-row per-source sort.",
     "audit_benford": "Scan → project (int-cents digit) → 9-group hash agg with map-side partials; the share Window spans 9 rows. No join, no sort of data rows.",
     "media_video_frames": "Binary payloads stay executor-side through one MapInPandas explode; the only Exchange is the catalog's presentation sort of the frame table.",
     "trend_mom_revenue": "Decimal-exact monthly sums reduce map-side to ≤|months| rows; the lag Window and pct projection run over that aggregate only.",
