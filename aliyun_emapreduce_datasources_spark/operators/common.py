@@ -157,9 +157,18 @@ def bucketed_rank(
     partitioned by (part_cols, bucket), so no task ever sorts more
     than one bucket's slice of one stratum. rank = bucket offset +
     in-bucket row_number — identical term by term to the global walk.
-    Bucket width is the task-size knob at 100 TB."""
+    Bucket width is the task-size knob at 100 TB.
+
+    The rank is inherently two-pass (grid, then join-back) and Spark
+    does not reuse the shared subplan across the two branches (0
+    ReusedExchange measured on text_ccnet_buckets — the caller's whole
+    upstream LM pipeline executed twice), so the input is materialized
+    ONCE via localCheckpoint (the events_robust_outliers /
+    emb_kmeans_train convention): both passes read the narrow
+    (part, order-key) projection from executor-local storage instead
+    of recomputing the corpus-sized upstream."""
     part_cols = list(part_cols)
-    b = df.withColumn("_rb", bucket.cast("long"))
+    b = df.withColumn("_rb", bucket.cast("long")).localCheckpoint()
     per_b = b.groupBy(*part_cols, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
     bo = F.asc("_rb") if bucket_asc else F.desc("_rb")
     w_off = (
