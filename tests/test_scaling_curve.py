@@ -257,6 +257,27 @@ def test_fitted_tv_matrix_vocab_bound(fit3):
     assert _exp(fit3, "tv_join_rows") <= 0.3
 
 
+def test_fitted_bucketed_rank_grids_range_bounded(fit3):
+    """round-7.5 receipts: the occupied-bucket / count-grid tables the
+    bucketed_rank offset windows walk are value-RANGE-bounded, not
+    corpus-bounded — fitted exponents far below 1 over 100× docs
+    (stratified 0.59, ccnet 0.45, gini 0.31). stratified and gini have
+    HARD range caps (4097·|langs| / |sources|·|length-range|) and
+    visibly saturate in the second decade (gini 1684→1816 under 10×
+    docs); ccnet's range is the add-one surprise scale, which widens
+    slowly with vocabulary, so its honest claim is the sub-half
+    exponent, not saturation."""
+    assert _exp(fit3, "stratified_grid_rows") <= 0.8
+    assert _exp(fit3, "ccnet_grid_rows") <= 0.8
+    assert _exp(fit3, "gini_grid_rows") <= 0.6
+    # saturation: second-decade growth must undershoot first-decade
+    for k in ("stratified_grid_rows", "gini_grid_rows"):
+        pts = [v for _, v in sorted(
+            fit3["fit"][k]["points"].items(), key=lambda kv: int(kv[0])
+        )]
+        assert pts[2] / pts[1] < pts[1] / pts[0], k
+
+
 def test_fitted_kendall_share_tracks_auto_blocks(fit3):
     """kt_auto_blocks at each measured n yields B ∈ {2, 4, 16}; the
     measured max-task share must respect 4/B² at EVERY point — the

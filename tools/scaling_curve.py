@@ -235,6 +235,46 @@ def measure_work(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         src_counts.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     )
 
+    # bucketed-rank family (round 7.5): the occupied-bucket / count-grid
+    # sizes the offset windows walk — the scale claim is that these are
+    # value-RANGE-bounded (quality ≤ 4097·|langs| buckets, ccnet
+    # ≤ score-range/2¹⁸·|langs|, gini ≤ |sources|·|length-range|), NOT
+    # corpus-bounded, so the fitted exponent vs n_docs must sit far
+    # below 1 as the range saturates. Counted with the operators' own
+    # bucket expressions.
+    from aliyun_emapreduce_datasources_spark.functions.lm import (
+        lm_bigram_surprise,
+    )
+    from aliyun_emapreduce_datasources_spark.functions.text import _quality_expr
+
+    out["stratified_grid_rows"] = (
+        docs.select(
+            "lang",
+            F.floor(_quality_expr(tokens("text")) * F.lit(4096.0)).alias("rb"),
+        )
+        .distinct()
+        .count()
+    )
+    sur = lm_bigram_surprise(spark, sf_dir).select("doc_id", "avg_surprise")
+    out["ccnet_grid_rows"] = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(sur, "doc_id")
+        .select(
+            "lang",
+            F.shiftright(F.floor("avg_surprise").cast("long"), 18).alias("rb"),
+        )
+        .distinct()
+        .count()
+    )
+    out["gini_grid_rows"] = (
+        docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).alias("x")
+        )
+        .distinct()
+        .count()
+    )
+
     # rolling WAU (round-6 session 3): work = range-join fan-out rows;
     # the claim is fanout ≤ 7 × |(user, day) pairs| and pairs ≪ events
     # (dedupe-first). All three terms counted.
@@ -400,6 +440,9 @@ _FIT_BASE = {
     "novelty_postings": "n_tokens",
     "bloom_probes": "n_tokens",
     "tv_join_rows": "n_tokens",
+    "stratified_grid_rows": "n_docs",
+    "ccnet_grid_rows": "n_docs",
+    "gini_grid_rows": "n_docs",
     "embedding_lsh_comparisons": "n_emb",
     "embedding_scaled_comparisons": "n_emb",
     "covariance_pair_rows": "n_emb",
