@@ -21,6 +21,7 @@ from aliyun_emapreduce_datasources_spark.dedup import (
 
 QUERIES = {
     "dedup_exact": exact.QUERY,
+    "dedup_exact_prefix": exact.exact_prefix_dedup,
     "dedup_decontaminate": decontaminate.QUERY,
     "dedup_source_overlap": decontaminate.source_overlap_matrix,
     "dedup_cluster_resolve": clusters.QUERY,
@@ -51,6 +52,7 @@ QUERIES = {
 # its exact blocked twin is oracle-checked in tests/test_dedup.py.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
+    "dedup_exact_prefix": exact.ORACLE_PREFIX,
     "dedup_decontaminate": decontaminate.ORACLE,
     "dedup_source_overlap": decontaminate.ORACLE_OVERLAP,
     "dedup_cluster_resolve": clusters.ORACLE,

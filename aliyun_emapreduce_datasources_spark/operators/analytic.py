@@ -1424,6 +1424,89 @@ QUERIES["pareto_revenue"] = pareto_revenue
 ORACLES["pareto_revenue"] = ORACLE_PARETO
 
 
+# --- order-to-ship lag percentiles (fulfillment SLA readout) -----------
+
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: exact
+    p50/p90/p99 of ``l_shipdate − o_orderdate`` in whole days — the
+    fulfillment-SLA readout (does URGENT actually ship faster, and
+    what does the tail look like?). PERCENTILE_DISC at 1-based rank
+    ``(p·n + 99) DIV 100`` — the events_value_percentiles convention,
+    applied to the TPC-H side of the house.
+
+    Scale shape: one orderkey equi-join (fact–fact, near-unique keys,
+    no row blow-up), then lags reduce to the (priority, days) COUNT
+    GRID — map-side partials, |distinct day lags| is SLA-range-bounded
+    — and the rank walk runs over grid rows partitioned by priority
+    (events_robust_outliers convention). Never a raw-row sort."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    grid = lags.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("o_orderpriority"))
+    )
+    pick = lambda p: F.min(
+        F.when(F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("days"))
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_lineitems"),
+            F.min("days").cast("long").alias("min_days"),
+            pick(50).cast("long").alias("p50_days"),
+            pick(90).cast("long").alias("p90_days"),
+            pick(99).cast("long").alias("p99_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SHIP_LAG = """
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), r AS (
+  SELECT o_orderpriority, days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY days) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM lags
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_lineitems,
+       CAST(MIN(days) AS BIGINT) AS min_days,
+       CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN days END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN days END) AS BIGINT) AS p90_days,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN days END) AS BIGINT) AS p99_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["orders_ship_lag_percentiles"] = ship_lag_percentiles
+ORACLES["orders_ship_lag_percentiles"] = ORACLE_SHIP_LAG
+
+
 # --- t-closeness release audit (privacy gate #3) ----------------------
 
 T_CLOSE_MILLI = 100

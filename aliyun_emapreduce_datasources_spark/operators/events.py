@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import centi_band, o_centi_band, t
+from aliyun_emapreduce_datasources_spark.operators.common import centi_band, m, md5_bucket, o_centi_band, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -697,6 +697,240 @@ FROM r
 """
 
 
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY growth accounting (the Social-Capital "accounting for
+    user growth" decomposition): each week's active users split into
+    NEW (first-ever active week), RETAINED (also active the previous
+    week) and RESURRECTED (active before, but not last week), plus
+    CHURNED = last week's actives who did not return — the standard
+    WAU health readout that tells growth-from-acquisition apart from
+    growth-from-reactivation. Completes events_retention (cohort decay
+    curves) with the week-over-week flow view. Weeks are absolute
+    epoch-day ÷ 7 indices (calendar-agnostic, TZ pinned by common.t).
+
+    Identity used for churn (exact, no extra scan): churned_w =
+    n_active_{w-1} − n_retained_w, guarded to 0 across calendar gaps
+    (lag week must be w−1; a gap means nobody was active to churn).
+
+    Scale shape: events reduce ONCE to distinct (user, week) pairs —
+    a map-side-combined aggregate bounded by users × weeks; the
+    classification lag runs per USER (high-cardinality partitioning,
+    one task never holds more than one user's weeks); weekly rollup
+    is a grid aggregate and the churn lag window walks the WEEK GRID
+    only."""
+    ev = t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id",
+        F.expr("unix_date(to_date(ts)) DIV 7").cast("long").alias("m"),
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("m")
+    classed = pairs.withColumn("prev_m", F.lag("m").over(w_u)).withColumn(
+        "cls",
+        F.when(F.col("prev_m").isNull(), F.lit("new"))
+        .when(F.col("prev_m") == F.col("m") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected")),
+    )
+    monthly = classed.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    w_m = Window.orderBy("m")  # month grid — never raw rows
+    return (
+        monthly.withColumn("lag_m", F.lag("m").over(w_m))
+        .withColumn("lag_active", F.lag("n_active").over(w_m))
+        .withColumn(
+            "n_churned",
+            (
+                F.when(
+                    F.col("lag_m") == F.col("m") - 1, F.col("lag_active")
+                ).otherwise(F.lit(0))
+                - F.col("n_retained")
+            ).cast("long"),
+        )
+        .select(
+            "m",
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")), (F.col("m") * 7).cast("int")
+            ).cast("string").alias("wk_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+        )
+        .orderBy("m")
+    )
+
+
+ORACLE_GROWTH = """
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS m
+  FROM events
+), classed AS (
+  SELECT m,
+         CASE WHEN prev_m IS NULL THEN 'new'
+              WHEN prev_m = m - 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM (SELECT user_id, m,
+               LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+        FROM pairs)
+), monthly AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM classed GROUP BY m
+)
+SELECT m,
+       CAST(DATE '1970-01-01' + CAST(m * 7 AS INT) AS VARCHAR) AS wk_start,
+       n_active, n_new, n_retained, n_resurrected,
+       CAST(CASE WHEN LAG(m) OVER (ORDER BY m) = m - 1
+                 THEN LAG(n_active) OVER (ORDER BY m) ELSE 0 END
+            - n_retained AS BIGINT) AS n_churned
+FROM monthly
+ORDER BY m
+"""
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity profile: events, distinct
+    users and share of total traffic per (dow, hour) cell — the
+    seasonality matrix capacity planning and anomaly baselines read
+    (a spike is only a spike relative to its weekday-hour cell).
+
+    dow is 0 = Sunday in BOTH engines (Spark dayofweek()−1, DuckDB
+    date_part('dow')); UTC extraction via common.t's session pin.
+
+    Scale shape: one map-side-combined aggregate onto the ≤ 7×24 cell
+    grid (the distinct-user term expands per cell but stays one hash
+    agg); the share window spans the 168-row grid. Nothing else
+    moves."""
+    ev = t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            "user_id",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    total = F.sum("n_events").over(Window.partitionBy())  # 168-row grid
+    return (
+        g.withColumn(
+            "share", F.col("n_events").cast("double") / total.cast("double")
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+ORACLE_SEASONALITY = """
+WITH g AS (
+  SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+         CAST(date_part('hour', ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n_events, n_users,
+       CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE) AS share
+FROM g
+ORDER BY dow, hod
+"""
+
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout under the engine's deterministic
+    hash-assignment coin: users split into variants 0/1 by
+    common.md5_bucket (the same portable md5 coin split_train_eval
+    and per_source_cap use, so assignment is reproducible across
+    engines and runs); per variant — population, events, converters
+    (users with ≥ 1 purchase), conversion rate, purchase count and
+    exact-decimal average purchase value. The uniformity of the coin
+    makes variant 0 the control twin of variant 1: any metric gap is
+    the experiment's read (here a calibration baseline — both
+    variants see identical traffic).
+
+    Scale shape: ONE hash aggregate onto 2 variant rows; the distinct
+    terms (users, converters) ride Spark's distinct-aggregate expand
+    with map-side partials — no joins, no windows, no per-user
+    intermediate table. Rates follow the single-division convention;
+    value sums are decimal-exact (common.m)."""
+    ev = t(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    assigned = ev.withColumn(
+        "variant", md5_bucket(F.col("user_id").cast("string"), 2)
+    )
+    g = assigned.groupBy("variant").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.when(is_purchase, F.col("user_id")))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(is_purchase, 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.count(F.when(is_purchase, F.col("value"))).cast("long").alias("n_valued"),
+        F.sum(F.when(is_purchase, m("value"))).alias("vsum"),
+    )
+    return g.select(
+        "variant",
+        "n_users",
+        "n_events",
+        "n_converted",
+        F.when(
+            F.col("n_users") > 0,
+            F.col("n_converted").cast("double") / F.col("n_users"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conv_rate"),
+        "n_purchases",
+        F.when(
+            F.col("n_valued") > 0,
+            F.col("vsum").cast("double") / F.col("n_valued"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_purchase_value"),
+    ).orderBy("variant")
+
+
+ORACLE_AB_LIFT = """
+WITH g AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS variant,
+         user_id, event_type, value
+  FROM events
+), agg AS (
+  SELECT variant,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_converted,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS BIGINT) AS n_valued,
+         SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS vsum
+  FROM g GROUP BY variant
+)
+SELECT CAST(variant AS BIGINT) AS variant, n_users, n_events, n_converted,
+       CASE WHEN n_users > 0 THEN CAST(n_converted AS DOUBLE) / n_users ELSE 0.0 END AS conv_rate,
+       n_purchases,
+       CASE WHEN n_valued > 0 THEN CAST(vsum AS DOUBLE) / n_valued ELSE 0.0 END AS avg_purchase_value
+FROM agg
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "events_rolling_wau": events_rolling_wau,
     "events_interarrival_stats": events_interarrival_stats,
@@ -709,6 +943,9 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_transitions": events_transitions,
     "events_retention": events_retention,
+    "events_growth_accounting": events_growth_accounting,
+    "events_hourly_seasonality": events_hourly_seasonality,
+    "events_ab_lift": events_ab_lift,
 }
 
 ORACLES = {
@@ -723,6 +960,9 @@ ORACLES = {
     "events_top_paths": ORACLE_TOP_PATHS,
     "events_transitions": ORACLE_TRANSITIONS,
     "events_retention": ORACLE_RETENTION,
+    "events_growth_accounting": ORACLE_GROWTH,
+    "events_hourly_seasonality": ORACLE_SEASONALITY,
+    "events_ab_lift": ORACLE_AB_LIFT,
 }
 
 

@@ -635,6 +635,27 @@ def test_bucketed_rank_family_no_raw_stratum_sorts(spark, sf_dir):
     _assert_single_partition_only_above_aggregates(gini)
 
 
+def test_round7_new_entries_grid_shapes(spark, sf_dir):
+    """The five round-7 additions keep the house plan discipline:
+    growth accounting / seasonality / ship-lag run their rank or share
+    windows over GRIDS (an aggregate below every window, single-
+    partition exchanges above aggregates only — week/cell/day-lag
+    grids); ab-lift and prefix-dedup are pure one-aggregate plans (no
+    windows, no single-partition exchange at all)."""
+    for name in (
+        "events_growth_accounting",
+        "events_hourly_seasonality",
+        "orders_ship_lag_percentiles",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+        _assert_windows_above_aggregates(plan)
+        _assert_single_partition_only_above_aggregates(plan)
+    for name in ("events_ab_lift", "dedup_exact_prefix"):
+        plan = plan_of(QUERIES[name](spark, sf_dir), mode="simple")
+        assert "Exchange SinglePartition" not in plan, name
+        assert "windowspecdefinition" not in plan, name
+
+
 def test_win_topk_entries_compile_to_window_group_limit(spark, sf_dir):
     """The rank<=k demo windows stay scale-safe through Catalyst's
     WindowGroupLimit (per-partition partial top-k BEFORE the group
