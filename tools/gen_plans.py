@@ -64,6 +64,11 @@ COMMENT = {
     "text_ccnet_buckets": "Per-lang exact rank over the LM scores (round 7): avg_surprise buckets by shiftright(floor(avg),18); grid-only offset Window + (lang, _rb)-partitioned row_number; NTILE(3) is the closed-form size rule in-row — the 'en'-skewed single-task per-lang sort is gone while staying bit-identical to NTILE.",
     "audit_token_gini": "Pure count-grid closed form (round 7): docs reduce once to the (source, doc-length) grid with map-side partials; Σi·x_i is in-row arithmetic over the grid cumulative (tie groups contribute x·(c·cum + c(c+1)/2)) — every Window runs above the aggregate, no raw-row per-source sort.",
     "audit_benford": "Scan → project (int-cents digit) → 9-group hash agg with map-side partials; the share Window spans 9 rows. No join, no sort of data rows.",
+    "events_growth_accounting": "Events reduce ONCE to distinct (user, week) pairs with map-side partials; the classification lag Window is partitioned per USER (high-cardinality — never a week's whole population in one task); the churn-identity lag walks the WEEK GRID above the weekly aggregate.",
+    "events_hourly_seasonality": "One map-side-combined aggregate onto the 168-cell (dow, hour) grid (distinct-user term rides the same expand pass); the share Window spans the grid. No joins.",
+    "events_ab_lift": "Single hash aggregate onto 2 variant rows — the md5 coin is a map-side projection, distinct users/converters ride Spark's distinct-aggregate expand with partials; zero joins, zero windows, zero single-partition exchanges.",
+    "dedup_exact_prefix": "Prefix digest is a map-side slice+md5 projection (full text never shuffles); one hash aggregate with partials onto prefix-group rows; the >= 2 filter prunes post-agg. Same one-shuffle class as dedup_exact.",
+    "orders_ship_lag_percentiles": "One orderkey equi-join (fact-fact, near-unique keys), then lags reduce to the (priority, days) COUNT GRID; cumulative and rank-crossing Windows are partitioned by priority over grid rows — the events_value_percentiles discipline on the TPC-H side.",
     "media_video_frames": "Binary payloads stay executor-side through one MapInPandas explode; the only Exchange is the catalog's presentation sort of the frame table.",
     "trend_mom_revenue": "Decimal-exact monthly sums reduce map-side to ≤|months| rows; the lag Window and pct projection run over that aggregate only.",
 }
