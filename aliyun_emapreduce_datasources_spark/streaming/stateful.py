@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA"]
+__all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA", "growth_classify_stream", "GROWTH_OUTPUT_SCHEMA"]
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
@@ -203,4 +203,82 @@ def sessionize_stream(
         F.timestamp_micros("start_us").alias("session_start"),
         F.timestamp_micros("end_us").alias("session_end"),
         "n_events",
+    )
+
+
+# --- weekly growth-accounting classifier (streaming twin) ---------------
+
+GROWTH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("week", T.LongType()),
+        T.StructField("cls", T.StringType()),
+    ]
+)
+
+_GROWTH_STATE_SCHEMA = T.StructType([T.StructField("last_w", T.LongType())])
+
+
+def growth_classify_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of events_growth_accounting's classification leg:
+    per user, each NEWLY active week is emitted exactly once as
+    (user_id, week, cls) with cls ∈ {new, retained, resurrected} — the
+    growth-accounting flows maintained ON INGEST, so the weekly
+    new/retained/resurrected rollup is a plain downstream count by
+    (week, cls) instead of a nightly batch over all history.
+
+    State is ONE int64 per user (the last active week) — the minimal
+    possible, and strictly smaller than the sessionizer's 3 longs; no
+    timeout is needed because the state never grows per event.
+
+    Contract (same as the batch twin's lag semantics): week indices
+    arrive non-decreasing per user. The replay harness's ts-ordered
+    chunks guarantee it; a week arriving ≤ the recorded last week is a
+    duplicate of an already-classified week and is skipped, while a
+    genuinely out-of-order EARLIER week (possible only past the
+    watermark) is a batch-reconciliation concern, the repo's standard
+    ingest-dedup discipline (streaming/ingest.py)."""
+    weeks = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"unix_date(to_date({ts_col})) DIV 7").cast("long").alias("week"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        last_w = state.get[0] if state.exists else None
+        out_w: list[int] = []
+        out_c: list[str] = []
+        ws = sorted({int(w) for pdf in pdfs for w in pdf["week"].tolist()})
+        for w in ws:
+            if last_w is None:
+                cls = "new"
+            elif w <= last_w:
+                continue  # duplicate of an already-classified week
+            elif w == last_w + 1:
+                cls = "retained"
+            else:
+                cls = "resurrected"
+            out_w.append(w)
+            out_c.append(cls)
+            last_w = w
+        if last_w is not None:
+            state.update((int(last_w),))
+        if out_w:
+            yield pd.DataFrame(
+                {"user_id": [user] * len(out_w), "week": out_w, "cls": out_c}
+            )
+
+    return weeks.groupBy("user_id").applyInPandasWithState(
+        fn,
+        GROWTH_OUTPUT_SCHEMA,
+        _GROWTH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )

@@ -727,6 +727,53 @@ def test_streaming_dau_matches_batch(spark, sf_dir, events_stream_dir):
     assert got == want
 
 
+def test_streaming_growth_accounting_matches_batch(spark, sf_dir, events_stream_dir):
+    """Streaming twin of events_growth_accounting: the per-user
+    classifier (ONE int64 of state per user) replayed over ts-ordered
+    chunks emits each (user, week) flow exactly once; counting the
+    emitted records by (week, cls) must reproduce the batch entry's
+    weekly new/retained/resurrected/active columns exactly."""
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+    from aliyun_emapreduce_datasources_spark.streaming.stateful import (
+        growth_classify_stream,
+    )
+
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+    classified = growth_classify_stream(st.read_stream(spark))
+    name = _run_to_memory(classified, "append")
+    got = {
+        int(r["week"]): (
+            int(r["n_new"]),
+            int(r["n_retained"]),
+            int(r["n_resurrected"]),
+            int(r["n_active"]),
+        )
+        for r in spark.table(name)
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+            F.count(F.lit(1)).alias("n_active"),
+        )
+        .collect()
+    }
+    want = {
+        int(r["m"]): (
+            int(r["n_new"]),
+            int(r["n_retained"]),
+            int(r["n_resurrected"]),
+            int(r["n_active"]),
+        )
+        for r in QUERIES["events_growth_accounting"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_scd2_matches_batch(spark, sf_dir, events_stream_dir):
     """Streaming twin of cdc_scd2_history: the change log replayed in
     event-time order is maintained INCREMENTALLY via foreachBatch —
