@@ -38,12 +38,46 @@ from pyspark.sql import types as T
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
 from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
-__all__ = ["minhash_signature", "lsh_candidate_pairs", "minhash_dedup_pairs", "QUERY"]
+__all__ = [
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "QUERY",
+    "ORACLE",
+    "CATALOG_HASH",
+]
 
 N_PERM = 128
 N_BANDS = 32
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_K = 3
+
+# Hash family for shingle hashing + band buckets. "blake2b" is the
+# library default; "md5" is ENGINE-PORTABLE (DuckDB md5() reproduces
+# the exact same 64-bit values), which makes the whole
+# OPH-signature → banding → exact-verify pipeline a full value-hash
+# oracle (round-7 verdict ask #5). The md5 band bucket hashes a
+# DECIMAL-STRING rendering of the band's 4 slot values (portable
+# across engines) instead of raw int64 bytes. NOTE: n_perm must
+# divide 2^64 (a power of two) for the md5 variant — slot = h mod P
+# must agree between the signed (engine) and unsigned (SQL) readings
+# of the same 64-bit hash, which holds exactly when P | 2^64.
+CATALOG_HASH = "md5"
+
+_FILL_C1 = -7046029254386353131
+_FILL_C2 = 1099511628211
+
+
+def _h64_md5(s: str) -> int:
+    """Unsigned 64-bit value named by the first 16 md5 hex chars —
+    '0x' || substr(md5(s), 1, 16) in DuckDB."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
+def _signed64(u: int) -> int:
+    """Reinterpret an unsigned 64-bit value as signed two's-complement
+    (the BIGINT cast DuckDB applies to the same value)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 SIG_SCHEMA = T.StructType(
     [
@@ -58,12 +92,27 @@ def _h64(data: bytes) -> np.int64:
     return np.frombuffer(hashlib.blake2b(data, digest_size=8).digest(), dtype=np.int64)[0]
 
 
-def _signature(text: str, n_perm: int, n_bands: int, rows_per_band: int) -> tuple[list[str], np.ndarray]:
+def _signature(
+    text: str,
+    n_perm: int,
+    n_bands: int,
+    rows_per_band: int,
+    hash_name: str = "blake2b",
+) -> tuple[list[str], np.ndarray]:
     toks = text.split(" ")
     sh = list({" ".join(toks[i : i + SHINGLE_K]) for i in range(max(len(toks) - SHINGLE_K + 1, 0))})
     if not sh:
         return sh, np.zeros(0, dtype=np.int64)
-    hs = np.fromiter((_h64(s.encode()) for s in sh), dtype=np.int64, count=len(sh))
+    if hash_name == "md5":
+        assert n_perm and (n_perm & (n_perm - 1)) == 0, (
+            "md5 variant requires a power-of-two n_perm (signed and "
+            "unsigned mod must agree — see CATALOG_HASH note)"
+        )
+        hs = np.fromiter(
+            (_h64_md5(s) for s in sh), dtype=np.uint64, count=len(sh)
+        ).view(np.int64)
+    else:
+        hs = np.fromiter((_h64(s.encode()) for s in sh), dtype=np.int64, count=len(sh))
     slots = (hs % n_perm + n_perm) % n_perm
     sig = np.full(n_perm, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(sig, slots, hs)
@@ -75,11 +124,18 @@ def _signature(text: str, n_perm: int, n_bands: int, rows_per_band: int) -> tupl
         gmin = np.int64(hs.min())
         ks = np.arange(n_perm, dtype=np.int64)
         with np.errstate(over="ignore"):
-            fill = (gmin * np.int64(-7046029254386353131)) ^ (ks * np.int64(1099511628211))
+            fill = (gmin * np.int64(_FILL_C1)) ^ (ks * np.int64(_FILL_C2))
         sig[empty] = fill[empty]
     bands = np.empty(n_bands, dtype=np.int64)
     for b in range(n_bands):
-        bands[b] = _h64(sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes() + bytes([b]))
+        seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        if hash_name == "md5":
+            # portable bucket: md5 of the band's decimal-string form —
+            # reproducible in SQL (raw int64 .tobytes() is not)
+            key = ",".join(str(int(v)) for v in seg) + f",{b}"
+            bands[b] = _signed64(_h64_md5(key))
+        else:
+            bands[b] = _h64(seg.tobytes() + bytes([b]))
     return sh, bands
 
 
@@ -90,6 +146,7 @@ def _with_signatures(
     rows_per_band: int = ROWS_PER_BAND,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_name: str = "blake2b",
 ) -> DataFrame:
     """(doc_id, sh, bands) in one Arrow-batched map pass."""
 
@@ -97,7 +154,9 @@ def _with_signatures(
         for pdf in batches:
             out = {"doc_id": [], "sh": [], "bands": []}
             for _, row in pdf.iterrows():
-                sh, bands = _signature(row[text_col], n_perm, n_bands, rows_per_band)
+                sh, bands = _signature(
+                    row[text_col], n_perm, n_bands, rows_per_band, hash_name
+                )
                 if not sh:
                     continue
                 out["doc_id"].append(int(row[id_col]))
@@ -136,7 +195,12 @@ def lsh_candidate_pairs(with_sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def minhash_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    hash_name: str = "blake2b",
+) -> DataFrame:
     """Confirmed near-dup pairs: LSH candidates verified with exact
     shingle-Jaccard. The signature table is persisted eagerly — the
     band self-join and the two verify joins all read it (at cluster
@@ -144,7 +208,7 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    with_sig = _with_signatures(docs).persist()
+    with_sig = _with_signatures(docs, hash_name=hash_name).persist()
     with_sig.count()
     cand = lsh_candidate_pairs(with_sig)
     sh_only = with_sig.select("doc_id", "sh")
@@ -161,4 +225,79 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dedup_pairs(spark, sf_dir)
+    return minhash_dedup_pairs(spark, sf_dir, hash_name=CATALOG_HASH)
+
+
+def _oracle_minhash() -> str:
+    """Full DuckDB twin of QUERY under CATALOG_HASH = "md5": shingle
+    hash = signed view of '0x'||substr(md5(s),1,16); OPH slot = hash
+    mod 128 (signed mod == unsigned mod because 128 | 2^64); per-slot
+    MIN of signed values; empty slots densified with the same wrap-
+    multiply/xor filler (HUGEINT emulates int64 wrap, xor() matches
+    numpy's bitwise int64 xor); band bucket = md5 of the band's
+    decimal string; candidates via the band self-join; exact
+    shingle-Jaccard verify at >= 0.5."""
+    from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
+
+    two63 = "(CAST(1 AS HUGEINT) << 63)"
+    two64 = "(CAST(1 AS HUGEINT) << 64)"
+
+    def signed(u: str) -> str:
+        return f"CAST({u} - CASE WHEN {u} >= {two63} THEN {two64} ELSE 0 END AS BIGINT)"
+
+    fill_u = (
+        f"((CAST(g AS HUGEINT) * CAST({_FILL_C1} AS HUGEINT)) % {two64} "
+        f"+ {two64}) % {two64}"
+    )
+    band_cols = " || ',' || ".join(
+        f"CAST(MAX(CASE WHEN k % {ROWS_PER_BAND} = {j} THEN v END) AS VARCHAR)"
+        for j in range(ROWS_PER_BAND)
+    )
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), shs AS MATERIALIZED (
+  SELECT doc_id, {_O_SH} AS sh FROM docs
+), h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS hu
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shs)
+), hs AS MATERIALIZED (
+  SELECT doc_id,
+         {signed("CAST(hu AS HUGEINT)")} AS hv,
+         CAST(hu % {N_PERM} AS BIGINT) AS slot
+  FROM h
+), slotmin AS (
+  SELECT doc_id, slot, MIN(hv) AS v FROM hs GROUP BY doc_id, slot
+), gmin AS (
+  SELECT doc_id, MIN(hv) AS g FROM hs GROUP BY doc_id
+), grid AS (
+  SELECT g.doc_id, g.g, k.k
+  FROM gmin g CROSS JOIN (SELECT unnest(generate_series(0, {N_PERM - 1})) AS k) k
+), filled AS MATERIALIZED (
+  SELECT grid.doc_id, grid.k,
+         COALESCE(sm.v,
+                  xor({signed(f"({fill_u})")}, grid.k * {_FILL_C2})) AS v
+  FROM grid LEFT JOIN slotmin sm
+    ON sm.doc_id = grid.doc_id AND sm.slot = grid.k
+), buckets AS MATERIALIZED (
+  SELECT doc_id, CAST(k // {ROWS_PER_BAND} AS BIGINT) AS band,
+         {signed(f"CAST(('0x' || substr(md5({band_cols} || ',' || CAST(k // {ROWS_PER_BAND} AS VARCHAR)), 1, 16)) AS UBIGINT)")} AS bucket
+  FROM filled GROUP BY doc_id, k // {ROWS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         / len(list_distinct(x.sh || y.sh)) AS jaccard
+FROM cand c
+JOIN shs x ON x.doc_id = c.doc_a
+JOIN shs y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(x.sh || y.sh)) >= 0.5
+"""
+
+
+ORACLE = _oracle_minhash()

@@ -251,26 +251,40 @@ def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_shift_mask(text: str) -> int:
-    """Independent SimHash re-derivation: same blake2b token hashes as
-    dedup/simhash.py but a DIFFERENT arithmetic path end to end —
-    int.from_bytes (not frombuffer/view), broadcast shift-and-mask bit
-    extraction (not unpackbits), and a powers-of-two dot product (not
-    packbits) — so a bit-order or endianness bug in the operator's
-    vectorization cannot reproduce here."""
+    """Independent SimHash re-derivation: the same token-hash FAMILY
+    the catalog entry pins (simhash.CATALOG_HASH) but a DIFFERENT
+    arithmetic path end to end — int.from_bytes on raw digest bytes
+    (not the operator's hexdigest-string parse / frombuffer view),
+    broadcast shift-and-mask bit extraction (not unpackbits), and a
+    powers-of-two dot product (not packbits) — so a bit-order or
+    endianness bug in the operator's vectorization cannot reproduce
+    here."""
     import hashlib
 
     import numpy as np
 
+    from aliyun_emapreduce_datasources_spark.dedup.simhash import CATALOG_HASH
+
     toks = set(text.split(" "))
     if not toks:
         return 0
-    hs = np.fromiter(
-        (
+    if CATALOG_HASH == "md5":
+        # md5 int = big-endian read of the first 8 digest bytes (the
+        # operator parses hexdigest[:16] instead — same value, other
+        # route)
+        it = (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            for s in toks
+        )
+    else:
+        it = (
             int.from_bytes(
                 hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
             )
             for s in toks
-        ),
+        )
+    hs = np.fromiter(
+        it,
         dtype=np.uint64,
         count=len(toks),
     )

@@ -46,10 +46,13 @@ QUERIES = {
     **properties.QUERIES,
 }
 
-# minhash/simhash/winnow use engine-specific hash functions that
-# DuckDB cannot reproduce → rows-only checks for those.
-# embedding_cosine is LSH-blocked (recall < 1 by design) → rows-only;
-# its exact blocked twin is oracle-checked in tests/test_dedup.py.
+# winnow uses an engine-specific hash function DuckDB cannot
+# reproduce → rows-only check. minhash/simhash moved to the portable
+# md5 family in round 8 — their full oracles are staged in
+# ORACLES_PENDING below (r09 promotion; the r08 oracled set is frozen
+# for the rotation drain). embedding_cosine is LSH-blocked
+# (recall < 1 by design) → rows-only; its exact blocked twin is
+# oracle-checked in tests/test_dedup.py.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
     "dedup_exact_prefix": exact.ORACLE_PREFIX,
@@ -69,4 +72,16 @@ ORACLES = {
     "dedup_containment": containment.ORACLE,
     "dedup_cluster_weights": clusters.ORACLE_CLUSTER_WEIGHTS,
     **properties.ORACLES,
+}
+
+# Round-8 (verdict ask #5): dedup_simhash and dedup_minhash_lsh now
+# run the PORTABLE md5 hash family (simhash.CATALOG_HASH /
+# minhash.CATALOG_HASH), so both have full DuckDB twins — validated
+# Spark-vs-DuckDB in tests/test_pending_oracles.py. They are staged
+# here instead of ORACLES because round 8 froze the oracled-entry set
+# to drain the 50-entry r04-stale rotation cohort (verdict ask #1);
+# round 9 promotes by merging this dict into ORACLES above.
+ORACLES_PENDING = {
+    "dedup_simhash": simhash.ORACLE,
+    "dedup_minhash_lsh": minhash.ORACLE,
 }

@@ -32,30 +32,57 @@ from pyspark.sql import types as T
 
 from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
-__all__ = ["simhash64", "simhash_candidates", "QUERY"]
+__all__ = ["simhash64", "simhash_candidates", "QUERY", "ORACLE", "CATALOG_HASH"]
 
 N_BLOCKS = 4
 BLOCK_BITS = 64 // N_BLOCKS
 MAX_HAMMING = 3
+
+# Hash family for the token votes. "blake2b" is the library default
+# (keyed-hash family, fastest digest in hashlib); "md5" is the
+# ENGINE-PORTABLE choice — DuckDB's md5() reproduces the exact same
+# 64-bit token hashes ('0x' || substr(md5(tok),1,16)), which turns the
+# whole SimHash pipeline into a full value-hash oracle (round-7
+# verdict ask #5, the sketch_cms_topk portable-md5 precedent). The
+# catalog entry pins md5 so the driver can hash-check it; swap back to
+# blake2b (or xxhash64 in expression form) when orace-portability
+# doesn't matter.
+CATALOG_HASH = "md5"
 
 FP_SCHEMA = T.StructType(
     [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
 )
 
 
-def _fingerprint(text: str) -> int:
+def _token_hashes(toks, hash_name: str) -> np.ndarray:
+    """64-bit signed hash per token. md5: the integer named by the
+    first 16 hex chars of the digest (big-endian, exactly what
+    DuckDB's ('0x' || substr(md5(tok), 1, 16)) casts to), reinterpreted
+    as int64."""
+    if hash_name == "blake2b":
+        return np.fromiter(
+            (
+                np.frombuffer(hashlib.blake2b(s.encode(), digest_size=8).digest(), dtype=np.int64)[0]
+                for s in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+    if hash_name == "md5":
+        return np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        ).view(np.int64)
+    raise ValueError(f"simhash: unknown hash family {hash_name!r}")
+
+
+def _fingerprint(text: str, hash_name: str = "blake2b") -> int:
     """64-bit SimHash of a document's distinct whitespace tokens."""
     toks = set(text.split(" "))
     if not toks:
         return 0
-    hs = np.fromiter(
-        (
-            np.frombuffer(hashlib.blake2b(s.encode(), digest_size=8).digest(), dtype=np.int64)[0]
-            for s in toks
-        ),
-        dtype=np.int64,
-        count=len(toks),
-    )
+    hs = _token_hashes(toks, hash_name)
     # bit i of each hash, little-endian layout → column i
     bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
@@ -63,7 +90,12 @@ def _fingerprint(text: str) -> int:
     return int(np.packbits(fp_bits, bitorder="little").view(np.int64)[0])
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_name: str = "blake2b",
+) -> DataFrame:
     """(doc_id, simhash long) per document, one map-side pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,7 +103,9 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "simhash": pdf[text_col].map(_fingerprint).astype("int64"),
+                    "simhash": pdf[text_col]
+                    .map(lambda s: _fingerprint(s, hash_name))
+                    .astype("int64"),
                 }
             )
 
@@ -118,6 +152,51 @@ def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    fps = simhash64(docs).persist()
+    fps = simhash64(docs, hash_name=CATALOG_HASH).persist()
     fps.count()  # materialize once; both self-join sides read the cache
     return simhash_candidates(fps)
+
+
+# Full DuckDB twin of QUERY under CATALOG_HASH = "md5": token hash =
+# signed view of the first 8 md5 digest bytes, majority vote per bit
+# (strict: bit set iff ones*2 > n, i.e. votes > 0), signed-64
+# fingerprint, Manku 4x16-bit block equi-join, Hamming <= 3. The
+# HUGEINT detour packs bit 63 without overflowing BIGINT; arithmetic
+# >> plus & 65535 mirrors Spark's shiftright/bitwiseAND exactly (sign
+# extension dies under the mask on both engines).
+ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hu
+  FROM toks
+), nt AS (
+  SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id
+), bitvotes AS (
+  SELECT doc_id, i.i,
+         SUM(CASE WHEN (hu >> CAST(i.i AS UBIGINT)) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+  GROUP BY doc_id, i.i
+), fpu AS (
+  SELECT b.doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << CAST(i AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bitvotes b JOIN nt USING (doc_id)
+  GROUP BY b.doc_id
+), fps AS (
+  SELECT doc_id,
+         CAST(u - CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                       THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT) AS fp
+  FROM fpu
+), blocks AS (
+  SELECT doc_id, fp, blk.blk, (fp >> (blk.blk * {BLOCK_BITS})) & {(1 << BLOCK_BITS) - 1} AS key
+  FROM fps CROSS JOIN (SELECT unnest(generate_series(0, {N_BLOCKS - 1})) AS blk) blk
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {MAX_HAMMING}
+"""

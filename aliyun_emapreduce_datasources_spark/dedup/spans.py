@@ -211,8 +211,25 @@ def _true_token_count(text_col) -> "F.Column":
     )
 
 
+# How many scrub passes the unrolled DuckDB oracle carries (the CTE
+# chain below). Measured: BOTH on-disk corpora (sf0.01 AND sf0.1)
+# reach the fixpoint in 6 shrinking passes + 1 confirming pass; a
+# pass over a converged corpus is the IDENTITY (no shingle occurs
+# twice, so the cut set is empty), so unrolling spare passes is
+# harmless and buys convergence slack. The engine's default
+# max_iters derives from THIS knob (oracle passes + 1 confirming) so
+# a corpus the oracle can't express raises loudly in the engine
+# instead of surfacing as a baffling value-hash mismatch (round-7
+# advisor finding: the old engine cap of 40 converged silently on
+# 9-40-pass corpora the 8-pass oracle gets wrong).
+FIXPOINT_ORACLE_PASSES = 8
+
+
 def scrub_spans_fixpoint(
-    spark: SparkSession, sf_dir: str, k: int = 3, max_iters: int = 40
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    max_iters: int = FIXPOINT_ORACLE_PASSES + 1,
 ) -> DataFrame:
     """Iterate scrub_pass until NO k-token shingle occurs in ≥ 2
     documents (removing a span can make its neighbors adjacent and
@@ -226,12 +243,15 @@ def scrub_spans_fixpoint(
     that removes anything removes ≥ k tokens from some doc, so passes
     strictly shrink the corpus and the fixpoint EXISTS; the loop runs
     until a pass removes nothing (sf0.01: 6 shrinking passes + the
-    confirming one), with ``max_iters`` as a hard safety cap that now
-    RAISES instead of silently returning a pre-fixpoint corpus — the
-    companion check treats post-fixpoint emptiness as an invariant, so
-    an exhausted budget must be loud (round-6 advisor finding: the old
-    cap of 6 exited early on this very corpus and only the check's
-    own re-scrub being empty saved it). Each pass localCheckpoints so
+    confirming one). ``max_iters`` defaults to
+    ``FIXPOINT_ORACLE_PASSES + 1`` — the unrolled DuckDB oracle
+    carries exactly FIXPOINT_ORACLE_PASSES passes, so with the default
+    the engine RAISES on precisely the corpora the oracle would get
+    wrong, instead of converging silently into a value-hash mismatch
+    (round-6 advisor: a silent cap exited early; round-7 advisor: a
+    too-generous cap diverged from the oracle — one knob now drives
+    both). Callers outside the catalog may pass a larger budget.
+    Each pass localCheckpoints so
     the loop's lineage (and
     the per-pass `removed` scalar read on the driver) stays bounded —
     the same iterative-operator discipline as graph_pagerank."""
@@ -255,9 +275,11 @@ def scrub_spans_fixpoint(
         # what is actually an exhausted iteration budget
         raise RuntimeError(
             f"scrub_spans_fixpoint: iteration budget max_iters={max_iters} "
-            f"exhausted with {removed} tokens still being removed — raise "
-            "max_iters (each pass strictly shrinks the corpus, so the "
-            "fixpoint exists)"
+            f"exhausted with {removed} tokens still being removed — the "
+            "fixpoint exists (each pass strictly shrinks the corpus); "
+            "raise max_iters for ad-hoc use, and if this is the catalog "
+            "entry also raise FIXPOINT_ORACLE_PASSES so the unrolled "
+            "DuckDB oracle keeps pace"
         )
     final = cur.select(
         "doc_id",
@@ -419,15 +441,9 @@ def _fixpoint_pass_cte(prev: str, i: int) -> str:
 )"""
 
 
-# How many passes the unrolled oracle carries. Measured: BOTH on-disk
-# corpora (sf0.01 AND sf0.1) reach the fixpoint in 6 shrinking passes
-# + 1 confirming pass; a pass over a converged corpus is the IDENTITY
-# (no shingle occurs twice, so the cut set is empty), so unrolling one
-# spare pass is harmless and buys convergence slack. If a future
-# corpus needs more, the engine side raises (max_iters exhaustion) and
-# this constant is the matching oracle knob.
-FIXPOINT_ORACLE_PASSES = 8
-
+# FIXPOINT_ORACLE_PASSES (defined above scrub_spans_fixpoint) is the
+# single knob: it sizes this unrolled CTE chain AND the engine's
+# default max_iters, so the two can't drift apart.
 ORACLE_SCRUB_FIXPOINT = (
     """
 WITH c0 AS MATERIALIZED (

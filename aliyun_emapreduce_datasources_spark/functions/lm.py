@@ -184,7 +184,12 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
-def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_ccnet_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    cut: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data",
     LREC 2020): per LANGUAGE, rank documents by their LM score and cut
@@ -218,9 +223,57 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule evaluated in-row (common.ntile_case) — bit-identical to the
     single-window NTILE because (offset + in-bucket row_number) IS the
     (avg_surprise, doc_id) per-lang rank.
+
+    ``cut="approx"`` is the 100 TB swap (round-7 verdict ask #3,
+    SCALING.md "Quantiles"): per-lang tercile CUT VALUES from ONE
+    ``percentile_approx`` sketch aggregate (bounded memory per lang,
+    map-side partials) broadcast back as a |langs|-row table — zero
+    windows, zero rank passes, one corpus scan. Semantics differ from
+    NTILE only at the boundaries: equal scores land in one bucket by
+    VALUE (CCNet's actual published behavior — its buckets are
+    perplexity-threshold cuts, not rank cuts) and the sketch places
+    each cut within n/``accuracy`` ranks of the exact tercile.
+    Bounded-deviation parity vs the exact path is pinned in
+    tests/test_ccnet_approx.py.
     """
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     scores = lm_bigram_surprise(spark, sf_dir).select("doc_id", "avg_surprise")
+
+    if cut == "approx":
+        joined = docs.join(scores, "doc_id")
+        cuts = joined.groupBy("lang").agg(
+            F.percentile_approx(
+                "avg_surprise", [1.0 / 3.0, 2.0 / 3.0], accuracy
+            ).alias("cuts")
+        ).select(
+            F.col("lang").alias("_cl"),
+            F.col("cuts")[0].alias("_c1"),
+            F.col("cuts")[1].alias("_c2"),
+        )
+        # null-safe: a NULL lang is a legitimate stratum with its own
+        # cuts (same convention as bucketed_rank's grid join)
+        return (
+            joined.join(
+                F.broadcast(cuts), F.col("lang").eqNullSafe(F.col("_cl"))
+            )
+            .withColumn(
+                "bucket_id",
+                F.when(F.col("avg_surprise") <= F.col("_c1"), F.lit(1))
+                .when(F.col("avg_surprise") <= F.col("_c2"), F.lit(2))
+                .otherwise(F.lit(3))
+                .cast("long"),
+            )
+            .withColumn(
+                "bucket",
+                F.when(F.col("bucket_id") == 1, F.lit("head"))
+                .when(F.col("bucket_id") == 2, F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .select("doc_id", "lang", "avg_surprise", "bucket_id", "bucket")
+            .orderBy("doc_id")
+        )
+    if cut != "exact":
+        raise ValueError(f"text_ccnet_buckets: unknown cut mode {cut!r}")
 
     ranked = bucketed_rank(
         docs.join(scores, "doc_id"),

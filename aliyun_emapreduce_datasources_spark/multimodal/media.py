@@ -11,6 +11,12 @@ bytes so tests are reproducible; swap the single function for a real
 decoder when the library exists. Everything around it — the Arrow
 batch iteration, the output schema contract, the byte-bounded
 batching — is production-shaped.
+
+The AUDIO leg is no longer stubbed: attach_wav_audio emits genuine
+RIFF/WAVE containers and audio_features parses them with the
+pure-numpy chunk-walking decoder in multimodal/wav.py (round-7
+verdict ask #6); ``_decode_audio_stub`` remains only as the fallback
+for non-RIFF fixture payloads.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ __all__ = [
     "attach_fake_audio",
     "attach_fake_media",
     "attach_fake_video",
+    "attach_wav_audio",
     "audio_features",
     "decode_features",
     "frame_sample",
@@ -304,11 +311,60 @@ def attach_fake_audio(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta"))
 
 
+def attach_wav_audio(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """REAL-container twin of attach_fake_audio: each row carries a
+    genuine RIFF/WAVE byte string (canonical 44-byte header + PCM16
+    mono data, multimodal/wav.py's encode_wav), synthesized
+    EXECUTOR-SIDE in mapInPandas — blobs never touch the driver, the
+    same discipline as every other media path. The PCM itself is
+    deterministic RNG noise seeded from sha256(seed) (there is no real
+    recording to read in this container), but the BYTES are a real WAV
+    file any decoder accepts; duration_ms = id % 2000 + 500 keeps
+    n_samples = duration_ms × 16 oracle-derivable, and n_bytes is the
+    true container size (44 + 2·n_samples, header + PCM16 data)."""
+    from aliyun_emapreduce_datasources_spark.multimodal.wav import encode_wav
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(seed_col).cast("string").alias("_seed"),
+        (F.pmod(F.col(id_col), F.lit(2000)) + 500)
+        .cast("long")
+        .alias("_duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for _, row in pdf.iterrows():
+                digest = hashlib.sha256(str(row["_seed"]).encode()).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+                n = int(row["_duration_ms"]) * SR // 1000
+                pcm = rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+                wav = encode_wav(pcm, SR)
+                out["media_id"].append(int(row["media_id"]))
+                out["payload"].append(wav)
+                out["meta"].append(
+                    {
+                        "modality": "audio",
+                        "format": "wav",
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": int(row["_duration_ms"]),
+                        "n_bytes": len(wav),
+                        "digest": digest.hex(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _decode_audio_stub(payload: bytes, duration_ms: int, sr: int = SR) -> np.ndarray:
     """STUB decoder: deterministic pseudo-PCM (int16) from the payload
-    digest, length = duration_ms × sr / 1000. Replace with e.g.
-    soundfile.read(io.BytesIO(payload)). Raises like a real decoder
-    on empty payloads."""
+    digest, length = duration_ms × sr / 1000. Kept as the fallback leg
+    for NON-RIFF payloads (attach_fake_audio fixtures); genuine WAV
+    bytes take the real decode_wav path in audio_features. Raises like
+    a real decoder on empty payloads."""
     if not payload:
         raise ValueError("empty media payload")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -338,14 +394,32 @@ def audio_features(
     and the per-frame stats are vectorized over the frame axis — the
     exact shape a librosa/torchaudio swap keeps. Frame count
     ``1 + (n_samples - frame) // hop`` is metadata-derivable, which is
-    what the catalog oracle pins; the pooled stats are stub-RNG values
-    (deterministic, covered by tests/test_multimodal.py)."""
+    what the catalog oracle pins.
+
+    Decode: a payload that IS a RIFF container (b'RIFF' magic) goes
+    through the real pure-numpy WAV parser (multimodal/wav.py —
+    chunk-walked PCM16, stereo downmixed deterministically); anything
+    else falls back to the legacy stub so attach_fake_audio fixtures
+    keep working. The catalog entry (media_audio_features) attaches
+    real WAV bytes, so the driver's oracle exercises the genuine
+    decode end to end."""
+    from aliyun_emapreduce_datasources_spark.multimodal.wav import (
+        decode_wav,
+        to_mono,
+    )
+
+    def decode(row) -> np.ndarray:
+        payload = row["payload"]
+        if payload is not None and bytes(payload[:4]) == b"RIFF":
+            pcm, _sr = decode_wav(bytes(payload))
+            return to_mono(pcm)
+        return _decode_audio_stub(payload, row["meta"]["duration_ms"], sr)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "n_samples": [], "n_frames": [], "mean_rms": [], "mean_zcr": []}
             for _, row in pdf.iterrows():
-                pcm = _decode_audio_stub(row["payload"], row["meta"]["duration_ms"], sr)
+                pcm = decode(row)
                 if pcm.size < frame:
                     # a clip shorter than one analysis window has no
                     # frames — emit zero-frame metadata with null stats

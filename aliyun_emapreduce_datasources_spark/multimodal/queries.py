@@ -1,12 +1,17 @@
 """Catalog entries for the multimodal layer.
 
-The decode itself is stubbed (no image libs in this container —
+The image/video decode is stubbed (no image libs in this container —
 media.py STUB NOTE), but the Spark-side plumbing is fully exercised
 and oracle-checked: metadata-derived facts (n_pixels = width×height,
 frames-per-media) survive the mapInPandas decode/explode, proving
 every row went through the codec path with the right batch shape.
 mean/std luma are stub-RNG values — deterministic but not
 SQL-expressible, covered by tests/test_multimodal.py instead.
+
+The AUDIO entry is NOT stubbed: media_audio_features attaches genuine
+RIFF/WAVE containers and its oracle checks sample counts that only
+come out right if the pure-numpy chunk-walking parser
+(multimodal/wav.py) reads the data chunk correctly.
 """
 
 from __future__ import annotations
@@ -15,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.multimodal.media import (
-    attach_fake_audio,
     attach_fake_media,
     attach_fake_video,
+    attach_wav_audio,
     audio_features,
     decode_features,
     frame_sample,
@@ -55,14 +60,16 @@ FROM documents WHERE text IS NOT NULL
 
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → fake audio blobs → frame (25 ms / 10 ms hop) →
-    per-media frame accounting. n_samples/n_frames are
-    metadata-derived (duration_ms × SR, sliding-window count), so the
-    oracle pins that every row went through the PCM decode + stride
-    framing with the right shapes; the pooled RMS/ZCR stats are
-    stub-RNG values covered by tests/test_multimodal.py."""
+    """documents → GENUINE RIFF/WAVE blobs (attach_wav_audio) → real
+    chunk-walking PCM16 decode (multimodal/wav.py) → frame (25 ms /
+    10 ms hop) → per-media frame accounting. n_samples is the DECODED
+    sample count (no longer metadata trust — the parser must read the
+    data chunk correctly for duration_ms × 16 to come out), n_frames
+    the stride-framing count over it, so the oracle now pins a real
+    end-to-end decode; the pooled RMS/ZCR stats are RNG-synth values
+    covered by tests/test_wav.py instead."""
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    audio = attach_fake_audio(docs, "doc_id", "text")
+    audio = attach_wav_audio(docs, "doc_id", "text")
     return audio_features(audio).select("media_id", "n_samples", "n_frames")
 
 

@@ -168,6 +168,19 @@ def bucketed_rank(
     (part, order-key) projection from executor-local storage instead
     of recomputing the corpus-sized upstream."""
     part_cols = list(part_cols)
+    # withColumn silently REPLACES an existing column, so a caller
+    # whose frame already carries one of the internal working names
+    # (or the rn/n outputs) would get wrong ranks with no error —
+    # cheap schema-only assert (round-7 advisor)
+    reserved = {"_rb", "_rb2", "_off", rn, n} | {
+        f"_pc_{i}" for i in range(len(part_cols))
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bucketed_rank: input columns {sorted(clash)} collide with "
+            "internal working/output names — rename them first"
+        )
     b = df.withColumn("_rb", bucket.cast("long")).localCheckpoint()
     per_b = b.groupBy(*part_cols, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
     bo = F.asc("_rb") if bucket_asc else F.desc("_rb")

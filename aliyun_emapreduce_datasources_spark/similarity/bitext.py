@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.similarity import label_noise
+from aliyun_emapreduce_datasources_spark.similarity import guard, label_noise
 
 __all__ = ["emb_bitext_mine", "QUERIES", "ORACLES"]
 
@@ -59,17 +59,29 @@ _CAND_SCHEMA = "dir string, qid long, nbr long, dot long"
 
 
 def emb_bitext_mine(
-    spark: SparkSession, sf_dir: str, k: int = K_MINE, n_blocks: int = N_BLOCKS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_MINE,
+    n_blocks: int = N_BLOCKS,
+    cap: int = guard.MAX_EVAL_ROWS,
 ) -> DataFrame:
     """(src_id, dst_id, dot, margin): ratio-margin-mined pairs from the
     even-id collection into the odd-id collection — forward-best margin
-    per source, margin > 1.0, then max-margin dedup on the target."""
+    per source, margin > 1.0, then max-margin dedup on the target.
 
+    CONTRACT: probe-sized inputs only — exact cross-collection kNN is
+    O(|A|·|B|) pair work, so inputs above ``cap`` rows are refused
+    (guard.assert_probe_sized); at corpus scale the shortlist swaps
+    for the IVF/LSH probe with this exact variant as the reference."""
+
+    q = label_noise._quantized(spark, sf_dir)
+    # probe-size BEFORE the checkpoint materializes anything
+    guard.assert_probe_sized(q, "emb_bitext_mine", cap)
     # one scan+quantize feeds both cogroup sides; ``vec_id DIV 2``
     # spreads EACH parity class over all blocks (pmod(vec_id, B) would
     # leave half the blocks empty per side)
     base = (
-        label_noise._quantized(spark, sf_dir)
+        q
         .withColumn(
             "blk", F.pmod(F.expr("vec_id DIV 2"), F.lit(n_blocks)).cast("int")
         )

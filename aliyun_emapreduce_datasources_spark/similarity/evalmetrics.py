@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aliyun_emapreduce_datasources_spark.similarity import guard
 from aliyun_emapreduce_datasources_spark.similarity.label_noise import (
     _quantized,
     exact_knn_topk,
@@ -383,7 +384,9 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its exact top-10 (integer-dot, label_noise.exact_knn_topk),
     scaled by lcm(1..10)=2520 so every 1/r is an exact integer;
     queries with no hit contribute 0. One float division per label at
-    the end."""
+    the end. Probe-sized by contract — the underlying exact_knn_topk
+    kernel refuses inputs above guard.MAX_EVAL_ROWS (O(n²) pair work;
+    corpus-scale retrieval belongs to the ANN operators)."""
     topk = exact_knn_topk(spark, sf_dir, k=MRR_K)
     hits = (
         topk.where(F.col("nbr_label") == F.col("label"))
@@ -486,7 +489,10 @@ def kt_auto_blocks(n: int, target_rows: int = KT_BLOCK_ROWS) -> int:
 
 
 def eval_kendall_tau(
-    spark: SparkSession, sf_dir: str, n_blocks: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_blocks: int | None = None,
+    cap: int = guard.MAX_EVAL_ROWS,
 ) -> DataFrame:
     """Exact Kendall tau-b rank agreement between two probes (the
     binary probe and class-0's probe) — the metric that answers "do
@@ -507,20 +513,25 @@ def eval_kendall_tau(
     the corpus (kt_auto_blocks: B = ceil(n/512), one count() of the
     already-checkpointed score table) so per-task pair work stays
     ~512² at any n — raising the corpus raises the task COUNT, never
-    the task size."""
-    base = (
-        _quantized(spark, sf_dir)
-        .select(
-            "vec_id",
-            _dot(F.col("qe"), _coef_binary()).alias("sa"),
-            _dot(F.col("qe"), _coef_class(0)).alias("sb"),
-        )
-        .localCheckpoint()  # one scan+score feeds both cogroup sides
-        # (and the auto-block count() below reads this checkpoint, not
-        # a second corpus scan)
+    the task size. Auto-blocking bounds the TASK, not the n² pair
+    TOTAL — so the kernel additionally refuses inputs above ``cap``
+    rows (guard.assert_probe_sized contract: probe-sized eval sets;
+    raise ``cap=`` to opt into a larger pair budget deliberately)."""
+    scored = _quantized(spark, sf_dir).select(
+        "vec_id",
+        _dot(F.col("qe"), _coef_binary()).alias("sa"),
+        _dot(F.col("qe"), _coef_class(0)).alias("sb"),
     )
+    # probe-size BEFORE checkpointing (refuse a mis-aimed corpus, do
+    # not first materialize it to local disk); under the cap the
+    # limit(cap+1) count IS the exact n, so auto-blocking reuses it
+    # and the guard adds no extra job
+    n_rows = scored.limit(cap + 1).count()
+    if n_rows > cap:
+        guard.assert_probe_sized(scored, "eval_kendall_tau", cap)
+    base = scored.localCheckpoint()  # one scan+score feeds both sides
     if n_blocks is None:
-        n_blocks = kt_auto_blocks(base.count())
+        n_blocks = kt_auto_blocks(n_rows)
     base = base.withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
@@ -764,8 +775,10 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no row (no negative that hard exists).
 
     Third consumer of label_noise.exact_knn_topk — same kernel, same
-    scale shape (n·B·k shuffle, block-matrix compute); the struct-min
-    pick is deterministic because rn is unique per anchor."""
+    scale shape (n·B·k shuffle, block-matrix compute), same
+    probe-sized contract (the kernel refuses > guard.MAX_EVAL_ROWS
+    rows); the struct-min pick is deterministic because rn is unique
+    per anchor."""
     topk = exact_knn_topk(spark, sf_dir, k=MRR_K)
     hn = (
         topk.where(F.col("nbr_label") != F.col("label"))

@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["MAX_QUERY_ROWS", "collect_query_batch"]
+__all__ = [
+    "MAX_QUERY_ROWS",
+    "MAX_EVAL_ROWS",
+    "collect_query_batch",
+    "assert_probe_sized",
+]
 
 # 100k queries x 64-dim float64 ~ 51 MB on the driver / per broadcast —
 # comfortable; beyond it the broadcast-matrix formulation stops being
@@ -36,6 +41,37 @@ def collect_query_batch(queries: DataFrame, columns: list[str], cap: int = MAX_Q
             "large table is the (always-distributed) corpus."
         )
     return rows
+
+
+# The exact-kNN eval kernels (label_noise.exact_knn_topk and its
+# consumers eval_mrr_at_k / emb_hard_negatives / the label-noise
+# audit, eval_kendall_tau, emb_bitext_mine) are O(n²/B) TOTAL work by
+# definition — auto-blocking bounds the per-task size but nothing
+# bounds the pair total. Their contract is PROBE-SIZED eval sets
+# (the ANN operators are the corpus-scale path; the exact kernels are
+# their recall/quality references). 100k rows ⇒ 10¹⁰ exact pairs —
+# already hours of vectorized int work on a single node and the
+# sensible ceiling for "eval set"; beyond it the caller almost
+# certainly aimed the kernel at a corpus by mistake.
+MAX_EVAL_ROWS = 100_000
+
+
+def assert_probe_sized(df: DataFrame, op: str, cap: int = MAX_EVAL_ROWS) -> None:
+    """Refuse loudly when an exact-pairwise eval kernel is pointed at
+    more than ``cap`` rows. The probe count is taken through
+    ``limit(cap + 1)``, so the check itself is O(cap) work no matter
+    how large the mis-aimed input is."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op}: input exceeds the exact-pairwise eval cap ({cap} "
+            "rows). This kernel does O(n²) total pair work by contract "
+            "and is meant for probe-sized eval sets; for corpus-scale "
+            "neighbor search use the ANN operators (similarity/ivf.py, "
+            "lsh.py, pq.py) and keep this kernel as their sampled "
+            "recall reference, or raise cap= explicitly if the pair "
+            "budget is truly intended."
+        )
 
 
 def empty_topk(spark):

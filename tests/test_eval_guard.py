@@ -1,0 +1,85 @@
+"""Probe-size guard on the exact-pairwise eval kernels (round-7
+verdict ask #4): exact_knn_topk / eval_kendall_tau / emb_bitext_mine
+do O(n²/B) TOTAL pair work by contract — auto-blocking bounds the
+per-task size but nothing bounds the pair total — so each must refuse
+an input larger than its ``cap`` loudly instead of silently grinding
+through a corpus-sized quadratic. eval_mrr_at_k / emb_hard_negatives
+inherit the guard through the shared exact_knn_topk kernel (asserted
+here via the kernel, not re-tested per consumer)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aliyun_emapreduce_datasources_spark.similarity import guard
+from aliyun_emapreduce_datasources_spark.similarity.bitext import (
+    emb_bitext_mine,
+)
+from aliyun_emapreduce_datasources_spark.similarity.evalmetrics import (
+    eval_kendall_tau,
+)
+from aliyun_emapreduce_datasources_spark.similarity.label_noise import (
+    exact_knn_topk,
+)
+
+N_ROWS = 12
+DIM = 4
+
+
+@pytest.fixture(scope="module")
+def probe_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("evalguard"))
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(DIM)], i % 3)
+        for i in range(N_ROWS)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_exact_knn_topk_refuses_over_cap(spark, probe_dir):
+    with pytest.raises(ValueError, match="exact-pairwise eval cap"):
+        exact_knn_topk(spark, probe_dir, cap=N_ROWS - 1)
+
+
+def test_exact_knn_topk_message_points_at_ann(spark, probe_dir):
+    # the remediation must name the corpus-scale path, not just refuse
+    with pytest.raises(ValueError, match="ANN operators"):
+        exact_knn_topk(spark, probe_dir, cap=N_ROWS - 1)
+
+
+def test_exact_knn_topk_runs_at_cap(spark, probe_dir):
+    # cap == n is allowed (the guard is strictly-greater)
+    out = exact_knn_topk(spark, probe_dir, cap=N_ROWS)
+    assert out.where("vec_id = nbr").count() == 0
+    assert out.count() > 0
+
+
+def test_kendall_tau_refuses_over_cap(spark, probe_dir):
+    with pytest.raises(ValueError, match="eval_kendall_tau"):
+        eval_kendall_tau(spark, probe_dir, cap=N_ROWS - 1)
+
+
+def test_kendall_tau_runs_at_cap(spark, probe_dir):
+    row = eval_kendall_tau(spark, probe_dir, cap=N_ROWS).collect()[0]
+    assert row.n_pairs == N_ROWS * (N_ROWS - 1) // 2
+
+
+def test_bitext_refuses_over_cap(spark, probe_dir):
+    with pytest.raises(ValueError, match="emb_bitext_mine"):
+        emb_bitext_mine(spark, probe_dir, cap=N_ROWS - 1)
+
+
+def test_guard_count_is_bounded(spark, probe_dir):
+    # the guard's own check must be O(cap), not O(n): the plan it
+    # counts carries a limit(cap + 1), so even the failure path never
+    # scans a corpus
+    df = spark.range(10_000).toDF("x")
+    with pytest.raises(ValueError):
+        guard.assert_probe_sized(df, "unit", cap=5)
+
+
+def test_default_cap_is_documented_constant():
+    assert guard.MAX_EVAL_ROWS == 100_000

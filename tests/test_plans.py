@@ -514,20 +514,35 @@ def test_eval_auc_range_partitioned_prefix(spark, sf_dir):
     _assert_single_partition_only_above_aggregates(simple)
 
 
+def _tree_depth(line: str) -> int:
+    """Nesting depth of a simple-mode plan line: position of its
+    ':-'/'+-' connector (-1 for the root, which has none)."""
+    cands = [i for i in (line.find(":-"), line.find("+-")) if i != -1]
+    return min(cands) if cands else -1
+
+
 def _assert_single_partition_only_above_aggregates(plan: str) -> None:
     """Every Exchange SinglePartition (an unpartitioned window's
     shuffle) must have an aggregate BELOW it — i.e. it only ever moves
-    a grid/aggregate-sized table to one task, never raw rows. Simple-
-    mode plans print parents before children, so 'below' = 'after'."""
-    idx = 0
-    while True:
-        i = plan.find("Exchange SinglePartition", idx)
-        if i == -1:
-            break
-        assert "HashAggregate" in plan[i:], (
+    a grid/aggregate-sized table to one task, never raw rows. The
+    search is scoped to the exchange's OWN subtree (children print
+    after the node at strictly greater connector depth) — a
+    HashAggregate in a sibling branch of a multi-leg plan must not
+    satisfy the guard (round-7 advisor: the old flat string search
+    did exactly that)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _tree_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _tree_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        assert any("HashAggregate" in s for s in subtree), (
             "single-partition exchange over non-aggregated (raw-row) input"
         )
-        idx = i + 1
 
 
 def _assert_windows_above_aggregates(plan: str) -> None:

@@ -1004,3 +1004,141 @@ def test_streaming_dau_late_replay_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_seasonality_matches_batch(spark, sf_dir, events_stream_dir):
+    """Streaming twin of events_hourly_seasonality (round-7 verdict ask
+    #7): the ≤ 7×24-cell seasonality matrix maintained on ingest —
+    per-cell event counts as a plain complete-mode agg, per-cell
+    distinct users as dedupe-to-(user, dow, hod) within the watermark
+    then count (the bounded-state distinct pattern of the DAU twin).
+    The horizon here spans the whole replay so the comparison is
+    exact; production picks the horizon it is willing to re-count a
+    returning (user, cell) after — that is the state-size knob. The
+    share column is the cell count over the matrix total, a 168-row
+    post-processing divide, recomputed on the collected cells with the
+    same IEEE division the batch plan uses."""
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+
+    def cells(stream):
+        return stream.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            "user_id",
+            "ts",
+        )
+
+    counts = (
+        cells(st.read_stream(spark))
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    users = (
+        cells(st.read_stream(spark))
+        .withWatermark("ts", "800 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "dow", "hod"])
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    n_ev = {
+        (r.dow, r.hod): r.n_events
+        for r in spark.table(_run_to_memory(counts, "complete")).collect()
+    }
+    n_us = {
+        (r.dow, r.hod): r.n_users
+        for r in spark.table(_run_to_memory(users, "complete")).collect()
+    }
+    total = sum(n_ev.values())
+    got = {
+        c: (n_ev[c], n_us[c], float(n_ev[c]) / float(total)) for c in n_ev
+    }
+    want = {
+        (r.dow, r.hod): (r.n_events, r.n_users, r.share)
+        for r in QUERIES["events_hourly_seasonality"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_ab_lift_matches_batch(spark, sf_dir, events_stream_dir):
+    """Streaming twin of events_ab_lift (round-7 verdict ask #7): the
+    experiment readout maintained on ingest under the SAME md5 coin —
+    event/purchase tallies as one stateless complete-mode agg per
+    variant; the two distinct-user terms (population, converters) as
+    dedupe-within-watermark then count. The derived rates are single
+    IEEE divisions of exact streamed integers/decimals, so the batch
+    doubles must be reproduced BIT-exactly, not approximately."""
+    from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES
+    from aliyun_emapreduce_datasources_spark.operators.common import m, md5_bucket
+
+    st = _stream_table(events_stream_dir, maxFilesPerTrigger="1")
+
+    def assigned(stream):
+        return stream.withColumn(
+            "variant", md5_bucket(F.col("user_id").cast("string"), 2)
+        )
+
+    is_purchase = F.col("event_type") == "purchase"
+    tallies = (
+        assigned(st.read_stream(spark))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(is_purchase, 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.count(F.when(is_purchase, F.col("value")))
+            .cast("long")
+            .alias("n_valued"),
+            F.sum(F.when(is_purchase, m("value"))).alias("vsum"),
+        )
+    )
+    population = (
+        assigned(st.read_stream(spark))
+        .withWatermark("ts", "800 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "variant"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    converters = (
+        assigned(st.read_stream(spark))
+        .where(is_purchase)
+        .withWatermark("ts", "800 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "variant"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    )
+    tal = {
+        r.variant: r
+        for r in spark.table(_run_to_memory(tallies, "complete")).collect()
+    }
+    pop = {
+        r.variant: r.n_users
+        for r in spark.table(_run_to_memory(population, "complete")).collect()
+    }
+    conv = {
+        r.variant: r.n_converted
+        for r in spark.table(_run_to_memory(converters, "complete")).collect()
+    }
+    got = {}
+    for v, r in tal.items():
+        n_users = pop.get(v, 0)
+        n_conv = conv.get(v, 0)
+        conv_rate = float(n_conv) / float(n_users) if n_users > 0 else 0.0
+        avg_val = (
+            float(r.vsum) / float(r.n_valued) if r.n_valued > 0 else 0.0
+        )
+        got[v] = (n_users, r.n_events, n_conv, conv_rate, r.n_purchases, avg_val)
+    want = {
+        r.variant: (
+            r.n_users,
+            r.n_events,
+            r.n_converted,
+            r.conv_rate,
+            r.n_purchases,
+            r.avg_purchase_value,
+        )
+        for r in QUERIES["events_ab_lift"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1,0 +1,248 @@
+"""Pure-numpy RIFF/WAV codec (multimodal/wav.py) — round-7 verdict ask
+#6: the audio path must decode GENUINE container bytes, not a fake-PCM
+stub. Covers bit-exact roundtrip (incl. hypothesis-random PCM), chunk
+walking (LIST/fact chunks, odd-size padding, data-before-fmt), the
+loud-refusal contract on everything outside the PCM16 subset, the
+deterministic downmix, and the Spark-side end-to-end: attach_wav_audio
+blobs through audio_features' real decode leg."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aliyun_emapreduce_datasources_spark.multimodal.media import (
+    FRAME,
+    HOP,
+    SR,
+    attach_wav_audio,
+    audio_features,
+)
+from aliyun_emapreduce_datasources_spark.multimodal.wav import (
+    decode_wav,
+    encode_wav,
+    to_mono,
+)
+
+
+def _pcm(n, seed=0, ch=None):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch is None else (n, ch)
+    return rng.integers(-(2**15), 2**15, size=shape, dtype=np.int16)
+
+
+# ---- roundtrip ---------------------------------------------------------
+
+def test_roundtrip_mono():
+    pcm = _pcm(1234)
+    out, sr = decode_wav(encode_wav(pcm, 16000))
+    assert sr == 16000
+    assert out.shape == (1234, 1)
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+def test_roundtrip_stereo():
+    pcm = _pcm(777, seed=3, ch=2)
+    out, sr = decode_wav(encode_wav(pcm, 44100))
+    assert sr == 44100
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_roundtrip_odd_sample_count_pads_riff():
+    # 1 mono sample = 2-byte data chunk = even; 1 stereo-channel... use
+    # mono with odd BYTE count impossible for int16 — instead check the
+    # container with an odd-sized LIST chunk below; here pin that the
+    # canonical mono file is exactly 44 + 2n bytes (no stray pad)
+    pcm = _pcm(100)
+    wav = encode_wav(pcm, 8000)
+    assert len(wav) == 44 + 200
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    ch=st.integers(min_value=1, max_value=4),
+    sr=st.sampled_from([8000, 16000, 22050, 48000]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_roundtrip_random(n, ch, sr, seed):
+    pcm = _pcm(n, seed=seed, ch=ch)
+    out, sr2 = decode_wav(encode_wav(pcm, sr))
+    assert sr2 == sr
+    assert out.shape == (n, ch)
+    np.testing.assert_array_equal(out, pcm)
+
+
+# ---- chunk walking -----------------------------------------------------
+
+def _splice_chunk(wav: bytes, chunk: bytes, at: int = 12) -> bytes:
+    """Insert a raw chunk right after the WAVE form tag and fix the
+    RIFF size."""
+    body = wav[:at] + chunk + wav[at:]
+    return body[:4] + struct.pack("<I", len(body) - 8) + body[8:]
+
+
+def test_skips_unknown_even_chunk():
+    pcm = _pcm(50)
+    wav = encode_wav(pcm, 16000)
+    listed = _splice_chunk(wav, b"LIST" + struct.pack("<I", 4) + b"INFO")
+    out, sr = decode_wav(listed)
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+def test_skips_odd_chunk_with_pad_byte():
+    pcm = _pcm(50, seed=1)
+    wav = encode_wav(pcm, 16000)
+    # 3-byte chunk → 1 pad byte per RIFF; a parser that forgets the pad
+    # misaligns every following chunk id
+    odd = _splice_chunk(wav, b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00")
+    out, _ = decode_wav(odd)
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+def test_data_before_fmt_accepted():
+    pcm = _pcm(30, seed=2)
+    n_ch, sr = 1, 16000
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sr, sr * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, sr2 = decode_wav(wav)
+    assert sr2 == sr
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+# ---- refusal contract --------------------------------------------------
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda w: b"XIFF" + w[4:], "bad magic"),
+        (lambda w: w[:8] + b"AVI " + w[12:], "not WAVE"),
+        (lambda w: w[:6], "truncated"),
+    ],
+)
+def test_refuses_malformed_container(mutate, msg):
+    wav = encode_wav(_pcm(10), 16000)
+    with pytest.raises(ValueError):
+        decode_wav(mutate(wav))
+
+
+def test_refuses_float_format():
+    wav = bytearray(encode_wav(_pcm(10), 16000))
+    # canonical layout: fmt tag at offset 20
+    struct.pack_into("<H", wav, 20, 3)  # IEEE float
+    with pytest.raises(ValueError, match="wFormatTag=3"):
+        decode_wav(bytes(wav))
+
+
+def test_refuses_8bit():
+    n_ch, sr = 1, 8000
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sr, sr, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="bit depth 8"):
+        decode_wav(wav)
+
+
+def test_refuses_overrunning_chunk():
+    wav = encode_wav(_pcm(10), 16000)
+    # lie about the data size: claims more bytes than the container has
+    bad = bytearray(wav)
+    struct.pack_into("<I", bad, 40, 10_000)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(bytes(bad))
+
+
+def test_refuses_ragged_data_chunk():
+    # data size not a multiple of blockAlign (stereo, 6 bytes = 1.5
+    # frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="whole number"):
+        decode_wav(wav)
+
+
+def test_encode_refuses_non_int16():
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(np.zeros(4, dtype=np.float32), 16000)
+
+
+# ---- downmix -----------------------------------------------------------
+
+def test_to_mono_truncates_toward_zero():
+    pcm = np.array([[1, 2], [-1, -2], [3, -2], [-3, 2]], dtype=np.int16)
+    # sums 3, -3, 1, -1 over 2 channels → 1, -1, 0, 0 (toward zero —
+    # numpy's floor division would give -2 for sum=-3)
+    np.testing.assert_array_equal(to_mono(pcm), np.array([1, -1, 0, 0], dtype=np.int16))
+
+
+def test_to_mono_passthrough():
+    pcm = _pcm(7)
+    np.testing.assert_array_equal(to_mono(pcm), pcm)
+
+
+# ---- Spark end-to-end ---------------------------------------------------
+
+def test_attach_wav_audio_blobs_are_real_wav(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(5)
+    rows = attach_wav_audio(docs, "doc_id", "text").collect()
+    assert rows
+    for r in rows:
+        pcm, sr = decode_wav(bytes(r.payload))  # genuine container
+        assert sr == SR
+        dur = r.media_id % 2000 + 500
+        assert pcm.shape == (dur * SR // 1000, 1)
+        assert r.meta.n_bytes == len(r.payload) == 44 + 2 * pcm.shape[0]
+        assert r.meta.format == "wav"
+
+
+def test_audio_features_real_decode_matches_metadata(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(8)
+    audio = attach_wav_audio(docs, "doc_id", "text")
+    got = {r.media_id: r for r in audio_features(audio).collect()}
+    for mid, r in got.items():
+        n = (mid % 2000 + 500) * SR // 1000
+        assert r.n_samples == n
+        assert r.n_frames == 1 + (n - FRAME) // HOP
+        assert 0.0 < r.mean_rms < 2**15
+        assert 0.0 < r.mean_zcr < 1.0
+
+
+def test_audio_features_decodes_stereo_wav(spark):
+    # a stereo container through the full Spark path: downmix happens
+    # inside the mapInPandas decode leg, frame counts follow the MONO
+    # sample count
+    pcm = _pcm(SR, seed=9, ch=2)  # 1 s stereo
+    wav = encode_wav(pcm, SR)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), ("audio", "wav", 0, 0, 1000, len(wav), "d"))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,format:string,width:int,height:int,"
+        "duration_ms:bigint,n_bytes:bigint,digest:string>",
+    )
+    r = audio_features(df).collect()[0]
+    assert r.n_samples == SR
+    assert r.n_frames == 1 + (SR - FRAME) // HOP
