@@ -1,17 +1,18 @@
 """Catalog entries for the multimodal layer.
 
-The image/video decode is stubbed (no image libs in this container —
-media.py STUB NOTE), but the Spark-side plumbing is fully exercised
-and oracle-checked: metadata-derived facts (n_pixels = width×height,
-frames-per-media) survive the mapInPandas decode/explode, proving
-every row went through the codec path with the right batch shape.
-mean/std luma are stub-RNG values — deterministic but not
-SQL-expressible, covered by tests/test_multimodal.py instead.
+Only the VIDEO decode remains stubbed (no video libs in this
+container — media.py STUB NOTE); its Spark-side plumbing is fully
+exercised and oracle-checked (the variable 1→N frame explode, exact
+frame-index set, timestamps, digests).
 
-The AUDIO entry is NOT stubbed: media_audio_features attaches genuine
-RIFF/WAVE containers and its oracle checks sample counts that only
-come out right if the pure-numpy chunk-walking parser
-(multimodal/wav.py) reads the data chunk correctly.
+The AUDIO and IMAGE entries are NOT stubbed: media_audio_features
+attaches genuine RIFF/WAVE containers whose oracle checks sample
+counts that only come out right if the pure-numpy chunk-walking
+parser (multimodal/wav.py) reads the data chunk correctly, and
+media_pipeline attaches genuine 24-bit BMPs whose oracle pins the
+decoded plane size through the real header/row-padding parser
+(multimodal/bmp.py). Pixel/PCM statistics are RNG-synth values
+covered by tests/test_bmp.py and tests/test_wav.py.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.multimodal.media import (
-    attach_fake_media,
+    attach_bmp_media,
     attach_fake_video,
     attach_wav_audio,
     audio_features,
@@ -34,12 +35,17 @@ __all__ = ["QUERIES", "ORACLES"]
 
 
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → fake media blobs → decode features + frame sampling
-    → (media_id, n_pixels, n_frames)."""
+    """documents → GENUINE 24-bit BMP blobs (attach_bmp_media) → real
+    header/row-padding decode (multimodal/bmp.py) → features + frame
+    sampling → (media_id, n_pixels, n_frames). n_pixels is the DECODED
+    plane size — the parser must read biWidth/biHeight and strip the
+    row padding correctly for (id%64+16)·(id%48+16) to come out — so
+    the oracle pins a real container decode, the image twin of the
+    WAV move."""
     # NULL-text docs yield no blob (payload seed is the text) — a real
     # ingest would likewise skip rows with no media bytes
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    media = attach_fake_media(docs, "doc_id", "text")
+    media = attach_bmp_media(docs, "doc_id", "text")
     feats = decode_features(media).select("media_id", "n_pixels")
     frames = (
         frame_sample(media, every_n=4, n_frames=16)

@@ -64,15 +64,33 @@ def emb_bitext_mine(
     k: int = K_MINE,
     n_blocks: int = N_BLOCKS,
     cap: int = guard.MAX_EVAL_ROWS,
+    shortlist: str = "exact",
 ) -> DataFrame:
     """(src_id, dst_id, dot, margin): ratio-margin-mined pairs from the
     even-id collection into the odd-id collection — forward-best margin
     per source, margin > 1.0, then max-margin dedup on the target.
 
-    CONTRACT: probe-sized inputs only — exact cross-collection kNN is
-    O(|A|·|B|) pair work, so inputs above ``cap`` rows are refused
-    (guard.assert_probe_sized); at corpus scale the shortlist swaps
-    for the IVF/LSH probe with this exact variant as the reference."""
+    CONTRACT (exact mode): probe-sized inputs only — exact
+    cross-collection kNN is O(|A|·|B|) pair work, so inputs above
+    ``cap`` rows are refused (guard.assert_probe_sized).
+
+    ``shortlist="lsh"`` is the corpus-scale swap (round-7 verdict ask
+    #3; SCALING.md bitext bullet: *at 100 TB the block matmul swaps
+    for the IVF/LSH shortlist*): candidates come from the shared
+    hyperplane bucket table (label_noise.lsh_bucket_probes) with
+    probes of each parity joined against corpus entries of the other,
+    every surfaced pair exactly rescored JVM-side; the margin
+    denominators sum the APPROXIMATE top-k (missed candidates shrink
+    a denominator, which can only raise that vector's margins —
+    mined-pair overlap vs the exact variant is pinned in
+    tests/test_bitext_shortlist.py). No probe cap in this mode —
+    bucketed candidate generation is the point."""
+    if shortlist == "lsh":
+        return _bitext_from_candidates(
+            spark, _lsh_cross_parity_pairs(spark, sf_dir), k
+        )
+    if shortlist != "exact":
+        raise ValueError(f"emb_bitext_mine: unknown shortlist mode {shortlist!r}")
 
     q = label_noise._quantized(spark, sf_dir)
     # probe-size BEFORE the checkpoint materializes anything
@@ -147,6 +165,56 @@ def emb_bitext_mine(
         .cogroup(side_b.groupBy("blk_a", "blk_b"))
         .applyInPandas(partial_topk, _CAND_SCHEMA)
     )
+    return _bitext_from_candidates(spark, cands, k)
+
+
+def _lsh_cross_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dir, qid, nbr, dot) candidates via hyperplane buckets: probes
+    of each parity against corpus entries of the other, exact int64
+    rescore in the JVM expression tree (same wrap-is-an-error ANSI
+    contract as lsh_shortlist_knn_topk)."""
+    base = label_noise._quantized(spark, sf_dir).localCheckpoint()
+    tagged = label_noise.lsh_bucket_probes(base).withColumn(
+        "par", F.pmod("vec_id", F.lit(2)).cast("int")
+    )
+
+    def pairs_into(corpus_parity: int) -> DataFrame:
+        probes = tagged.where(
+            (F.col("probe") == 1) & (F.col("par") != corpus_parity)
+        ).select("tbl", "sig", F.col("vec_id").alias("qid"))
+        corp = tagged.where(
+            (F.col("probe") == 0) & (F.col("par") == corpus_parity)
+        ).select("tbl", "sig", F.col("vec_id").alias("nbr"))
+        return (
+            probes.join(corp, ["tbl", "sig"])
+            .select("qid", "nbr")
+            .dropDuplicates(["qid", "nbr"])
+        )
+
+    fwd = pairs_into(1).withColumn("dir", F.lit("f"))  # even → odd
+    bwd = pairs_into(0).withColumn("dir", F.lit("b"))  # odd → even
+    cand = fwd.unionByName(bwd)
+    lq = base.select(F.col("vec_id").alias("qid"), F.col("qe").alias("q_qe"))
+    rq = base.select(F.col("vec_id").alias("nbr"), F.col("qe").alias("c_qe"))
+    dot = F.aggregate(
+        F.zip_with("q_qe", "c_qe", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(lq, "qid")
+        .join(rq, "nbr")
+        .select("dir", "qid", "nbr", dot.alias("dot"))
+    )
+
+
+def _bitext_from_candidates(
+    spark: SparkSession, cands: DataFrame, k: int
+) -> DataFrame:
+    """Margin mining over a (dir, qid, nbr, dot) candidate table — the
+    shared tail of the exact block-cogroup path and the LSH shortlist
+    path: global per-(dir, qid) top-k, NN-sum denominators, ratio
+    margin, forward-best + target dedup."""
     w = Window.partitionBy("dir", "qid").orderBy(F.desc("dot"), F.asc("nbr"))
     topk = (
         cands.withColumn("rn", F.row_number().over(w))

@@ -493,6 +493,7 @@ def eval_kendall_tau(
     sf_dir: str,
     n_blocks: int | None = None,
     cap: int = guard.MAX_EVAL_ROWS,
+    sample_every: int | None = None,
 ) -> DataFrame:
     """Exact Kendall tau-b rank agreement between two probes (the
     binary probe and class-0's probe) — the metric that answers "do
@@ -516,12 +517,31 @@ def eval_kendall_tau(
     the task size. Auto-blocking bounds the TASK, not the n² pair
     TOTAL — so the kernel additionally refuses inputs above ``cap``
     rows (guard.assert_probe_sized contract: probe-sized eval sets;
-    raise ``cap=`` to opt into a larger pair budget deliberately)."""
+    raise ``cap=`` to opt into a larger pair budget deliberately).
+
+    ``sample_every=m`` is the corpus-scale estimator (the SCALING.md
+    'sample pairs — tau is estimable' swap, now code): keep each row
+    with probability 1/m via the deterministic md5 coin, then run the
+    SAME exact kernel on the subsample — tau-b of a uniform row
+    subsample is the standard consistent estimator of the population
+    tau (all n²/m² pairs among kept rows are sampled pairs), with
+    sampling error O(1/√(n/m)). The subsample must still fit the cap;
+    the estimator path exists exactly so that m can bring any corpus
+    under it. Bounded-deviation vs the exact statistic is pinned in
+    tests/test_eval_guard.py."""
     scored = _quantized(spark, sf_dir).select(
         "vec_id",
         _dot(F.col("qe"), _coef_binary()).alias("sa"),
         _dot(F.col("qe"), _coef_class(0)).alias("sb"),
     )
+    if sample_every is not None and sample_every > 1:
+        from aliyun_emapreduce_datasources_spark.operators.common import (
+            md5_bucket,
+        )
+
+        scored = scored.where(
+            md5_bucket(F.col("vec_id").cast("string"), sample_every) == 0
+        )
     # probe-size BEFORE checkpointing (refuse a mis-aimed corpus, do
     # not first materialize it to local disk); under the cap the
     # limit(cap+1) count IS the exact n, so auto-blocking reuses it

@@ -194,6 +194,63 @@ LSH_PLANES = 6
 LSH_TABLES = 8
 
 
+def lsh_bucket_probes(
+    base: DataFrame, n_planes: int = LSH_PLANES, n_tables: int = LSH_TABLES
+) -> DataFrame:
+    """(vec_id, tbl, sig, probe) bucket table over a (vec_id, qe)
+    frame: one corpus row per (vector, table) at probe = 0, plus the
+    query probe keys (exact signature + every Hamming-1 flip) at
+    probe = 1. Signatures come from the similarity/lsh.py hyperplane
+    family applied to the micro-quantized ints (sign(dot) is scale-
+    invariant, so quantized and float signatures agree except ON a
+    plane). Shared by lsh_shortlist_knn_topk and the bitext shortlist
+    (similarity/bitext.py) — one candidate-generation implementation,
+    several consumers."""
+    from aliyun_emapreduce_datasources_spark.similarity.lsh import _plane_matrix
+
+    spark = base.sparkSession
+    sc = spark.sparkContext
+    b_planes: dict = {}
+
+    def sigs_with_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(
+                pdf["qe"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
+            )
+            P = b_planes["p"].value
+            bits = (mat @ P) > 0  # (n, L*B)
+            sigs = (bits.reshape(len(pdf), n_tables, n_planes) * weights).sum(
+                axis=2
+            )  # (n, L)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"vec_id": [], "tbl": [], "sig": [], "probe": []}
+            for i in range(len(ids)):
+                for tbl in range(n_tables):
+                    s0 = int(sigs[i, tbl])
+                    out["vec_id"].append(int(ids[i]))
+                    out["tbl"].append(tbl)
+                    out["sig"].append(s0)
+                    out["probe"].append(0)
+                    for s in [s0] + [s0 ^ (1 << h) for h in range(n_planes)]:
+                        out["vec_id"].append(int(ids[i]))
+                        out["tbl"].append(tbl)
+                        out["sig"].append(s)
+                        out["probe"].append(1)
+            yield pd.DataFrame(out)
+
+    # vector width from ONE row (bounded probe); empty corpus → empty
+    first = base.select(F.size("qe").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    b_planes["p"] = sc.broadcast(_plane_matrix(n_planes, n_tables, dim))
+
+    return base.select("vec_id", "qe").mapInPandas(
+        sigs_with_probes, "vec_id long, tbl int, sig long, probe int"
+    )
+
+
 def lsh_shortlist_knn_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -224,56 +281,11 @@ def lsh_shortlist_knn_topk(
     (a true neighbor sharing no bucket is missed — recall vs the exact
     kernel is measured and pinned in tests/test_knn_shortlist.py).
     No probe cap: sub-quadratic candidate generation is the point."""
-    from aliyun_emapreduce_datasources_spark.similarity.lsh import _plane_matrix
-
     # reused 4x (two signature fan-outs via the flag column + the two
     # rescore vector joins) — materialize the narrow quantized table
     # once instead of re-scanning parquet per consumer
     base = _quantized(spark, sf_dir).localCheckpoint()
-
-    sc = spark.sparkContext
-    b_planes: dict = {}
-
-    def sigs_with_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.vstack(
-                pdf["qe"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
-            )
-            P = b_planes["p"].value
-            bits = (mat @ P) > 0  # (n, L*B)
-            sigs = (bits.reshape(len(pdf), n_tables, n_planes) * weights).sum(
-                axis=2
-            )  # (n, L)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out = {"vec_id": [], "tbl": [], "sig": [], "probe": []}
-            for i in range(len(ids)):
-                for tbl in range(n_tables):
-                    s0 = int(sigs[i, tbl])
-                    # probe=0: the corpus entry; probe=1: the query
-                    # probe keys (exact signature + Hamming-1 flips)
-                    out["vec_id"].append(int(ids[i]))
-                    out["tbl"].append(tbl)
-                    out["sig"].append(s0)
-                    out["probe"].append(0)
-                    for s in [s0] + [s0 ^ (1 << h) for h in range(n_planes)]:
-                        out["vec_id"].append(int(ids[i]))
-                        out["tbl"].append(tbl)
-                        out["sig"].append(s)
-                        out["probe"].append(1)
-            yield pd.DataFrame(out)
-
-    # vector width from ONE row (bounded probe — the checkpointed
-    # schema doesn't carry array length); empty corpus → empty result
-    first = base.select(F.size("qe").alias("d")).limit(1).collect()
-    dim = int(first[0]["d"]) if first else 0
-    b_planes["p"] = sc.broadcast(_plane_matrix(n_planes, n_tables, dim))
-
-    tagged = base.select("vec_id", "qe").mapInPandas(
-        sigs_with_probes, "vec_id long, tbl int, sig long, probe int"
-    )
+    tagged = lsh_bucket_probes(base, n_planes, n_tables)
     corp = tagged.where(F.col("probe") == 0).select(
         "tbl", "sig", F.col("vec_id").alias("cid")
     )

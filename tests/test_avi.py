@@ -1,0 +1,165 @@
+"""Pure-numpy AVI codec (multimodal/avi.py) — the video leg of the
+round-8 real-container work: uncompressed RIFF/AVI with raw-DIB 00db
+frames, round-tripped bit-exactly, refused loudly outside that subset,
+and driven end-to-end through Spark (attach_avi_video →
+video_frame_sample's real decode leg, frame digests over ACTUAL
+decoded pixels)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aliyun_emapreduce_datasources_spark.multimodal.avi import (
+    decode_avi,
+    encode_avi,
+)
+from aliyun_emapreduce_datasources_spark.multimodal.media import (
+    AVI_FPS,
+    AVI_H,
+    AVI_W,
+    attach_avi_video,
+    video_frame_sample,
+)
+
+
+def _clip(n, h, w, seed=0, gray=False):
+    rng = np.random.default_rng(seed)
+    shape = (n, h, w) if gray else (n, h, w, 3)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# ---- roundtrip ---------------------------------------------------------
+
+def test_roundtrip_rgb():
+    clip = _clip(5, 6, 7, seed=1)
+    frames, fps = decode_avi(encode_avi(clip, 8))
+    assert fps == 8
+    np.testing.assert_array_equal(frames, clip)
+
+
+def test_roundtrip_gray_replicates():
+    clip = _clip(3, 4, 5, seed=2, gray=True)
+    frames, fps = decode_avi(encode_avi(clip, 25))
+    assert fps == 25
+    for c in range(3):
+        np.testing.assert_array_equal(frames[:, :, :, c], clip)
+
+
+def test_zero_frames():
+    frames, fps = decode_avi(encode_avi(_clip(0, 4, 4), 8))
+    assert frames.shape == (0, 4, 4, 3) and fps == 8
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=8),
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),  # exercises every stride pad
+    fps=st.sampled_from([1, 8, 24, 30]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_roundtrip_random(n, h, w, fps, seed):
+    clip = _clip(n, h, w, seed=seed)
+    frames, fps2 = decode_avi(encode_avi(clip, fps))
+    assert fps2 == fps
+    np.testing.assert_array_equal(frames, clip)
+
+
+# ---- refusal contract --------------------------------------------------
+
+def test_refuses_bad_magic():
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_avi(b"XIFF" + encode_avi(_clip(1, 2, 2), 8)[4:])
+
+
+def test_refuses_wav_form():
+    avi = encode_avi(_clip(1, 2, 2), 8)
+    with pytest.raises(ValueError, match="not AVI"):
+        decode_avi(avi[:8] + b"WAVE" + avi[12:])
+
+
+def test_refuses_compressed_frame_chunk():
+    avi = bytearray(encode_avi(_clip(2, 2, 2), 8))
+    i = bytes(avi).find(b"00db")
+    assert i != -1
+    avi[i : i + 4] = b"00dc"
+    with pytest.raises(ValueError, match="00dc"):
+        decode_avi(bytes(avi))
+
+
+def test_refuses_wrong_bit_depth():
+    avi = bytearray(encode_avi(_clip(1, 2, 2), 8))
+    i = bytes(avi).find(b"strf")
+    struct.pack_into("<H", avi, i + 8 + 14, 8)  # biBitCount in strf body
+    with pytest.raises(ValueError, match="bit depth 8"):
+        decode_avi(bytes(avi))
+
+
+def test_refuses_truncated_frame():
+    # lying about the frame size misaligns the chunk walk — either the
+    # per-frame size check or the walker's overrun check must refuse;
+    # both are loud ValueErrors from the decoder, never garbage pixels
+    avi = bytearray(encode_avi(_clip(1, 4, 4), 8))
+    i = bytes(avi).find(b"00db")
+    struct.pack_into("<I", avi, i + 4, 7)  # lie: 7-byte frame
+    with pytest.raises(ValueError, match="decode_avi"):
+        decode_avi(bytes(avi))
+
+
+def test_encode_refuses_bad_fps_and_dtype():
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi(_clip(1, 2, 2), 0)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_avi(np.zeros((1, 2, 2, 3), dtype=np.int32), 8)
+
+
+# ---- Spark end-to-end ---------------------------------------------------
+
+def test_attach_avi_blobs_are_real_avi(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(4)
+    rows = attach_avi_video(docs, "doc_id", "text").collect()
+    assert rows
+    for r in rows:
+        frames, fps = decode_avi(bytes(r.payload))
+        n = (r.media_id % 4000 + 1000) * AVI_FPS // 1000
+        assert fps == AVI_FPS
+        assert frames.shape == (n, AVI_H, AVI_W, 3)
+        assert r.meta.n_bytes == len(r.payload)
+        assert r.meta.format == "avi"
+
+
+def test_video_frame_sample_real_decode(spark, sf_dir):
+    """The real leg: counts/timestamps from the PARSED container and
+    digests over the decoded pixels — recomputed independently here
+    from the same deterministic synth."""
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(4)
+    video = attach_avi_video(docs, "doc_id", "text")
+    got: dict = {}
+    for r in video_frame_sample(video, fps=AVI_FPS, every_n=3).collect():
+        got.setdefault(r.media_id, {})[r.frame_idx] = (
+            r.frame_ts_ms,
+            r.frame_digest,
+        )
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(got) == set(src)
+    for mid, text in src.items():
+        digest = hashlib.sha256(str(text).encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+        n = (mid % 4000 + 1000) * AVI_FPS // 1000
+        frames = rng.integers(0, 256, size=(n, AVI_H, AVI_W), dtype=np.uint8)
+        rgb = np.repeat(frames[:, :, :, None], 3, axis=3)
+        want = {
+            idx: (idx * 1000 // AVI_FPS, hashlib.sha256(rgb[idx].tobytes()).hexdigest())
+            for idx in range(0, n, 3)
+        }
+        assert got[mid] == want, f"media {mid} frame set mismatch"

@@ -95,3 +95,25 @@ def test_approx_plan_has_no_window(spark, sf_dir):
 def test_unknown_cut_mode_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown cut mode"):
         text_ccnet_buckets(spark, sf_dir, cut="banana")
+
+
+def test_approx_handles_null_lang_stratum(spark, tmp_path_factory):
+    """A NULL lang is a legitimate stratum: the cuts join is null-safe
+    (eqNullSafe), so its docs must keep their own terciles instead of
+    vanishing through an equi-join."""
+    d = str(tmp_path_factory.mktemp("ccnetnull"))
+    rows = [
+        (i, " ".join(["tok%d" % (j % 5) for j in range(i, i + 12)]),
+         None if i % 2 == 0 else "en", "src", 60)
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = text_ccnet_buckets(spark, d, cut="approx").collect()
+    null_docs = [r for r in out if r.lang is None]
+    assert len(null_docs) == 6, "NULL-lang stratum dropped by the cuts join"
+    # tied scores may legitimately collapse value-threshold buckets;
+    # what must hold is assignment (every doc bucketed) + validity
+    assert all(r.bucket_id in (1, 2, 3) for r in null_docs)
+    assert len({r.bucket_id for r in null_docs}) >= 2

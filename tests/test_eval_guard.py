@@ -83,3 +83,18 @@ def test_guard_count_is_bounded(spark, probe_dir):
 
 def test_default_cap_is_documented_constant():
     assert guard.MAX_EVAL_ROWS == 100_000
+
+
+def test_kendall_tau_sampled_estimator(spark, sf_dir):
+    """The corpus-scale path: tau-b on a deterministic 1/2 row
+    subsample must estimate the full statistic (bounded deviation on
+    this deterministic corpus) while counting exactly the subsample's
+    pairs — the knob that brings any corpus under the probe cap."""
+    full = eval_kendall_tau(spark, sf_dir).collect()[0]
+    est = eval_kendall_tau(spark, sf_dir, sample_every=2).collect()[0]
+    assert est.n_pairs < full.n_pairs
+    # sampled rows ~ n/2 → pairs ~ n²/8; sanity-bound the shrinkage
+    assert est.n_pairs <= full.n_pairs // 2
+    # measured on sf0.001: full tau ~ est tau well within 0.1; pin a
+    # generous band — a sign flip or off-by-category bug lands far out
+    assert abs(est.tau_b - full.tau_b) < 0.1

@@ -78,3 +78,13 @@ def test_plan_group_limited_no_cartesian(spark, sf_dir):
 def test_unknown_shortlist_mode_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown shortlist mode"):
         exact_knn_topk(spark, sf_dir, shortlist="faiss")
+
+
+def test_shortlist_empty_corpus(spark, tmp_path_factory):
+    """Zero vectors → empty result, not an IndexError on the dim probe
+    or a zero-width plane matmul."""
+    d = str(tmp_path_factory.mktemp("emptyemb"))
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    assert exact_knn_topk(spark, d, k=K, shortlist="lsh").count() == 0
