@@ -546,12 +546,27 @@ def _assert_single_partition_only_above_aggregates(plan: str) -> None:
 
 
 def _assert_windows_above_aggregates(plan: str) -> None:
-    """The bottom-most Window must still have an aggregate below it:
-    rank walks run over the count grid, never raw rows."""
-    wi = plan.rindex("Window")
-    assert "HashAggregate" in plan[wi:], (
-        "found a Window with no aggregate below it (raw-row rank walk)"
-    )
+    """EVERY Window must have an aggregate below it IN ITS OWN SUBTREE:
+    rank walks run over the count grid, never raw rows. Subtree-scoped
+    like _assert_single_partition_only_above_aggregates (the round-7
+    advisor's flat-string finding applies equally here: a sibling
+    branch's HashAggregate must not vouch for a raw-row window)."""
+    lines = plan.splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if "Window" not in line or "WindowGroupLimit" in line:
+            continue
+        depth = _tree_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _tree_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        assert any("HashAggregate" in s for s in subtree), (
+            "found a Window with no aggregate below it (raw-row rank walk)"
+        )
+        checked += 1
+    assert checked > 0, "plan has no Window — assertion is vacuous"
 
 
 def test_percentile_family_rank_walks_on_count_grid(spark, sf_dir):
