@@ -50,6 +50,8 @@ from aliyun_emapreduce_datasources_spark.similarity import guard
 __all__ = [
     "emb_label_noise_knn",
     "exact_knn_topk",
+    "ivf_shortlist_knn_topk",
+    "lsh_bucket_probes",
     "lsh_shortlist_knn_topk",
     "QUERIES",
     "ORACLES",
@@ -102,6 +104,8 @@ def exact_knn_topk(
     is the point)."""
     if shortlist == "lsh":
         return lsh_shortlist_knn_topk(spark, sf_dir, k=k)
+    if shortlist == "ivf":
+        return ivf_shortlist_knn_topk(spark, sf_dir, k=k)
     if shortlist != "exact":
         raise ValueError(f"exact_knn_topk: unknown shortlist mode {shortlist!r}")
 
@@ -322,6 +326,116 @@ def lsh_shortlist_knn_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.col("cid").alias("nbr"),
+            F.col("c_label").alias("nbr_label"),
+            "dot",
+            "rn",
+        )
+    )
+
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def ivf_shortlist_knn_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_NN,
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF sibling of lsh_shortlist_knn_topk — the other half of
+    SCALING.md's 'IVF/LSH probe' swap. Candidate generation: the
+    similarity/ivf.py quantizer (deterministic spherical k-means on a
+    bounded sample) assigns every vector to its nearest centroid (the
+    inverted file); each vector PROBES its ``nprobe`` nearest
+    centroids, and candidates are the probe×file equi-join on the
+    cluster id — shuffle O(n · nprobe) keys. Rescore and ranking are
+    identical to the LSH variant (exact JVM int64 dots,
+    WindowGroupLimit top-k); same output schema as exact_knn_topk,
+    approximate membership (recall pinned in
+    tests/test_knn_shortlist.py). The centroid matrix is a broadcast
+    of k·dim floats — at 100 TB the inverted file is the partitioning
+    (write the assignment out clustered; assign_clusters' docstring),
+    and probe fan-out stays per-row map work."""
+    from aliyun_emapreduce_datasources_spark.similarity.bruteforce import (
+        _normalize,
+    )
+    from aliyun_emapreduce_datasources_spark.similarity.ivf import (
+        train_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    first = emb.limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, nbr long, nbr_label int, dot long, rn long"
+        )
+    C = train_centroids(emb, k=n_clusters)
+    b_c = spark.sparkContext.broadcast(C)
+    base = _quantized(spark, sf_dir).localCheckpoint()
+    npb = min(nprobe, len(C))
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(
+                np.vstack(
+                    pdf["qe"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
+                )
+            )
+            order = np.argsort(-(mat @ b_c.value.T), axis=1)[:, :npb]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, npb),
+                    "cluster": order.astype(np.int32).ravel(),
+                    # rank 0 = the assigned cluster (the inverted-file
+                    # entry); every rank is a probe
+                    "prank": np.tile(np.arange(npb, dtype=np.int32), len(ids)),
+                }
+            )
+
+    tagged = base.select("vec_id", "qe").mapInPandas(
+        probes, "vec_id long, cluster int, prank int"
+    )
+    corp = tagged.where(F.col("prank") == 0).select(
+        "cluster", F.col("vec_id").alias("cid")
+    )
+    prb = tagged.select("cluster", F.col("vec_id").alias("qid"))
+    pairs = (
+        prb.join(corp, "cluster")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .dropDuplicates(["qid", "cid"])
+    )
+    lq = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("qe").alias("q_qe"),
+    )
+    rq = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("qe").alias("c_qe"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_qe", "c_qe", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        pairs.join(lq, "qid")
+        .join(rq, "cid")
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(
             F.col("qid").alias("vec_id"),
