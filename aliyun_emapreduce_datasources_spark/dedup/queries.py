@@ -74,14 +74,16 @@ ORACLES = {
     **properties.ORACLES,
 }
 
-# Round-8 (verdict ask #5): dedup_simhash and dedup_minhash_lsh now
-# run the PORTABLE md5 hash family (simhash.CATALOG_HASH /
-# minhash.CATALOG_HASH), so both have full DuckDB twins — validated
-# Spark-vs-DuckDB in tests/test_pending_oracles.py. They are staged
-# here instead of ORACLES because round 8 froze the oracled-entry set
-# to drain the 50-entry r04-stale rotation cohort (verdict ask #1);
-# round 9 promotes by merging this dict into ORACLES above.
+# Round-8 (verdict ask #5, extended): dedup_simhash, dedup_minhash_lsh
+# and dedup_bloom_decontaminate now run the PORTABLE md5 hash family
+# (each module's CATALOG_HASH), so all three have full DuckDB twins —
+# validated Spark-vs-DuckDB in tests/test_pending_oracles.py. They are
+# staged here instead of ORACLES because round 8 froze the
+# oracled-entry set to drain the 50-entry r04-stale rotation cohort
+# (verdict ask #1); round 9 promotes by merging this dict into ORACLES
+# above (3 fresh driver slots).
 ORACLES_PENDING = {
     "dedup_simhash": simhash.ORACLE,
     "dedup_minhash_lsh": minhash.ORACLE,
+    "dedup_bloom_decontaminate": bloom.ORACLE,
 }

@@ -56,3 +56,31 @@ def test_minhash_oracle_rejects_dropped_pair(spark, oracle, sf_dir):
 def test_md5_variant_requires_power_of_two_perms():
     with pytest.raises(AssertionError, match="power-of-two"):
         minhash._signature("a b c d e f", 100, 25, 4, "md5")
+
+
+def test_bloom_catalog_hash_is_portable():
+    from aliyun_emapreduce_datasources_spark.dedup import bloom
+
+    assert bloom.CATALOG_HASH == "md5"
+
+
+def test_bloom_oracle_rejects_corrupted_flag_count(spark, oracle, sf_dir):
+    pdf = QUERIES["dedup_bloom_decontaminate"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    pdf.loc[pdf.index[0], "n_flagged"] += 1
+    with pytest.raises(AssertionError):
+        assert_frames_match(
+            pdf,
+            oracle.execute(ORACLES_PENDING["dedup_bloom_decontaminate"]).df(),
+            "mut",
+        )
+
+
+def test_bloom_pow2_params_integer_exact():
+    from aliyun_emapreduce_datasources_spark.dedup.bloom import _params
+
+    assert _params(4, 0.01, "pow2") == (64, 7)       # 16n exactly 64
+    assert _params(5, 0.01, "pow2") == (128, 7)      # next pow2 above 80
+    assert _params(1, 0.01, "pow2") == (64, 7)       # floor
+    m, k = _params(26_000, 0.01, "pow2")
+    assert m == 1 << 19 and k == 7                   # 416k -> 524288
