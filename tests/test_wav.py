@@ -246,3 +246,63 @@ def test_audio_features_decodes_stereo_wav(spark):
     r = audio_features(df).collect()[0]
     assert r.n_samples == SR
     assert r.n_frames == 1 + (SR - FRAME) // HOP
+
+
+# ---- differential vs the CPython stdlib `wave` module -------------------
+# An INDEPENDENT reference implementation of the same container format:
+# our encoder's output must parse identically in the stdlib reader, and
+# stdlib-written files must parse identically in our decoder.
+
+import io
+import wave as stdlib_wave
+
+
+def test_stdlib_reads_our_encoder():
+    pcm = _pcm(321, seed=11, ch=2)
+    buf = io.BytesIO(encode_wav(pcm, 22050))
+    with stdlib_wave.open(buf, "rb") as w:
+        assert w.getnchannels() == 2
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 22050
+        assert w.getnframes() == 321
+        data = w.readframes(321)
+    np.testing.assert_array_equal(
+        np.frombuffer(data, dtype="<i2").reshape(-1, 2), pcm
+    )
+
+
+def test_our_decoder_reads_stdlib_writer():
+    pcm = _pcm(123, seed=12)
+    buf = io.BytesIO()
+    with stdlib_wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    out, sr = decode_wav(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    ch=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_stdlib_differential_random(n, ch, seed):
+    pcm = _pcm(n, seed=seed, ch=ch)
+    # ours -> stdlib
+    with stdlib_wave.open(io.BytesIO(encode_wav(pcm, 16000)), "rb") as w:
+        got = np.frombuffer(w.readframes(n), dtype="<i2").reshape(-1, ch)
+    np.testing.assert_array_equal(got, pcm)
+    # stdlib -> ours
+    buf = io.BytesIO()
+    with stdlib_wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    out, sr = decode_wav(buf.getvalue())
+    assert sr == 16000
+    np.testing.assert_array_equal(out, pcm)
