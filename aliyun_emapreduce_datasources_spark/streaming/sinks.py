@@ -121,7 +121,17 @@ class IdempotentBatchSink:
 
 
 class SQLiteExactlyOnceSink:
-    """Two-phase commit-log sink (JDBCSinkLog protocol, S23).
+    """Two-phase commit-log sink (JDBCSinkLog protocol, S23) —
+    DRIVER-PROTOCOL DEMO, not the production path.
+
+    This class exists to demonstrate the reference's `writer 'driver'`
+    variant of the protocol byte-for-byte: it ``collect()``s each
+    micro-batch to the driver and writes through ONE connection, which
+    is only acceptable for trickle-sized streams. The DEFAULT
+    (`writer 'jdbc2'`) implementation is ExecutorExactlyOnceSink below
+    — same two-phase batchId log, but rows written executor-side via
+    foreachPartition with per-partition transactions; use that one for
+    anything real.
 
     Log table `<table>$_STREAM_LOG(batch_id, status)`:
       - on addBatch: if batchId COMMITTED → skip (replay);
