@@ -84,3 +84,19 @@ def test_bloom_pow2_params_integer_exact():
     assert _params(1, 0.01, "pow2") == (64, 7)       # floor
     m, k = _params(26_000, 0.01, "pow2")
     assert m == 1 << 19 and k == 7                   # 416k -> 524288
+
+
+def test_pending_set_invariants():
+    """r09 merges ORACLES_PENDING into ORACLES — guard the merge
+    preconditions now: every staged name is a live catalog entry, none
+    is already oracled (a double entry would silently shadow), and the
+    staged set is exactly the three round-8 promotions."""
+    from aliyun_emapreduce_datasources_spark.dedup.queries import ORACLES
+
+    assert set(ORACLES_PENDING) == {
+        "dedup_simhash",
+        "dedup_minhash_lsh",
+        "dedup_bloom_decontaminate",
+    }
+    assert set(ORACLES_PENDING) <= set(QUERIES)
+    assert not (set(ORACLES_PENDING) & set(ORACLES))
