@@ -46,13 +46,13 @@ QUERIES = {
     **properties.QUERIES,
 }
 
-# winnow uses an engine-specific hash function DuckDB cannot
-# reproduce → rows-only check. minhash/simhash moved to the portable
-# md5 family in round 8 — their full oracles are staged in
-# ORACLES_PENDING below (r09 promotion; the r08 oracled set is frozen
-# for the rotation drain). embedding_cosine is LSH-blocked
-# (recall < 1 by design) → rows-only; its exact blocked twin is
-# oracle-checked in tests/test_dedup.py.
+# minhash/simhash/bloom moved to the portable md5 family in round 8,
+# and winnow's polynomial rolling hash turned out to be SQL-exact as
+# it stood — all four full oracles are staged in ORACLES_PENDING
+# below (r09 promotion; the r08 oracled set is frozen for the
+# rotation drain). embedding_cosine is LSH-blocked (recall < 1 by
+# design) → rows-only; its exact blocked twin is oracle-checked in
+# tests/test_dedup.py.
 ORACLES = {
     "dedup_exact": exact.ORACLE,
     "dedup_exact_prefix": exact.ORACLE_PREFIX,
@@ -76,14 +76,17 @@ ORACLES = {
 
 # Round-8 (verdict ask #5, extended): dedup_simhash, dedup_minhash_lsh
 # and dedup_bloom_decontaminate now run the PORTABLE md5 hash family
-# (each module's CATALOG_HASH), so all three have full DuckDB twins —
-# validated Spark-vs-DuckDB in tests/test_pending_oracles.py. They are
-# staged here instead of ORACLES because round 8 froze the
-# oracled-entry set to drain the 50-entry r04-stale rotation cohort
-# (verdict ask #1); round 9 promotes by merging this dict into ORACLES
-# above (3 fresh driver slots).
+# (each module's CATALOG_HASH), and dedup_winnow_fingerprint's rolling
+# hash was SQL-exact all along (mod-2^64 polynomial — no engine change)
+# — all four have full DuckDB twins, validated Spark-vs-DuckDB in
+# tests/test_pending_oracles.py. They are staged here instead of
+# ORACLES because round 8 froze the oracled-entry set to drain the
+# 50-entry r04-stale rotation cohort (verdict ask #1); round 9
+# promotes by merging this dict into ORACLES above (4 fresh driver
+# slots).
 ORACLES_PENDING = {
     "dedup_simhash": simhash.ORACLE,
     "dedup_minhash_lsh": minhash.ORACLE,
     "dedup_bloom_decontaminate": bloom.ORACLE,
+    "dedup_winnow_fingerprint": winnow.ORACLE,
 }

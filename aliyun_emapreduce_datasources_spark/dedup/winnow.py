@@ -28,9 +28,12 @@ prefixes (they are, by the ordering, each doc's LEAST rare tokens),
 which is what caps the measured 86.6× postings-join growth
 (tools/scaling_curve.py records both curves).
 
-Fingerprints are implementation-defined numbers (no SQL oracle);
-tests/test_dedup.py checks containment against exact shingle-Jaccard
-pairs instead.
+Fingerprints were long treated as implementation-defined numbers,
+but the polynomial rolling hash is pure mod-2^64 integer arithmetic —
+fully reproducible in SQL — so since round 8 the operator has a
+complete DuckDB twin (ORACLE below, staged for promotion; ASCII-text
+contract documented there). The containment-vs-exact-Jaccard property
+in tests/test_dedup.py remains as the semantic check.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ __all__ = [
     "winnow_dedup_pairs",
     "winnow_pairs_from_fingerprints",
     "QUERY",
+    "ORACLE",
 ]
 
 KGRAM = 16
@@ -237,3 +241,64 @@ def winnow_pairs_from_fingerprints(
 
 
 QUERY = winnow_dedup_pairs
+
+
+def _oracle_winnow() -> str:
+    """Full DuckDB twin of QUERY — no engine change needed: the
+    polynomial rolling hash is already pure mod-2^64 integer
+    arithmetic, so the oracle recomputes it with 16 precomputed
+    257^j mod 2^64 constants in HUGEINT (term sum < 2^77, exact),
+    takes the same w-window minima over the UNSIGNED values (pair
+    generation only ever tests fingerprint EQUALITY, so no signed
+    view is needed anywhere), and verifies the same containment over
+    the plain postings self-join — bit-identical to the engine's
+    prefix-filtered plan by the pinned equivalence
+    (test_winnow_prefix_filter_matches_plain_join).
+
+    CONTRACT: value-parity holds for single-byte (ASCII) text — the
+    engine hashes UTF-8 BYTES while SQL's substr/ascii walk
+    CODEPOINTS; the driver corpus (and its nulled twin) is ASCII, so
+    the two walks agree. A multibyte corpus would need a byte-level
+    SQL walk (octet_length/blob slicing) instead."""
+    two64 = "(CAST(1 AS HUGEINT) << 64)"
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i.i + {j}, 1)) AS HUGEINT) * "
+        f"CAST({pow(257, KGRAM - 1 - j, 1 << 64)} AS HUGEINT)"
+        for j in range(KGRAM)
+    )
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {KGRAM}
+), h AS MATERIALIZED (
+  SELECT doc_id, i.i AS i, ({terms}) % {two64} AS hu
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - {KGRAM - 1})) AS i) i
+), wm AS (
+  SELECT doc_id, i,
+         MIN(hu) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {WINDOW - 1} FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nh
+  FROM h
+), fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m FROM wm WHERE i <= nh - {WINDOW - 1}
+  UNION
+  SELECT doc_id, MIN(hu) AS m FROM h
+  GROUP BY doc_id HAVING COUNT(*) < {WINDOW}
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp) AS containment
+FROM shared s
+JOIN cnt ca ON ca.doc_id = s.doc_a
+JOIN cnt cb ON cb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp) >= {MIN_CONTAINMENT}
+"""
+
+
+ORACLE = _oracle_winnow()

@@ -90,13 +90,26 @@ def test_pending_set_invariants():
     """r09 merges ORACLES_PENDING into ORACLES — guard the merge
     preconditions now: every staged name is a live catalog entry, none
     is already oracled (a double entry would silently shadow), and the
-    staged set is exactly the three round-8 promotions."""
+    staged set is exactly the four round-8 promotions."""
     from aliyun_emapreduce_datasources_spark.dedup.queries import ORACLES
 
     assert set(ORACLES_PENDING) == {
         "dedup_simhash",
         "dedup_minhash_lsh",
         "dedup_bloom_decontaminate",
+        "dedup_winnow_fingerprint",
     }
     assert set(ORACLES_PENDING) <= set(QUERIES)
     assert not (set(ORACLES_PENDING) & set(ORACLES))
+
+
+def test_winnow_oracle_rejects_corrupted_containment(spark, oracle, sf_dir):
+    pdf = QUERIES["dedup_winnow_fingerprint"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    pdf.loc[pdf.index[0], "containment"] *= 0.75
+    with pytest.raises(AssertionError):
+        assert_frames_match(
+            pdf,
+            oracle.execute(ORACLES_PENDING["dedup_winnow_fingerprint"]).df(),
+            "mut",
+        )
