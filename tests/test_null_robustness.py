@@ -161,3 +161,21 @@ PROPERTY_EMPTY_UNDER_NULLS = [
 @pytest.mark.parametrize("name", PROPERTY_EMPTY_UNDER_NULLS)
 def test_property_oracle_empty_under_nulls(spark, nulled_dir, name):
     assert QUERIES[name](spark, nulled_dir).count() == 0
+
+
+# The four round-8 STAGED oracles (dedup/queries.ORACLES_PENDING) get
+# the same NULL-parity treatment BEFORE their r09 promotion, so the
+# promotion cannot surprise this suite: Spark and DuckDB must agree on
+# the nulled fixture too (all four consume documents.text).
+from aliyun_emapreduce_datasources_spark.dedup.queries import (  # noqa: E402
+    ORACLES_PENDING,
+)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES_PENDING))
+def test_pending_oracle_parity_under_nulls(
+    spark, nulled_dir, nulled_oracle, name
+):
+    spark_pdf = QUERIES[name](spark, nulled_dir).toPandas()
+    oracle_pdf = nulled_oracle.execute(ORACLES_PENDING[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{name}[nulled-pending]")
