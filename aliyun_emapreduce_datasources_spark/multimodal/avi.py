@@ -141,11 +141,16 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     strf = None
     frames_raw: list[bytes] = []
 
-    def visit(start: int, stop: int) -> None:
+    def visit(start: int, stop: int, depth: int = 0) -> None:
         nonlocal avih, strh, strf
+        # real AVIs nest 2-3 LISTs deep; a crafted file with hundreds
+        # of nested LISTs must fail as a loud decoder ValueError, not
+        # a Python RecursionError escaping the refusal contract
+        if depth > 16:
+            raise ValueError("decode_avi: LIST nesting exceeds sane depth")
         for cid, form, body, size in _walk(payload, start, stop):
             if cid == b"LIST":
-                visit(body, body + size)
+                visit(body, body + size, depth + 1)
             elif cid == b"avih":
                 avih = struct.unpack_from("<IIIIIIIIII", payload, body)
             elif cid == b"strh":

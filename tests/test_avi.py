@@ -163,3 +163,15 @@ def test_video_frame_sample_real_decode(spark, sf_dir):
             for idx in range(0, n, 3)
         }
         assert got[mid] == want, f"media {mid} frame set mismatch"
+
+
+def test_refuses_pathological_list_nesting():
+    # hundreds of nested LISTs must refuse as a decoder ValueError,
+    # never escape as a Python RecursionError
+    inner = b"avih" + struct.pack("<I", 56) + b"\x00" * 56
+    for _ in range(64):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    body = b"AVI " + inner
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="nesting"):
+        decode_avi(avi)
