@@ -104,10 +104,15 @@ def _signature(
     if not sh:
         return sh, np.zeros(0, dtype=np.int64)
     if hash_name == "md5":
-        assert n_perm and (n_perm & (n_perm - 1)) == 0, (
-            "md5 variant requires a power-of-two n_perm (signed and "
-            "unsigned mod must agree — see CATALOG_HASH note)"
-        )
+        # a raise, not an assert: `python -O` strips asserts, and a
+        # non-power-of-two n_perm would silently diverge from the
+        # oracle (signed and unsigned mod only agree when n_perm | 2^64)
+        if not n_perm or (n_perm & (n_perm - 1)) != 0:
+            raise ValueError(
+                "minhash md5 variant requires a power-of-two n_perm "
+                "(signed and unsigned mod must agree — see CATALOG_HASH "
+                f"note); got {n_perm}"
+            )
         hs = np.fromiter(
             (_h64_md5(s) for s in sh), dtype=np.uint64, count=len(sh)
         ).view(np.int64)

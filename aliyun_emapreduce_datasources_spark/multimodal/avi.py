@@ -51,6 +51,10 @@ def encode_avi(frames: np.ndarray, fps: int) -> bytes:
         )
     if fps <= 0:
         raise ValueError("encode_avi: fps must be positive")
+    if fps > 1_000_000:
+        # dwMicroSecPerFrame would floor to 0 and the round-trip's own
+        # decoder would refuse the container the encoder just wrote
+        raise ValueError("encode_avi: fps above 1e6 is not representable")
     n, h, w, _ = a.shape
     stride = (w * 3 + 3) & ~3
     frame_size = stride * h
@@ -119,6 +123,13 @@ def _walk(payload: bytes, start: int, end: int):
                 f"decode_avi: chunk {cid!r} overruns the container"
             )
         if cid == b"LIST":
+            # a LIST's body begins with its 4-byte form type; a crafted
+            # size < 4 would steal the next chunk's bytes as the form
+            # and propagate a negative body size
+            if size < 4:
+                raise ValueError(
+                    f"decode_avi: LIST chunk too short for a form ({size} bytes)"
+                )
             yield cid, payload[body : body + 4], body + 4, size - 4
         else:
             yield cid, None, body, size
@@ -152,10 +163,20 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
             if cid == b"LIST":
                 visit(body, body + size, depth + 1)
             elif cid == b"avih":
+                # validate the DECLARED size before unpacking: an
+                # undersized header must refuse as ValueError, never
+                # escape as struct.error or silently parse the next
+                # chunk's bytes as header fields
+                if size < 40:
+                    raise ValueError(f"decode_avi: avih chunk too short ({size} bytes)")
                 avih = struct.unpack_from("<IIIIIIIIII", payload, body)
             elif cid == b"strh":
+                if size < 8:
+                    raise ValueError(f"decode_avi: strh chunk too short ({size} bytes)")
                 strh = struct.unpack_from("<4s4s", payload, body)
             elif cid == b"strf":
+                if size < 20:
+                    raise ValueError(f"decode_avi: strf chunk too short ({size} bytes)")
                 strf = struct.unpack_from("<IiiHHI", payload, body)
             elif cid in (b"00db", b"00dc"):
                 if cid == b"00dc":
@@ -187,6 +208,10 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("decode_avi: non-positive frame period")
     fps = round(1_000_000 / usec_per_frame)
     stride = (w * 3 + 3) & ~3
+    # negative strf biHeight = TOP-DOWN rows (same DIB convention as
+    # BMP): the bottom-up flip must be skipped, or every frame decodes
+    # vertically mirrored with no error
+    top_down = bh < 0
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):
         if len(raw) != stride * h:
@@ -195,5 +220,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 f"{stride * h} required for {w}x{h}"
             )
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+        img = rows[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            img = img[::-1]
+        out[i] = img[:, :, ::-1]
     return out, fps

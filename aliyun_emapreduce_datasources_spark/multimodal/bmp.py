@@ -78,6 +78,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     )
     if bi_size < _INFO_HEADER:
         raise ValueError(f"decode_bmp: unsupported header size {bi_size}")
+    if offset < _FILE_HEADER + bi_size:
+        # a crafted bfOffBits pointing INSIDE the headers would decode
+        # header bytes as pixels with no error
+        raise ValueError(
+            f"decode_bmp: pixel offset {offset} lies inside the headers "
+            f"({_FILE_HEADER + bi_size} bytes)"
+        )
     if comp != 0:
         raise ValueError(
             f"decode_bmp: unsupported biCompression={comp} (only BI_RGB=0; "

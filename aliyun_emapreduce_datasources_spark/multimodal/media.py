@@ -225,12 +225,17 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     output is itself a media table the other verbs accept.
 
     BMP payloads decode AND re-encode through the real codec
-    (multimodal/bmp.py), so the output blob is itself a valid BMP a
-    downstream decoder accepts; non-BMP fixture payloads keep the
-    legacy stub pair. The nearest-neighbor index sampling is shared
-    by both legs. Blob bytes stay executor-side end to end.
+    (multimodal/bmp.py) — at FULL COLOR: the resize samples the
+    decoded (h, w, 3) planes directly, so a genuine color BMP comes
+    back as a resized color BMP (the luma projection is only for the
+    feature path; round-8 review finding). Non-BMP fixture payloads
+    keep the legacy stub pair. The nearest-neighbor index sampling is
+    shared by both legs. Blob bytes stay executor-side end to end.
     """
-    from aliyun_emapreduce_datasources_spark.multimodal.bmp import encode_bmp
+    from aliyun_emapreduce_datasources_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,7 +246,12 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     row["payload"] is not None
                     and bytes(row["payload"][:2]) == b"BM"
                 )
-                img = _decode_image(row["payload"], meta["width"], meta["height"])
+                if is_bmp:
+                    img = decode_bmp(bytes(row["payload"]))  # (h, w, 3)
+                else:
+                    img = _decode_image_stub(
+                        row["payload"], meta["width"], meta["height"]
+                    )
                 yi = np.linspace(0, img.shape[0] - 1, target_h).round().astype(int)
                 xi = np.linspace(0, img.shape[1] - 1, target_w).round().astype(int)
                 resized = img[np.ix_(yi, xi)]

@@ -196,15 +196,15 @@ def _lsh_cross_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = fwd.unionByName(bwd)
     lq = base.select(F.col("vec_id").alias("qid"), F.col("qe").alias("q_qe"))
     rq = base.select(F.col("vec_id").alias("nbr"), F.col("qe").alias("c_qe"))
-    dot = F.aggregate(
-        F.zip_with("q_qe", "c_qe", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     return (
         cand.join(lq, "qid")
         .join(rq, "nbr")
-        .select("dir", "qid", "nbr", dot.alias("dot"))
+        .select(
+            "dir",
+            "qid",
+            "nbr",
+            label_noise.exact_int_dot("q_qe", "c_qe").alias("dot"),
+        )
     )
 
 
@@ -230,10 +230,17 @@ def _bitext_from_candidates(
         .groupBy(F.col("qid").alias("y"))
         .agg(F.sum("dot").alias("sy"))
     )
-    den = F.col("sx") + F.col("sy")
+    # LEFT join + coalesce(0) on the backward sum: in exact mode every
+    # forward target has backward top-k rows so this is the identity,
+    # but in shortlist mode a target that surfaced no backward
+    # candidates would be DROPPED by an inner join — the opposite of
+    # the documented "missed candidates can only raise margins"
+    # direction. Treating its NN-sum as 0 keeps the pair and keeps the
+    # monotonicity claim honest (round-8 review finding).
+    den = F.col("sx") + F.coalesce(F.col("sy"), F.lit(0))
     cand = (
         fwd.join(sum_x, "x")
-        .join(sum_y, "y")
+        .join(sum_y, "y", "left")
         .withColumn(
             "margin",
             F.when(

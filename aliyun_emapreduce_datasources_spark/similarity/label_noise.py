@@ -218,6 +218,13 @@ def lsh_bucket_probes(
 
     def sigs_with_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = 1 << np.arange(n_planes, dtype=np.int64)
+        # probe fan-out per (vector, table): the exact signature plus
+        # its B Hamming-1 flips — all built with broadcasting, no
+        # per-row Python (this IS the corpus-scale path; round-8
+        # review finding)
+        flips = np.concatenate(
+            [np.zeros(1, dtype=np.int64), 1 << np.arange(n_planes, dtype=np.int64)]
+        )  # (B+1,), 0 first = the unflipped signature
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -230,20 +237,30 @@ def lsh_bucket_probes(
                 axis=2
             )  # (n, L)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out = {"vec_id": [], "tbl": [], "sig": [], "probe": []}
-            for i in range(len(ids)):
-                for tbl in range(n_tables):
-                    s0 = int(sigs[i, tbl])
-                    out["vec_id"].append(int(ids[i]))
-                    out["tbl"].append(tbl)
-                    out["sig"].append(s0)
-                    out["probe"].append(0)
-                    for s in [s0] + [s0 ^ (1 << h) for h in range(n_planes)]:
-                        out["vec_id"].append(int(ids[i]))
-                        out["tbl"].append(tbl)
-                        out["sig"].append(s)
-                        out["probe"].append(1)
-            yield pd.DataFrame(out)
+            n, L, Bp1 = len(ids), n_tables, len(flips)
+            probe_sigs = sigs[:, :, None] ^ flips[None, None, :]  # (n, L, B+1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(
+                        [np.repeat(ids, L), np.repeat(ids, L * Bp1)]
+                    ),
+                    "tbl": np.concatenate(
+                        [
+                            np.tile(np.arange(L, dtype=np.int32), n),
+                            np.tile(
+                                np.repeat(np.arange(L, dtype=np.int32), Bp1), n
+                            ),
+                        ]
+                    ),
+                    "sig": np.concatenate([sigs.ravel(), probe_sigs.ravel()]),
+                    "probe": np.concatenate(
+                        [
+                            np.zeros(n * L, dtype=np.int32),
+                            np.ones(n * L * Bp1, dtype=np.int32),
+                        ]
+                    ),
+                }
+            )
 
     # vector width from ONE row (bounded probe); empty corpus → empty
     first = base.select(F.size("qe").alias("d")).limit(1).collect()
@@ -302,7 +319,28 @@ def lsh_shortlist_knn_topk(
         .select("qid", "cid")
         .dropDuplicates(["qid", "cid"])
     )
+    return _rescore_topk(base, pairs, k)
 
+
+def exact_int_dot(left_col: str, right_col: str):
+    """Exact int64 inner product of two quantized-int array columns,
+    as a JVM expression tree (whole-stage codegen; ANSI mode turns a
+    hypothetical int64 overflow into a loud error). Shared by the
+    LSH/IVF shortlists and the bitext candidate rescore — ONE
+    definition so a tie-break/overflow change can't diverge."""
+    return F.aggregate(
+        F.zip_with(left_col, right_col, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _rescore_topk(base: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rescore tail of the LSH and IVF shortlists: join
+    the candidate (qid, cid) pairs back to their quantized vectors,
+    compute the exact JVM int64 dot, and take the per-query top-k with
+    a rank-limited window (WindowGroupLimit). Output schema matches
+    exact_knn_topk."""
     lq = base.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
@@ -313,19 +351,12 @@ def lsh_shortlist_knn_topk(
         F.col("label").alias("c_label"),
         F.col("qe").alias("c_qe"),
     )
-    dot = F.aggregate(
-        F.zip_with("q_qe", "c_qe", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        pairs.join(lq, "qid")
-        .join(rq, "cid")
-        .withColumn("dot", dot)
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pairs.join(lq, "qid")
+        .join(rq, "cid")
+        .withColumn("dot", exact_int_dot("q_qe", "c_qe"))
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(
             F.col("qid").alias("vec_id"),
@@ -415,37 +446,7 @@ def ivf_shortlist_knn_topk(
         .select("qid", "cid")
         .dropDuplicates(["qid", "cid"])
     )
-    lq = base.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("q_label"),
-        F.col("qe").alias("q_qe"),
-    )
-    rq = base.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("c_label"),
-        F.col("qe").alias("c_qe"),
-    )
-    dot = F.aggregate(
-        F.zip_with("q_qe", "c_qe", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
-    return (
-        pairs.join(lq, "qid")
-        .join(rq, "cid")
-        .withColumn("dot", dot)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("q_label").alias("label"),
-            F.col("cid").alias("nbr"),
-            F.col("c_label").alias("nbr_label"),
-            "dot",
-            "rn",
-        )
-    )
+    return _rescore_topk(base, pairs, k)
 
 
 def emb_label_noise_knn(

@@ -175,3 +175,49 @@ def test_refuses_pathological_list_nesting():
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="nesting"):
         decode_avi(avi)
+
+
+def test_top_down_negative_strf_height():
+    """Round-8 review finding: a top-down AVI (negative strf biHeight,
+    a layout real encoders emit) must decode with row 0 = image top,
+    not vertically mirrored."""
+    clip = _clip(2, 4, 3, seed=7)
+    avi = bytearray(encode_avi(clip, 8))
+    i = bytes(avi).find(b"strf")
+    h = struct.unpack_from("<i", avi, i + 8 + 8)[0]
+    struct.pack_into("<i", avi, i + 8 + 8, -h)  # biHeight -> top-down
+    # rewrite each frame's rows in top-down order
+    stride = (3 * 3 + 3) & ~3
+    pos = 0
+    for f in range(2):
+        j = bytes(avi).find(b"00db", pos)
+        body = j + 8
+        pix = bytes(avi[body : body + stride * 4])
+        rows = [pix[r * stride : (r + 1) * stride] for r in range(4)]
+        avi[body : body + stride * 4] = b"".join(reversed(rows))
+        pos = body + stride * 4
+    frames, _ = decode_avi(bytes(avi))
+    np.testing.assert_array_equal(frames, clip)
+
+
+def test_refuses_undersized_header_chunks():
+    avi = bytearray(encode_avi(_clip(1, 2, 2), 8))
+    i = bytes(avi).find(b"avih")
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, i + 4, 4)  # avih declares 4 bytes
+    with pytest.raises(ValueError, match="avih chunk too short"):
+        decode_avi(bytes(bad))
+
+
+def test_refuses_short_list_chunk():
+    avi = encode_avi(_clip(1, 2, 2), 8)
+    # splice a LIST declaring size 2 (cannot even hold its form)
+    spliced = avi[:12] + b"LIST" + struct.pack("<I", 2) + b"xx" + avi[12:]
+    fixed = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    with pytest.raises(ValueError, match="LIST chunk too short"):
+        decode_avi(fixed)
+
+
+def test_encode_refuses_unrepresentable_fps():
+    with pytest.raises(ValueError, match="1e6"):
+        encode_avi(_clip(1, 2, 2), 2_000_000)

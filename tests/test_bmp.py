@@ -170,3 +170,33 @@ def test_resize_output_is_valid_bmp(spark, sf_dir):
         assert img.shape == (6, 8, 3)
         assert r.meta.width == 8 and r.meta.height == 6
         assert r.meta.n_bytes == len(r.payload)
+
+
+def test_refuses_offset_inside_headers():
+    """Round-8 review finding: a crafted bfOffBits pointing inside the
+    54-byte header region must refuse, not decode header bytes as
+    pixels."""
+    b = bytearray(encode_bmp(_gray(4, 4)))
+    struct.pack_into("<I", b, 10, 0)  # bfOffBits = 0
+    with pytest.raises(ValueError, match="inside the headers"):
+        decode_bmp(bytes(b))
+
+
+def test_resize_preserves_color(spark):
+    """Round-8 review finding: resizing a genuine COLOR BMP must come
+    back as a resized color BMP, not a grayscale projection."""
+    rgb = _rgb(8, 8, seed=5)
+    wav = encode_bmp(rgb)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), ("image", "bmp", 8, 8, 0, len(wav), "d"))],
+        "media_id long, payload binary, "
+        "meta struct<modality:string,format:string,width:int,height:int,"
+        "duration_ms:bigint,n_bytes:bigint,digest:string>",
+    )
+    r = resize_media(df, 4, 4).collect()[0]
+    out = decode_bmp(bytes(r.payload))
+    assert out.shape == (4, 4, 3)
+    # nearest-neighbor of the original color planes, channel-exact
+    yi = np.linspace(0, 7, 4).round().astype(int)
+    xi = np.linspace(0, 7, 4).round().astype(int)
+    np.testing.assert_array_equal(out, rgb[np.ix_(yi, xi)])
