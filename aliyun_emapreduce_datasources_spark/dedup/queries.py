@@ -48,12 +48,17 @@ QUERIES = {
 
 # minhash/simhash/bloom moved to the portable md5 family in round 8,
 # and winnow's polynomial rolling hash turned out to be SQL-exact as
-# it stood — all four full oracles are staged in ORACLES_PENDING
-# below (r09 promotion; the r08 oracled set is frozen for the
-# rotation drain). embedding_cosine is LSH-blocked (recall < 1 by
-# design) → rows-only; its exact blocked twin is oracle-checked in
+# it stood — all four full oracles were staged through round 8 (the
+# r08 oracled set was frozen for the rotation drain) and PROMOTED in
+# round 9 (verdict r08 ask #1): they are ordinary ORACLES entries now,
+# see PROMOTED_R09 below. embedding_cosine is LSH-blocked (recall < 1
+# by design) → rows-only; its exact blocked twin is oracle-checked in
 # tests/test_dedup.py.
 ORACLES = {
+    "dedup_simhash": simhash.ORACLE,
+    "dedup_minhash_lsh": minhash.ORACLE,
+    "dedup_bloom_decontaminate": bloom.ORACLE,
+    "dedup_winnow_fingerprint": winnow.ORACLE,
     "dedup_exact": exact.ORACLE,
     "dedup_exact_prefix": exact.ORACLE_PREFIX,
     "dedup_decontaminate": decontaminate.ORACLE,
@@ -74,19 +79,18 @@ ORACLES = {
     **properties.ORACLES,
 }
 
-# Round-8 (verdict ask #5, extended): dedup_simhash, dedup_minhash_lsh
-# and dedup_bloom_decontaminate now run the PORTABLE md5 hash family
-# (each module's CATALOG_HASH), and dedup_winnow_fingerprint's rolling
-# hash was SQL-exact all along (mod-2^64 polynomial — no engine change)
-# — all four have full DuckDB twins, validated Spark-vs-DuckDB in
-# tests/test_pending_oracles.py. They are staged here instead of
-# ORACLES because round 8 froze the oracled-entry set to drain the
-# 50-entry r04-stale rotation cohort (verdict ask #1); round 9
-# promotes by merging this dict into ORACLES above (4 fresh driver
-# slots).
-ORACLES_PENDING = {
-    "dedup_simhash": simhash.ORACLE,
-    "dedup_minhash_lsh": minhash.ORACLE,
-    "dedup_bloom_decontaminate": bloom.ORACLE,
-    "dedup_winnow_fingerprint": winnow.ORACLE,
-}
+# Round-9 promotion record (verdict r08 ask #1). These four ran the
+# PORTABLE md5 hash family since round 8 (each module's CATALOG_HASH;
+# winnow's mod-2^64 polynomial rolling hash was SQL-exact all along)
+# with full DuckDB twins validated Spark-vs-DuckDB in
+# tests/test_pending_oracles.py plus NULL-parity and mutation tests.
+# Round 8 froze the oracled set to drain the r04-stale rotation
+# cohort, so they were staged in a separate ORACLES_PENDING dict;
+# round 9 merged them into ORACLES above. This tuple names the
+# promoted cohort so the parity/mutation suites keep targeting it.
+PROMOTED_R09 = (
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_bloom_decontaminate",
+    "dedup_winnow_fingerprint",
+)

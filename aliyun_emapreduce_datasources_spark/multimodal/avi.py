@@ -207,18 +207,30 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     if usec_per_frame <= 0:
         raise ValueError("decode_avi: non-positive frame period")
     fps = round(1_000_000 / usec_per_frame)
+    # mirror encode_avi's fps bounds: a frame period above 1e6 µs
+    # rounds to fps=0, which downstream frame-samplers would divide by
+    # — refuse the malformed period here, at the decoder
+    if fps < 1:
+        raise ValueError(
+            f"decode_avi: frame period {usec_per_frame}µs yields fps < 1"
+        )
     stride = (w * 3 + 3) & ~3
-    # negative strf biHeight = TOP-DOWN rows (same DIB convention as
-    # BMP): the bottom-up flip must be skipped, or every frame decodes
-    # vertically mirrored with no error
-    top_down = bh < 0
-    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    # validate every frame's byte count against the header-declared
+    # geometry BEFORE allocating the output array: a tiny crafted file
+    # declaring huge avih dimensions over empty 00db chunks must refuse
+    # as ValueError, not force a multi-GB np.empty (MemoryError)
     for i, raw in enumerate(frames_raw):
         if len(raw) != stride * h:
             raise ValueError(
                 f"decode_avi: frame {i} holds {len(raw)} bytes, "
                 f"{stride * h} required for {w}x{h}"
             )
+    # negative strf biHeight = TOP-DOWN rows (same DIB convention as
+    # BMP): the bottom-up flip must be skipped, or every frame decodes
+    # vertically mirrored with no error
+    top_down = bh < 0
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
         img = rows[:, : w * 3].reshape(h, w, 3)
         if not top_down:

@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "attach_avi_gradient_video",
     "attach_avi_video",
     "attach_bmp_media",
     "attach_fake_audio",
@@ -57,6 +58,7 @@ __all__ = [
     "decode_features",
     "frame_sample",
     "resize_media",
+    "video_frame_metrics",
     "video_frame_sample",
 ]
 
@@ -374,6 +376,140 @@ def attach_avi_video(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# Gradient-AVI geometry: width 17 makes the row stride 52 (= 51 + 1
+# pad byte), so the catalog decode exercises the 4-byte DIB row
+# padding; height 11 makes the bottom-up flip observable (corner rows
+# differ). Pixel law (SQL-derivable — the whole point): with
+# g(y, x) = (media_id + 13·frame_idx + 2·y + 3·x) mod 256, a pixel is
+# RGB (g, (g+85) mod 256, (g+170) mod 256). Distinct channels catch a
+# BGR/RGB swap; the y/x gradient catches vertical mirroring and
+# padding mis-strips.
+GRAD_FPS = 8
+GRAD_W, GRAD_H = 17, 11
+_GRAD_CH_OFF = (0, 85, 170)
+
+
+def _gradient_frames(media_id: int, n: int) -> np.ndarray:
+    """(n, GRAD_H, GRAD_W, 3) uint8 RGB frames under the pixel law."""
+    yy, xx = np.meshgrid(
+        np.arange(GRAD_H, dtype=np.int64),
+        np.arange(GRAD_W, dtype=np.int64),
+        indexing="ij",
+    )
+    idx = np.arange(n, dtype=np.int64)[:, None, None]
+    g = (media_id + 13 * idx + 2 * yy + 3 * xx) % 256
+    return np.stack(
+        [(g + off) % 256 for off in _GRAD_CH_OFF], axis=-1
+    ).astype(np.uint8)
+
+
+def attach_avi_gradient_video(df: DataFrame, id_col: str) -> DataFrame:
+    """attach_avi_video with ORACLE-DERIVABLE frame content: genuine
+    uncompressed AVI containers (multimodal/avi.py) whose decoded
+    pixels follow the closed-form gradient law above, so a SQL engine
+    can reconstruct per-frame pixel sums and corner values without
+    ever seeing the bytes. Containers are synthesized EXECUTOR-SIDE in
+    mapInPandas (each row independent — embarrassingly parallel at any
+    scale); duration_ms keeps the id-derived 1–5 s so the frame count
+    ``duration_ms × 8 / 1000`` stays derivable too."""
+    from aliyun_emapreduce_datasources_spark.multimodal.avi import encode_avi
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.pmod(F.col(id_col), F.lit(4000)) + 1000)
+        .cast("long")
+        .alias("_duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for _, row in pdf.iterrows():
+                mid = int(row["media_id"])
+                n = int(row["_duration_ms"]) * GRAD_FPS // 1000
+                avi = encode_avi(_gradient_frames(mid, n), GRAD_FPS)
+                out["media_id"].append(mid)
+                out["payload"].append(avi)
+                out["meta"].append(
+                    {
+                        "modality": "video",
+                        "format": "avi",
+                        "width": GRAD_W,
+                        "height": GRAD_H,
+                        "duration_ms": int(row["_duration_ms"]),
+                        "n_bytes": len(avi),
+                        "digest": hashlib.sha256(avi).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+VIDEO_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("corner_tl_r", T.IntegerType()),
+        T.StructField("corner_br_b", T.IntegerType()),
+    ]
+)
+
+
+def video_frame_metrics(media: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL-decode-only frame sampling: parse each payload as a
+    genuine AVI (multimodal/avi.py — refuses anything that is not a
+    RIFF/AVI container), sample every ``every_n``-th DECODED frame and
+    emit content metrics over the actual pixel array: the int64 sum of
+    all RGB bytes plus two orientation/channel probes (R channel of
+    the top-left pixel, B channel of the bottom-right pixel). Under
+    attach_avi_gradient_video's pixel law all three are id-derivable,
+    so a full SQL oracle pins the decoded CONTENT — any padding strip,
+    bottom-up flip, or BGR→RGB error in the codec shifts them.
+
+    The 1→N frame explode happens inside mapInPandas; blob bytes stay
+    executor-side (no driver materialization at any scale), and each
+    media row decodes independently — the same per-row parallelism an
+    ffmpeg-backed swap would keep."""
+    from aliyun_emapreduce_datasources_spark.multimodal.avi import decode_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "px_sum": [],
+                "corner_tl_r": [],
+                "corner_br_b": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                frames, fps = decode_avi(payload)
+                for idx in range(0, frames.shape[0], every_n):
+                    fr = frames[idx]
+                    rows["media_id"].append(row["media_id"])
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(idx * 1000 // fps)
+                    rows["px_sum"].append(int(fr.sum(dtype=np.int64)))
+                    rows["corner_tl_r"].append(int(fr[0, 0, 0]))
+                    rows["corner_br_b"].append(int(fr[-1, -1, 2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(rows["frame_ts_ms"], dtype="int64"),
+                    "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                    "corner_tl_r": pd.Series(rows["corner_tl_r"], dtype="int32"),
+                    "corner_br_b": pd.Series(rows["corner_br_b"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_METRICS_SCHEMA)
 
 
 VIDEO_FRAMES_SCHEMA = T.StructType(

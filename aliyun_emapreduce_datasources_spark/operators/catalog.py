@@ -134,25 +134,56 @@ def _last_checked_rounds() -> dict[str, int] | None:
     return last or None
 
 
+# Judge-requested re-checks (r08 verdict ask #7): entries whose family
+# deserves a fresher hash-checked row than stale-first rotation alone
+# would schedule this round. They front immediately after the
+# never-checked entries, ahead of the stale-first remainder, so the
+# bounded window is guaranteed to include them. Self-cleaning: once an
+# entry's latest CORRECTNESS row is from round _PIN_UNTIL_ROUND or
+# later, the pin is a no-op and it rotates normally.
+_PINNED_RECHECKS: tuple[str, ...] = (
+    # dedup_embedding_cosine itself is rows-only by design; its
+    # hash-checked property companions carry the family's evidence
+    # (latest rows r05/r07 at pin time — verdict wants both green in
+    # the r09 window so the family's freshest evidence is ≤2 rounds
+    # old).
+    "dedup_embedding_lsh_precision_check",
+    "dedup_embedding_lsh_recall_check",
+    # r08 ask #2: the entry was repointed from the fake-video stub to
+    # the real gradient-AVI decode (new oracle) in round 9 — its green
+    # row must come from the new plan this round, not round 6's.
+    "media_video_frames",
+)
+_PIN_UNTIL_ROUND = 9
+
+
 def _auto_front() -> list[str]:
     """Front-of-window names, auto-rotated. Order (round-3 verdict
     asks #6/#7): (1) oracle-backed entries no prior round's
     CORRECTNESS_r*.json records — new rows get their official hash
-    check first; (2) already-green oracle-backed entries, STALEST
-    round first, so residual window slots re-confirm the oldest rows
-    instead of whichever family merges first. Rows-only entries never
-    front — the driver's bounded window spends every slot on
-    hash-checked rows. Falls back to the hand-rotated static list when
-    no driver files are readable (fresh clone, first round)."""
+    check first; (2) _PINNED_RECHECKS whose latest row predates
+    _PIN_UNTIL_ROUND (r08 ask #7); (3) already-green oracle-backed
+    entries, STALEST round first, so residual window slots re-confirm
+    the oldest rows instead of whichever family merges first.
+    Rows-only entries never front — the driver's bounded window spends
+    every slot on hash-checked rows. Falls back to the hand-rotated
+    static list when no driver files are readable (fresh clone, first
+    round)."""
     last = _last_checked_rounds()
     if last is None:
         return [k for k in _FRONT_OF_WINDOW if k in QUERIES]
     oracled = [k for k in QUERIES if k in ORACLES]
     fresh = [k for k in oracled if k not in last]
+    pinned = [
+        k
+        for k in _PINNED_RECHECKS
+        if k in ORACLES and k in last and last[k] < _PIN_UNTIL_ROUND
+    ]
     stale_first = sorted(
-        (k for k in oracled if k in last), key=lambda k: last[k]
+        (k for k in oracled if k in last and k not in pinned),
+        key=lambda k: last[k],
     )
-    return fresh + stale_first
+    return fresh + pinned + stale_first
 
 
 def _merge(mod) -> None:

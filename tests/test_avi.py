@@ -221,3 +221,114 @@ def test_refuses_short_list_chunk():
 def test_encode_refuses_unrepresentable_fps():
     with pytest.raises(ValueError, match="1e6"):
         encode_avi(_clip(1, 2, 2), 2_000_000)
+
+
+def test_decoder_refuses_sub_one_fps_period():
+    # dwMicroSecPerFrame > 1e6 rounds to fps=0; the decoder must refuse
+    # the malformed period (r08 advice), not hand a zero fps to
+    # video_frame_sample's division
+    avi = bytearray(encode_avi(_clip(1, 2, 2), 8))
+    i = bytes(avi).find(b"avih")
+    struct.pack_into("<I", avi, i + 8, 2_000_001)  # first avih field
+    with pytest.raises(ValueError, match="fps < 1"):
+        decode_avi(bytes(avi))
+
+
+def test_refuses_giant_declared_dims_before_allocating():
+    # a tiny crafted file declaring ~8 GB of frame data via huge avih/
+    # strf dimensions over an empty 00db chunk must refuse by frame-
+    # length validation (r08 advice), never attempt the allocation
+    avi = bytearray(encode_avi(_clip(1, 2, 2), 8))
+    big_w, big_h = 32_768, 32_768
+    i = bytes(avi).find(b"avih")
+    struct.pack_into("<II", avi, i + 8 + 32, big_w, big_h)
+    j = bytes(avi).find(b"strf")
+    struct.pack_into("<ii", avi, j + 8 + 4, big_w, big_h)
+    with pytest.raises(ValueError, match="required for 32768x32768"):
+        decode_avi(bytes(avi))
+
+
+# ---- gradient-AVI catalog leg (r08 verdict ask #2) -----------------------
+
+def test_gradient_geometry_exercises_row_padding():
+    # the whole point of GRAD_W=17: 51-byte rows force a 1-byte DIB pad
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        GRAD_H,
+        GRAD_W,
+        _gradient_frames,
+    )
+
+    assert (GRAD_W * 3) % 4 != 0
+    clip = _gradient_frames(123, 7)
+    assert clip.shape == (7, GRAD_H, GRAD_W, 3)
+    got, fps = decode_avi(encode_avi(clip, 8))
+    assert fps == 8
+    np.testing.assert_array_equal(got, clip)
+
+
+def test_gradient_pixel_law_matches_oracle_closed_form():
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        _gradient_frames,
+    )
+
+    mid, idx = 421, 9
+    fr = _gradient_frames(mid, idx + 1)[idx]
+    g00 = (mid + 13 * idx) % 256
+    assert fr[0, 0, 0] == g00
+    assert fr[0, 0, 1] == (g00 + 85) % 256
+    assert fr[0, 0, 2] == (g00 + 170) % 256
+    assert fr[-1, -1, 2] == (mid + 13 * idx + 2 * 10 + 3 * 16 + 170) % 256
+
+
+def test_video_metrics_catch_orientation_and_channel_bugs(spark, sf_dir):
+    """The catalog oracle's corner probes must DETECT a skipped
+    bottom-up flip and a BGR/RGB swap: simulate each codec bug on the
+    decoded clip and assert the probe values change."""
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        _gradient_frames,
+    )
+
+    fr = _gradient_frames(5, 1)[0]
+    flipped = fr[::-1]          # skipped bottom-up flip
+    swapped = fr[:, :, ::-1]    # BGR left as-is
+    assert flipped[0, 0, 0] != fr[0, 0, 0]
+    assert swapped[0, 0, 0] != fr[0, 0, 0]
+    # a padding mis-strip shifts every row's pixels right by the pad
+    assert fr[0, 1, 0] != fr[0, 0, 0]
+
+
+def test_media_video_frames_real_decode_e2e(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        attach_avi_gradient_video,
+        video_frame_metrics,
+    )
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(5)
+    media = attach_avi_gradient_video(docs, "doc_id")
+    # every payload is a genuine RIFF/AVI container
+    for r in media.select("media_id", "payload", "meta").collect():
+        frames, fps = decode_avi(bytes(r.payload))
+        assert fps == 8
+        n = (r.media_id % 4000 + 1000) * 8 // 1000
+        assert frames.shape[0] == n
+        assert r.meta.n_bytes == len(r.payload)
+    out = video_frame_metrics(media, every_n=3).toPandas()
+    for _, row in out.iterrows():
+        mid, idx = int(row.media_id), int(row.frame_idx)
+        assert row.corner_tl_r == (mid + 13 * idx) % 256
+        assert row.corner_br_b == (mid + 13 * idx + 238) % 256
+
+
+def test_video_metrics_refuses_non_avi_payload(spark, sf_dir):
+    from aliyun_emapreduce_datasources_spark.multimodal.media import (
+        attach_fake_video,
+        video_frame_metrics,
+    )
+    from aliyun_emapreduce_datasources_spark.operators.common import t
+    from py4j.protocol import Py4JJavaError
+
+    docs = t(spark, sf_dir, "documents").where("text IS NOT NULL").limit(1)
+    fake = attach_fake_video(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="RIFF|PythonException|decode_avi"):
+        video_frame_metrics(fake).collect()

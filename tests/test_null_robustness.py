@@ -163,19 +163,20 @@ def test_property_oracle_empty_under_nulls(spark, nulled_dir, name):
     assert QUERIES[name](spark, nulled_dir).count() == 0
 
 
-# The four round-8 STAGED oracles (dedup/queries.ORACLES_PENDING) get
-# the same NULL-parity treatment BEFORE their r09 promotion, so the
-# promotion cannot surprise this suite: Spark and DuckDB must agree on
-# the nulled fixture too (all four consume documents.text).
+# The four round-9 PROMOTED oracles (dedup/queries.PROMOTED_R09, in
+# ORACLES since r09) keep the same NULL-parity treatment they had
+# while staged: Spark and DuckDB must agree on the nulled fixture too
+# (all four consume documents.text).
 from aliyun_emapreduce_datasources_spark.dedup.queries import (  # noqa: E402
-    ORACLES_PENDING,
+    ORACLES as DEDUP_ORACLES,
+    PROMOTED_R09,
 )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES_PENDING))
-def test_pending_oracle_parity_under_nulls(
+@pytest.mark.parametrize("name", sorted(PROMOTED_R09))
+def test_promoted_oracle_parity_under_nulls(
     spark, nulled_dir, nulled_oracle, name
 ):
     spark_pdf = QUERIES[name](spark, nulled_dir).toPandas()
-    oracle_pdf = nulled_oracle.execute(ORACLES_PENDING[name]).df()
-    assert_frames_match(spark_pdf, oracle_pdf, f"{name}[nulled-pending]")
+    oracle_pdf = nulled_oracle.execute(DEDUP_ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{name}[nulled-promoted]")

@@ -1,11 +1,13 @@
-"""Round-8 staged promotions (verdict ask #5): dedup_simhash and
-dedup_minhash_lsh now run the PORTABLE md5 hash family, and each has a
-full DuckDB twin staged in dedup.queries.ORACLES_PENDING (the r08
-oracled set is frozen for the rotation drain; r09 merges these into
-ORACLES). This suite runs the EXACT driver comparison on them today —
-Spark result vs DuckDB oracle at the test SF, value-compared through
-assert_frames_match — plus detector-sensitivity mutations proving each
-staged oracle can fail."""
+"""Round-9 promoted oracles (r08 verdict ask #1): dedup_simhash,
+dedup_minhash_lsh, dedup_bloom_decontaminate and
+dedup_winnow_fingerprint run the PORTABLE md5 hash family (round 8;
+winnow's rolling hash was SQL-exact as-is) and each has a full DuckDB
+twin. They were staged in ORACLES_PENDING during the round-8 rotation
+freeze and merged into ORACLES in round 9 (dedup/queries.PROMOTED_R09
+records the cohort). This suite runs the EXACT driver comparison on
+them — Spark result vs DuckDB oracle at the test SF, value-compared
+through assert_frames_match — plus detector-sensitivity mutations
+proving each oracle can fail."""
 
 from __future__ import annotations
 
@@ -13,23 +15,25 @@ import pytest
 
 from aliyun_emapreduce_datasources_spark.dedup import minhash, simhash
 from aliyun_emapreduce_datasources_spark.dedup.queries import (
-    ORACLES_PENDING,
+    ORACLES,
+    PROMOTED_R09,
     QUERIES,
 )
 from test_oracle_parity import assert_frames_match
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES_PENDING))
-def test_pending_oracle_matches(name, spark, oracle, sf_dir):
+@pytest.mark.parametrize("name", sorted(PROMOTED_R09))
+def test_promoted_oracle_matches(name, spark, oracle, sf_dir):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     assert len(spark_pdf) > 0, f"{name}: vacuous parity (no rows)"
-    oracle_pdf = oracle.execute(ORACLES_PENDING[name]).df()
+    oracle_pdf = oracle.execute(ORACLES[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
 def test_catalog_hash_is_portable_family():
     # the oracles above are only valid under the md5 pin — a drive-by
-    # hash swap must fail here, not as a driver mismatch in r09
+    # hash swap must fail here, not as a driver mismatch in the next
+    # rotation window
     assert simhash.CATALOG_HASH == "md5"
     assert minhash.CATALOG_HASH == "md5"
 
@@ -39,7 +43,7 @@ def test_simhash_oracle_rejects_corrupted_hamming(spark, oracle, sf_dir):
     pdf.loc[pdf.index[0], "hamming"] += 1
     with pytest.raises(AssertionError):
         assert_frames_match(
-            pdf, oracle.execute(ORACLES_PENDING["dedup_simhash"]).df(), "mut"
+            pdf, oracle.execute(ORACLES["dedup_simhash"]).df(), "mut"
         )
 
 
@@ -48,7 +52,7 @@ def test_minhash_oracle_rejects_dropped_pair(spark, oracle, sf_dir):
     with pytest.raises(AssertionError):
         assert_frames_match(
             pdf.iloc[1:],
-            oracle.execute(ORACLES_PENDING["dedup_minhash_lsh"]).df(),
+            oracle.execute(ORACLES["dedup_minhash_lsh"]).df(),
             "mut",
         )
 
@@ -71,7 +75,7 @@ def test_bloom_oracle_rejects_corrupted_flag_count(spark, oracle, sf_dir):
     with pytest.raises(AssertionError):
         assert_frames_match(
             pdf,
-            oracle.execute(ORACLES_PENDING["dedup_bloom_decontaminate"]).df(),
+            oracle.execute(ORACLES["dedup_bloom_decontaminate"]).df(),
             "mut",
         )
 
@@ -86,21 +90,22 @@ def test_bloom_pow2_params_integer_exact():
     assert m == 1 << 19 and k == 7                   # 416k -> 524288
 
 
-def test_pending_set_invariants():
-    """r09 merges ORACLES_PENDING into ORACLES — guard the merge
-    preconditions now: every staged name is a live catalog entry, none
-    is already oracled (a double entry would silently shadow), and the
-    staged set is exactly the four round-8 promotions."""
-    from aliyun_emapreduce_datasources_spark.dedup.queries import ORACLES
+def test_promotion_landed():
+    """r09 merged the staged cohort into ORACLES — assert the merge
+    happened and nothing is left staged: every promoted name is a live
+    catalog entry with an oracle, and the transitional ORACLES_PENDING
+    dict is gone (a survivor would mean the driver never sees them)."""
+    import aliyun_emapreduce_datasources_spark.dedup.queries as dq
 
-    assert set(ORACLES_PENDING) == {
+    assert set(PROMOTED_R09) == {
         "dedup_simhash",
         "dedup_minhash_lsh",
         "dedup_bloom_decontaminate",
         "dedup_winnow_fingerprint",
     }
-    assert set(ORACLES_PENDING) <= set(QUERIES)
-    assert not (set(ORACLES_PENDING) & set(ORACLES))
+    assert set(PROMOTED_R09) <= set(QUERIES)
+    assert set(PROMOTED_R09) <= set(ORACLES)
+    assert not hasattr(dq, "ORACLES_PENDING")
 
 
 def test_winnow_oracle_rejects_corrupted_containment(spark, oracle, sf_dir):
@@ -110,6 +115,6 @@ def test_winnow_oracle_rejects_corrupted_containment(spark, oracle, sf_dir):
     with pytest.raises(AssertionError):
         assert_frames_match(
             pdf,
-            oracle.execute(ORACLES_PENDING["dedup_winnow_fingerprint"]).df(),
+            oracle.execute(ORACLES["dedup_winnow_fingerprint"]).df(),
             "mut",
         )
