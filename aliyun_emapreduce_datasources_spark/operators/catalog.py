@@ -153,6 +153,11 @@ _PINNED_RECHECKS: tuple[str, ...] = (
     # the real gradient-AVI decode (new oracle) in round 9 — its green
     # row must come from the new plan this round, not round 6's.
     "media_video_frames",
+    # round 9: the tau statistic was de-degenerated (class-1 probe vs
+    # the binary probe; class-0's coefficients were identical to the
+    # binary probe's, forcing tau_b ≡ 1) — engine and oracle changed
+    # together, so the entry needs a fresh hash-checked row now.
+    "eval_kendall_tau",
 )
 _PIN_UNTIL_ROUND = 9
 

@@ -496,9 +496,13 @@ def eval_kendall_tau(
     sample_every: int | None = None,
 ) -> DataFrame:
     """Exact Kendall tau-b rank agreement between two probes (the
-    binary probe and class-0's probe) — the metric that answers "do
+    binary probe and class-1's probe) — the metric that answers "do
     two quality scorers order the corpus the same way?" before one
-    replaces the other in a curation cascade.
+    replaces the other in a curation cascade. (Class 1, not class 0:
+    ``_coef_class(0)`` is coefficient-identical to ``_coef_binary``,
+    which made the statistic degenerate — tau_b ≡ 1, discordant and
+    tie counts ≡ 0 — so the round-9 fix compares genuinely different
+    scorers; the oracle changed in lockstep.)
 
     All five pair classes (concordant / discordant / tied-A-only /
     tied-B-only / tied-both) are exact int64 counts; tau_b performs
@@ -532,7 +536,7 @@ def eval_kendall_tau(
     scored = _quantized(spark, sf_dir).select(
         "vec_id",
         _dot(F.col("qe"), _coef_binary()).alias("sa"),
-        _dot(F.col("qe"), _coef_class(0)).alias("sb"),
+        _dot(F.col("qe"), _coef_class(1)).alias("sb"),
     )
     if sample_every is not None and sample_every > 1:
         from aliyun_emapreduce_datasources_spark.operators.common import (
@@ -655,7 +659,7 @@ WITH q AS (
 ), s AS (
   SELECT vec_id,
          CAST(list_inner_product(qe, {_sql_list(_coef_binary())}) AS BIGINT) AS sa,
-         CAST(list_inner_product(qe, {_sql_list(_coef_class(0))}) AS BIGINT) AS sb
+         CAST(list_inner_product(qe, {_sql_list(_coef_class(1))}) AS BIGINT) AS sb
   FROM q
 ), p AS (
   SELECT CAST(sign(a.sa - b.sa) AS INTEGER) AS da,

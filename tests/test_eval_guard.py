@@ -98,3 +98,52 @@ def test_kendall_tau_sampled_estimator(spark, sf_dir):
     # measured on sf0.001: full tau ~ est tau well within 0.1; pin a
     # generous band — a sign flip or off-by-category bug lands far out
     assert abs(est.tau_b - full.tau_b) < 0.1
+
+
+@pytest.fixture(scope="module")
+def overcap_dir(spark, tmp_path_factory):
+    # 240 deterministic rows — big enough that a cap of 100 refuses
+    # the exact kernel, small enough to compute the true tau by opt-in.
+    # Full 64-dim embeddings (the probe coefficients are 64-long;
+    # shorter arrays NULL the scores through zip_with padding).
+    d = str(tmp_path_factory.mktemp("evalguard_overcap"))
+    rows = [
+        (
+            i,
+            [((i * 13 + j * 5) % 23 - 11) / 12.0 for j in range(64)],
+            i % 3,
+        )
+        for i in range(240)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_kendall_tau_overcap_raise_then_sample(spark, overcap_dir):
+    """r08 verdict ask #6 — the e2e pattern a user needs at corpus
+    scale: the exact kernel REFUSES the over-cap input, and rerunning
+    with ``sample_every`` brings the subsample under the SAME cap and
+    returns a bounded-deviation estimate of the true statistic
+    (computed here by deliberate cap opt-in, which is what the refusal
+    message tells the user to choose between)."""
+    cap = 100
+    # step 1: the over-cap input refuses loudly
+    with pytest.raises(ValueError, match="eval_kendall_tau"):
+        eval_kendall_tau(spark, overcap_dir, cap=cap)
+    # step 2: the sampled rerun passes the same guard (the md5 coin
+    # keeps ~1/3 of 240 rows — under the cap) ...
+    est = eval_kendall_tau(
+        spark, overcap_dir, cap=cap, sample_every=3
+    ).collect()[0]
+    assert 0 < est.n_pairs <= cap * (cap - 1) // 2
+    # ... and estimates the true tau within the sampling-error band:
+    # the subsample has ~80 rows → s.e. ~ O(1/sqrt(80)) ≈ 0.11; pin
+    # 2 s.e. — a sign flip or tie-category bug lands far outside
+    true = eval_kendall_tau(spark, overcap_dir, cap=240).collect()[0]
+    # non-degenerate on purpose (concordant AND discordant pairs) so
+    # the deviation bound is falsifiable — measured dev 0.021
+    assert true.concordant > 0 and true.discordant > 0
+    assert abs(true.tau_b) < 0.99
+    assert abs(est.tau_b - true.tau_b) < 0.25

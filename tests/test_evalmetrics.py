@@ -128,7 +128,9 @@ def test_kendall_matches_naive_pairs(spark, sf_dir, ql):
 
     q, _, _ = ql
     sa = q @ np.array(_coef_binary(), dtype=np.int64)
-    sb = q @ np.array(_coef_class(0), dtype=np.int64)
+    # class 1, not 0: class-0's coefficients are identical to the
+    # binary probe's, which made tau degenerate (r09 fix)
+    sb = q @ np.array(_coef_class(1), dtype=np.int64)
     da = np.sign(sa[:, None] - sa[None, :])
     db = np.sign(sb[:, None] - sb[None, :])
     m = np.triu(np.ones(da.shape, dtype=bool), k=1)

@@ -92,19 +92,40 @@ def test_shortlist_empty_corpus(spark, tmp_path_factory):
 
 def test_ivf_shortlist_recall_and_exact_dots(spark, sf_dir):
     """The IVF sibling (the other half of SCALING.md's 'IVF/LSH
-    probe'): measured recall@5 = 0.587 on this corpus — LOWER than
-    LSH by nature, not by bug: the embeddings are iid gaussian (no
-    cluster structure, the adversarial case for a trained quantizer),
-    while hyperplane LSH is data-oblivious. Pinned at 0.5; surfaced
-    dots must still be bit-exact."""
+    probe'): this corpus is iid gaussian — no cluster structure, the
+    adversarial case for a trained quantizer (hyperplane LSH is
+    data-oblivious). Round 9 (r08 verdict ask #5) added SOFT
+    assignment (each vector filed in its ``soft`` nearest clusters),
+    lifting measured recall@5 from 0.587 (soft=1) to 0.791 at the
+    soft=2 default — pinned at 0.7; surfaced dots must still be
+    bit-exact."""
     exact = exact_knn_topk(spark, sf_dir, k=K).collect()
     appr = exact_knn_topk(spark, sf_dir, k=K, shortlist="ivf").collect()
     e = {(r.vec_id, r.nbr): r.dot for r in exact}
     a = {(r.vec_id, r.nbr): r.dot for r in appr}
     inter = set(e) & set(a)
-    assert len(inter) / len(e) >= 0.5
+    assert len(inter) / len(e) >= 0.7
     assert all(e[p] == a[p] for p in inter)
     assert all(r.vec_id != r.nbr and 1 <= r.rn <= K for r in appr)
+
+
+def test_ivf_soft_assignment_improves_recall(spark, sf_dir):
+    """The soft-assignment knob must actually buy its recall: soft=1
+    (the old hard assignment) strictly under soft=2 on this fixture
+    (0.587 vs 0.791 measured), and the soft=2 candidates are a
+    superset of what a shared-rank-0 bucket join could surface."""
+    from aliyun_emapreduce_datasources_spark.similarity.label_noise import (
+        ivf_shortlist_knn_topk,
+    )
+
+    exact = exact_knn_topk(spark, sf_dir, k=K).collect()
+    e = set((r.vec_id, r.nbr) for r in exact)
+    hard = ivf_shortlist_knn_topk(spark, sf_dir, k=K, soft=1).collect()
+    soft = ivf_shortlist_knn_topk(spark, sf_dir, k=K, soft=2).collect()
+    r_hard = len(e & {(r.vec_id, r.nbr) for r in hard}) / len(e)
+    r_soft = len(e & {(r.vec_id, r.nbr) for r in soft}) / len(e)
+    assert r_soft > r_hard, (r_soft, r_hard)
+    assert r_hard >= 0.5  # the old pin still holds for the old mode
 
 
 def test_ivf_shortlist_plan_group_limited(spark, sf_dir):
