@@ -69,7 +69,7 @@ COMMENT = {
     "events_ab_lift": "Single hash aggregate onto 2 variant rows — the md5 coin is a map-side projection, distinct users/converters ride Spark's distinct-aggregate expand with partials; zero joins, zero windows, zero single-partition exchanges.",
     "dedup_exact_prefix": "Prefix digest is a map-side slice+md5 projection (full text never shuffles); one hash aggregate with partials onto prefix-group rows; the >= 2 filter prunes post-agg. Same one-shuffle class as dedup_exact.",
     "orders_ship_lag_percentiles": "One orderkey equi-join (fact-fact, near-unique keys), then lags reduce to the (priority, days) COUNT GRID; cumulative and rank-crossing Windows are partitioned by priority over grid rows — the events_value_percentiles discipline on the TPC-H side.",
-    "media_video_frames": "Binary payloads stay executor-side through one MapInPandas explode; the only Exchange is the catalog's presentation sort of the frame table.",
+    "media_video_frames": "Genuine AVI containers synthesized and decoded executor-side through two chained MapInPandas (attach, then decode+explode) with ZERO Exchange — whole-stage-codegen'd scan feeds straight in; no shuffle at any scale.",
     "trend_mom_revenue": "Decimal-exact monthly sums reduce map-side to ≤|months| rows; the lag Window and pct projection run over that aggregate only.",
 }
 

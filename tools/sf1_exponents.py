@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Build bench_history/r{N}_sf1_exponents.json from two idle
+BENCH_DETAIL.json runs (sf0.1 baseline + the .bench_sf1 combined
+fixture) — the record tests/test_sf1_wall_exponents.py pins.
+
+Usage:
+    python tools/sf1_exponents.py <sf0.1_detail.json> <sf1_detail.json> \
+        <out.json> [<prior_exponents.json>]
+
+Per-entry scale attribution (dominant input family) is inherited from
+the prior record when given (r08_sf1_exponents.json), else derived
+from the FAMILY_PREFIX table below — the sf1 fixture steps documents/
+events ×10, embeddings ×4, and leaves the TPC-H tables unchanged (×1,
+exponent undefined). time_exponent = log(t_sf1/t_sf0.1) / log(scale).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+# fallback attribution for entries absent from the prior record: by
+# catalog naming convention, then specific overrides
+FAMILY_PREFIX = [
+    ("dedup_embedding", "embeddings"),
+    ("emb_", "embeddings"),
+    ("ann_", "embeddings"),
+    ("eval_", "embeddings"),
+    ("events_", "events"),
+    ("seasonality", "events"),
+    ("dedup_", "documents"),
+    ("text_", "documents"),
+    ("media_", "documents"),
+    ("lm_", "documents"),
+    ("bpe_", "documents"),
+    ("doc_", "documents"),
+    ("chunk_", "documents"),
+]
+SCALE = {"documents": 10.0, "events": 10.0, "embeddings": 4.0, "tpch": 1.0}
+
+
+def _family(name: str, prior: dict) -> str:
+    if name in prior:
+        return prior[name]["family"]
+    for pre, fam in FAMILY_PREFIX:
+        if name.startswith(pre):
+            return fam
+    return "tpch"
+
+
+def main() -> None:
+    base_p, sf1_p, out_p = sys.argv[1], sys.argv[2], sys.argv[3]
+    prior = {}
+    if len(sys.argv) > 4:
+        prior = json.load(open(sys.argv[4]))["entries"]
+    base = json.load(open(base_p))
+    sf1 = json.load(open(sf1_p))
+    b_q, s_q = base["queries"], sf1["queries"]
+
+    entries = {}
+    for name in sorted(s_q):
+        if name not in b_q:
+            continue
+        fam = _family(name, prior)
+        scale = SCALE[fam]
+        t0, t1 = b_q[name], s_q[name]
+        ratio = round(t1 / t0, 3) if t0 > 0 else None
+        if scale > 1.0 and t0 > 0 and t1 > 0:
+            exp = round(math.log(t1 / t0) / math.log(scale), 3)
+        else:
+            exp = None
+        entries[name] = {
+            "sf0.1_s": t0,
+            "sf1_s": t1,
+            "scale": scale,
+            "family": fam,
+            "ratio": ratio,
+            "time_exponent": exp,
+        }
+
+    top20 = dict(
+        sorted(entries.items(), key=lambda kv: -kv[1]["sf1_s"])[:20]
+    )
+    flagged = sorted(
+        (
+            [n, r["time_exponent"], r["ratio"]]
+            for n, r in entries.items()
+            if r["time_exponent"] is not None and r["time_exponent"] > 1.3
+        ),
+        key=lambda f: -f[1],
+    )
+    rec = {
+        "comment": (
+            "per-entry wall-time exponents sf0.1 (idle) -> sf1 fixture "
+            "(idle), regenerated at the round HEAD (r08 verdict ask #3). "
+            "Scale attribution = dominant input family (documents/"
+            "events x10 rows, embeddings x4, tpch tables unchanged x1). "
+            "Entries over exponent 1.3 adjudicated in the round's "
+            "bench_history/NOTES file."
+        ),
+        "total_sf1_s": round(sum(s_q.values()), 2),
+        "total_sf0.1_s": round(sum(b_q[n] for n in s_q if n in b_q), 2),
+        "flagged_over_1.3": flagged,
+        "top20_heaviest_sf1": top20,
+        "entries": entries,
+    }
+    with open(out_p, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(
+        f"{out_p}: {len(entries)} entries, total {rec['total_sf1_s']}s "
+        f"vs {rec['total_sf0.1_s']}s, flagged {[f[0] for f in flagged]}"
+    )
+
+
+if __name__ == "__main__":
+    main()
