@@ -212,17 +212,25 @@ def _true_token_count(text_col) -> "F.Column":
 
 
 # How many scrub passes the unrolled DuckDB oracle carries (the CTE
-# chain below). Measured: BOTH on-disk corpora (sf0.01 AND sf0.1)
-# reach the fixpoint in 6 shrinking passes + 1 confirming pass; a
-# pass over a converged corpus is the IDENTITY (no shingle occurs
-# twice, so the cut set is empty), so unrolling spare passes is
-# harmless and buys convergence slack. The engine's default
-# max_iters derives from THIS knob (oracle passes + 1 confirming) so
-# a corpus the oracle can't express raises loudly in the engine
-# instead of surfacing as a baffling value-hash mismatch (round-7
-# advisor finding: the old engine cap of 40 converged silently on
-# 9-40-pass corpora the 8-pass oracle gets wrong).
-FIXPOINT_ORACLE_PASSES = 8
+# chain below). Measured pass counts to fixpoint: sf0.01 AND sf0.1
+# converge in 6 shrinking passes + 1 confirming; the 50k-doc sf1
+# fixture needs 9 + 1 (the corpus' dup-of-dup chains deepen ~+3
+# passes per ×10 docs — chain depth is the log-n longest copy chain,
+# NOT linear in corpus size, so a 100 TB corpus needs ~a couple dozen
+# passes, each a bounded shuffle round like graph_pagerank's). A pass
+# over a converged corpus is the IDENTITY (no shingle occurs twice,
+# so the cut set is empty), so unrolling spare passes is harmless —
+# the oracle's cost is linear in this knob — and 12 buys slack over
+# the deepest measured corpus (9). The engine's default max_iters
+# derives from THIS knob (oracle passes + 1 confirming) so a corpus
+# the oracle can't express raises loudly in the engine instead of
+# surfacing as a baffling value-hash mismatch (round-7 advisor
+# finding: the old engine cap of 40 converged silently on deep
+# corpora the 8-pass oracle gets wrong; round-9: the 8-pass budget
+# itself raised on the sf1 fixture's 9-pass corpus — scale callers
+# raise BOTH knobs together, which keeps engine and oracle in
+# lockstep by construction).
+FIXPOINT_ORACLE_PASSES = 12
 
 
 def scrub_spans_fixpoint(

@@ -48,6 +48,15 @@ def main() -> None:
     # Python DataSource planning/read workers (emrkv scan path)
     QUERIES["pyds_kv_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # GC cadence between entries. The default (every 20) was tuned at
+    # sf0.1; at the sf1 fixture each entry's heap debt is ~10x larger
+    # and un-GC'd localCheckpoint/broadcast blocks from one entry
+    # measurably inflate the NEXT entries (r09: the embedding-LSH
+    # family read 19-20 s mid-sweep vs 11-13 s with per-entry GC —
+    # same code, same data). Exponent-record sweeps therefore run with
+    # SPARK_GRAFT_BENCH_GC_EVERY=1 so each entry measures its own
+    # plan; the official sf0.1 sweep keeps the cheap default.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20"))
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(sorted(QUERIES.items())):
         start = time.perf_counter()
@@ -59,7 +68,7 @@ def main() -> None:
         # GC pressure, not their own plan (r01->r02 diffs showed ±4s
         # noise on untouched queries from exactly this)
         spark.catalog.clearCache()
-        if i % 20 == 19:
+        if i % gc_every == gc_every - 1:
             # unreferenced localCheckpoint/broadcast blocks are only
             # enqueued for ContextCleaner on a JVM GC; without one the
             # sweep measures earlier entries' heap debt (observed as a

@@ -4,8 +4,16 @@ BENCH_DETAIL.json runs (sf0.1 baseline + the .bench_sf1 combined
 fixture) — the record tests/test_sf1_wall_exponents.py pins.
 
 Usage:
-    python tools/sf1_exponents.py <sf0.1_detail.json> <sf1_detail.json> \
-        <out.json> [<prior_exponents.json>]
+    python tools/sf1_exponents.py <sf0.1_detail.json[,more,...]> \
+        <sf1_detail.json[,more,...]> <out.json> [<prior_exponents.json>]
+
+Each end accepts a comma-separated list of detail files from REPEATED
+idle sweeps; per-entry times are the MINIMUM across the runs. Min is
+the honest wall-clock estimator here because every contamination
+channel (ambient container load, cross-entry heap debt, python-worker
+RSS bloat) only ever ADDS time — measured in r09 as a ±30 % JVM-entry
+band and up to 5x single-entry spikes between back-to-back idle
+sweeps (bench_history/NOTES_r09.md).
 
 Per-entry scale attribution (dominant input family) is inherited from
 the prior record when given (r08_sf1_exponents.json), else derived
@@ -37,7 +45,14 @@ FAMILY_PREFIX = [
     ("doc_", "documents"),
     ("chunk_", "documents"),
 ]
-SCALE = {"documents": 10.0, "events": 10.0, "embeddings": 4.0, "tpch": 1.0}
+SCALE = {
+    "documents": 10.0,
+    "events": 10.0,
+    "embeddings": 4.0,
+    "tpch": 1.0,
+    # the r08 record's label for unchanged-input entries
+    "tpch/static": 1.0,
+}
 
 
 def _family(name: str, prior: dict) -> str:
@@ -49,14 +64,24 @@ def _family(name: str, prior: dict) -> str:
     return "tpch"
 
 
+def _min_queries(paths: str) -> dict:
+    """Per-entry min across the comma-separated detail files."""
+    merged: dict[str, float] = {}
+    for p in paths.split(","):
+        q = json.load(open(p))["queries"]
+        for name, t in q.items():
+            if name not in merged or t < merged[name]:
+                merged[name] = t
+    return merged
+
+
 def main() -> None:
     base_p, sf1_p, out_p = sys.argv[1], sys.argv[2], sys.argv[3]
     prior = {}
     if len(sys.argv) > 4:
         prior = json.load(open(sys.argv[4]))["entries"]
-    base = json.load(open(base_p))
-    sf1 = json.load(open(sf1_p))
-    b_q, s_q = base["queries"], sf1["queries"]
+    b_q = _min_queries(base_p)
+    s_q = _min_queries(sf1_p)
 
     entries = {}
     for name in sorted(s_q):
@@ -94,10 +119,12 @@ def main() -> None:
         "comment": (
             "per-entry wall-time exponents sf0.1 (idle) -> sf1 fixture "
             "(idle), regenerated at the round HEAD (r08 verdict ask #3). "
-            "Scale attribution = dominant input family (documents/"
-            "events x10 rows, embeddings x4, tpch tables unchanged x1). "
-            "Entries over exponent 1.3 adjudicated in the round's "
-            "bench_history/NOTES file."
+            "Each end is the per-entry MIN over repeated idle sweeps "
+            "(contamination only adds time; see tool docstring + the "
+            "round's NOTES). Scale attribution = dominant input family "
+            "(documents/events x10 rows, embeddings x4, tpch tables "
+            "unchanged x1). Entries over exponent 1.3 adjudicated in "
+            "the round's bench_history/NOTES file."
         ),
         "total_sf1_s": round(sum(s_q.values()), 2),
         "total_sf0.1_s": round(sum(b_q[n] for n in s_q if n in b_q), 2),
