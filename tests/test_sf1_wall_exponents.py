@@ -74,3 +74,10 @@ def test_no_entry_exceeds_adjudicated_ceiling(rec):
 def test_flagged_set_is_exactly_the_adjudicated_set(rec):
     flagged = {f[0] for f in rec["flagged_over_1.3"]}
     assert flagged == ADJUDICATED
+
+
+def test_catalog_total_ratio_bounded(rec):
+    """Mixed 10x/4x/1x input step: the whole catalog's wall-clock grew
+    3.52x (r08: 3.27x in the faster container) — pin it under 4x so a
+    broad regression (or a silent fixture change) surfaces here."""
+    assert rec["total_sf1_s"] / rec["total_sf0.1_s"] < 4.0
