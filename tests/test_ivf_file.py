@@ -111,3 +111,53 @@ def test_file_search_reads_only_probed_partitions(spark, index_dir):
     probed = {int(x) for x in in_list.replace(" ", "").split(",")}
     assert len(probed) <= 2 * N_PROBE < N_CLUSTERS, scan
     assert res.count() > 0
+
+
+def test_catalog_check_empty_and_falsifiable(spark, sf_dir, tmp_path):
+    """The catalog entry ann_ivf_file_consistency_check returns the
+    EMPTY violation set on a healthy index — and the same comparison
+    genuinely fires on a corrupted one (a cluster partition dropped
+    from the filed index ⇒ its vectors vanish from the file-path
+    top-k), so the 0-row oracle is falsifiable, not vacuous."""
+    import shutil
+    import os
+
+    from aliyun_emapreduce_datasources_spark.similarity.ivf import (
+        ann_ivf_topk,
+        N_QUERIES,
+    )
+    from aliyun_emapreduce_datasources_spark.similarity.properties import (
+        ann_ivf_file_consistency_violations,
+    )
+
+    assert ann_ivf_file_consistency_violations(spark, sf_dir).count() == 0
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    C = train_centroids(emb)
+    dst = str(tmp_path / "index")
+    write_clustered(emb, C, dst)
+    # corrupt: drop the cluster directory holding the most vectors
+    file_dir = os.path.join(dst, "file")
+    parts = [d for d in os.listdir(file_dir) if d.startswith("cluster=")]
+    victim = max(
+        parts,
+        key=lambda d: sum(
+            os.path.getsize(os.path.join(file_dir, d, f))
+            for f in os.listdir(os.path.join(file_dir, d))
+        ),
+    )
+    shutil.rmtree(os.path.join(file_dir, victim))
+    via_file = ivf_file_search_topk(spark, dst, queries).select(
+        "query_id", "rnk", F.col("neighbor_id").alias("file_neighbor")
+    )
+    in_mem = ann_ivf_topk(emb, queries).select(
+        "query_id", "rnk", F.col("neighbor_id").alias("mem_neighbor")
+    )
+    viol = via_file.join(in_mem, ["query_id", "rnk"], "full_outer").where(
+        ~F.col("file_neighbor").eqNullSafe(F.col("mem_neighbor"))
+    )
+    assert viol.count() > 0
