@@ -196,6 +196,12 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"decode_avi: unsupported stream type {strh[0]!r}")
     usec_per_frame, w, h = avih[0], avih[8], avih[9]
     _bi, bw, bh, _planes, bits, comp = strf
+    # zero-dimension containers would pass the per-frame length check
+    # vacuously (stride*h == 0 == empty chunk) and crash downstream
+    # pixel probes with IndexError — refuse them here like every other
+    # malformed-geometry case
+    if w < 1 or h < 1:
+        raise ValueError(f"decode_avi: non-positive frame dims {w}x{h}")
     if comp != 0:
         raise ValueError(f"decode_avi: unsupported biCompression={comp}")
     if bits != 24:

@@ -158,6 +158,13 @@ _PINNED_RECHECKS: tuple[str, ...] = (
     # binary probe's, forcing tau_b ≡ 1) — engine and oracle changed
     # together, so the entry needs a fresh hash-checked row now.
     "eval_kendall_tau",
+    # round 9 root-cause follow-up: _coef_class moved mod 7 → mod 11
+    # (classes 7–9 were coefficient-identical to 0–2 and unreachable
+    # as argmax) — every class-probe consumer's values changed, engine
+    # and oracle in lockstep, so each needs a fresh hash-checked row.
+    "eval_class_prf",
+    "eval_topk_accuracy",
+    "eval_confusion_cells",
 )
 _PIN_UNTIL_ROUND = 9
 
@@ -182,7 +189,10 @@ def _auto_front() -> list[str]:
     pinned = [
         k
         for k in _PINNED_RECHECKS
-        if k in ORACLES and k in last and last[k] < _PIN_UNTIL_ROUND
+        # k in QUERIES like the fresh/stale branches: a pinned name
+        # that drops out of the catalog while its oracle or old
+        # CORRECTNESS rows persist must not KeyError the module import
+        if k in QUERIES and k in ORACLES and k in last and last[k] < _PIN_UNTIL_ROUND
     ]
     stale_first = sorted(
         (k for k in oracled if k in last and k not in pinned),

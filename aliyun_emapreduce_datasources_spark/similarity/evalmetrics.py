@@ -67,7 +67,23 @@ def _coef_binary() -> list[int]:
 
 
 def _coef_class(cls: int) -> list[int]:
-    return [(((cls * DIM + i) * _MIX) % 7) - 3 for i in range(DIM)]
+    """Deterministic per-class probe weights in [-5, 5].
+
+    Modulus 11, NOT 7 (round-9 review finding): with ``% 7`` the
+    class offset ``cls * DIM`` collapses — ``DIM = 64 ≡ 1 (mod 7)``,
+    so ``_coef_class`` was 7-periodic in ``cls``; classes 7–9 were
+    coefficient-identical to 0–2 and (with the score-desc, cls-asc
+    tie-break) unreachable as an argmax, silently degenerating the
+    10-class metrics to 7 distinct scorers. Under mod 11 the phase
+    ``cls·64 ≡ cls·9 (mod 11)`` is injective over cls = 0..9 (9 is
+    invertible mod 11), so all N_CLASSES probe vectors are pairwise
+    distinct — pinned in tests/test_evalmetrics.py. Any phase-shift
+    scheme like this one caps the distinct-vector count at the
+    modulus; the guard below turns a future N_CLASSES bump into a
+    loud failure instead of a silent re-collision."""
+    if N_CLASSES > 11:
+        raise ValueError("_coef_class: mod-11 phases support ≤ 11 classes")
+    return [(((cls * DIM + i) * _MIX) % 11) - 5 for i in range(DIM)]
 
 
 def _dot(qe_col, coef: list[int]):
@@ -498,11 +514,14 @@ def eval_kendall_tau(
     """Exact Kendall tau-b rank agreement between two probes (the
     binary probe and class-1's probe) — the metric that answers "do
     two quality scorers order the corpus the same way?" before one
-    replaces the other in a curation cascade. (Class 1, not class 0:
-    ``_coef_class(0)`` is coefficient-identical to ``_coef_binary``,
-    which made the statistic degenerate — tau_b ≡ 1, discordant and
-    tie counts ≡ 0 — so the round-9 fix compares genuinely different
-    scorers; the oracle changed in lockstep.)
+    replaces the other in a curation cascade. (Round-9 history: the
+    mod-7 ``_coef_class(0)`` was coefficient-identical to
+    ``_coef_binary``, which made the statistic degenerate — tau_b ≡ 1,
+    discordant and tie counts ≡ 0. First fixed at this call site by
+    comparing class 1, then at the root by moving the class probes to
+    mod 11 — see ``_coef_class`` — so now NO class probe can collide
+    with the mod-7 binary probe; the oracle changed in lockstep both
+    times.)
 
     All five pair classes (concordant / discordant / tied-A-only /
     tied-B-only / tied-both) are exact int64 counts; tau_b performs

@@ -220,7 +220,8 @@ def ivf_file_search_topk(
     joined = probed.join(F.broadcast(probe_df), "cluster").where(
         F.col("vec_id") != F.col("query_id")
     )
-    b_q = spark.sparkContext.broadcast((q_ids, _normalize(q_mat)))
+    # q_mat is already normalized above — broadcast it directly
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
     return score_candidates(joined, b_q, k)
 
 
@@ -230,11 +231,15 @@ def ann_ivf_topk(
     k: int = K,
     n_clusters: int = N_CLUSTERS,
     nprobe: int = N_PROBE,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors per query via nprobe-cluster probe.
 
     corpus: (vec_id, embedding); queries: (query_id, q_embedding) —
     small by contract (collected for probe computation + scoring).
+    ``centroids`` lets a caller that already trained the quantizer
+    (e.g. to write the inverted file) reuse it instead of paying the
+    deterministic-but-identical training twice.
     """
     spark = corpus.sparkSession
     qrows = collect_query_batch(queries, ["query_id", "q_embedding"])
@@ -242,7 +247,7 @@ def ann_ivf_topk(
         # no queries -> no work; also skips quantizer training, which
         # cannot run on an empty corpus
         return empty_topk(corpus.sparkSession)
-    C = train_centroids(corpus, k=n_clusters)
+    C = centroids if centroids is not None else train_centroids(corpus, k=n_clusters)
     assigned = assign_clusters(corpus, C)
 
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
@@ -258,7 +263,8 @@ def ann_ivf_topk(
         .where(F.col("vec_id") != F.col("query_id"))
     )
 
-    b_q = spark.sparkContext.broadcast((q_ids, _normalize(q_mat)))
+    # q_mat is already normalized above — broadcast it directly
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
     return score_candidates(joined, b_q, k)
 
 

@@ -56,7 +56,9 @@ def main() -> None:
     # same code, same data). Exponent-record sweeps therefore run with
     # SPARK_GRAFT_BENCH_GC_EVERY=1 so each entry measures its own
     # plan; the official sf0.1 sweep keeps the cheap default.
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20"))
+    # clamp: 0 (the natural "never") or a negative would be a
+    # ZeroDivisionError / silent-never on the modulo below
+    gc_every = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20")))
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(sorted(QUERIES.items())):
         start = time.perf_counter()

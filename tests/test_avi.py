@@ -234,6 +234,19 @@ def test_decoder_refuses_sub_one_fps_period():
         decode_avi(bytes(avi))
 
 
+def test_refuses_zero_dims():
+    # w=0/h=0 would pass the frame-length check vacuously (stride*h ==
+    # 0 == empty chunk) and IndexError in downstream pixel probes —
+    # must refuse like every other malformed-geometry case (r09 review)
+    avi = bytearray(encode_avi(_clip(1, 2, 2), 8))
+    i = bytes(avi).find(b"avih")
+    struct.pack_into("<II", avi, i + 8 + 32, 0, 0)
+    j = bytes(avi).find(b"strf")
+    struct.pack_into("<ii", avi, j + 8 + 4, 0, 0)
+    with pytest.raises(ValueError, match="non-positive frame dims"):
+        decode_avi(bytes(avi))
+
+
 def test_refuses_giant_declared_dims_before_allocating():
     # a tiny crafted file declaring ~8 GB of frame data via huge avih/
     # strf dimensions over an empty 00db chunk must refuse by frame-

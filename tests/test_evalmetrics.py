@@ -220,3 +220,29 @@ def test_confusion_cells_match_dense_argmax(spark, sf_dir, ql):
         assert r["row_share"] == r["n"] / row_n
     # cells sum to the corpus
     assert sum(got.values()) == len(labels)
+
+
+def test_class_probe_vectors_pairwise_distinct():
+    """Regression for the round-9 mod-7 collapse: DIM=64 ≡ 1 (mod 7)
+    made _coef_class 7-periodic in cls (classes 7-9 ≡ 0-2, unreachable
+    as argmax). Under mod 11 every class probe must be distinct from
+    every other AND from the binary probe."""
+    probes = {c: tuple(_coef_class(c)) for c in range(N_CLASSES)}
+    assert len(set(probes.values())) == N_CLASSES
+    assert tuple(_coef_binary()) not in set(probes.values())
+    # the historical collision, pinned explicitly
+    assert probes[7] != probes[0]
+
+
+def test_every_class_reachable_as_argmax():
+    """With distinct probes, a vector aligned with class c's own
+    coefficients must argmax to c (score-desc, cls-asc tie-break) —
+    i.e. no class is structurally unreachable."""
+    for c in range(N_CLASSES):
+        target = np.array(_coef_class(c), dtype=np.int64)
+        scores = [
+            (np.array(_coef_class(k), dtype=np.int64) * target).sum()
+            for k in range(N_CLASSES)
+        ]
+        ranked = sorted(range(N_CLASSES), key=lambda k: (-scores[k], k))
+        assert ranked[0] == c, (c, scores)

@@ -44,6 +44,21 @@ FAMILY_PREFIX = [
     ("bpe_", "documents"),
     ("doc_", "documents"),
     ("chunk_", "documents"),
+    ("rag_", "documents"),
+    ("curate_", "documents"),
+    ("hybrid_", "documents"),
+    ("bm25_", "documents"),
+    ("stable_", "documents"),
+    ("split_", "documents"),
+    ("pack_", "documents"),
+    ("mix_", "documents"),
+    ("dsir_", "documents"),
+    ("batch_plan_", "documents"),
+    ("sketch_", "documents"),
+    ("graph_", "documents"),
+    ("dts_", "documents"),
+    ("distinct_users", "events"),
+    ("audit_token_gini", "documents"),
 ]
 SCALE = {
     "documents": 10.0,
@@ -55,13 +70,17 @@ SCALE = {
 }
 
 
-def _family(name: str, prior: dict) -> str:
+def _family(name: str, prior: dict) -> tuple[str, bool]:
+    """(family, fell_back): fell_back=True means the name matched
+    neither the prior record nor any prefix — it lands in the
+    exponent-exempt 'tpch' bucket, which the record must SAY (a
+    silently unexponented entry escapes every budget test)."""
     if name in prior:
-        return prior[name]["family"]
+        return prior[name]["family"], False
     for pre, fam in FAMILY_PREFIX:
         if name.startswith(pre):
-            return fam
-    return "tpch"
+            return fam, False
+    return "tpch", True
 
 
 def _min_queries(paths: str) -> dict:
@@ -84,10 +103,14 @@ def main() -> None:
     s_q = _min_queries(sf1_p)
 
     entries = {}
+    dropped = sorted(set(s_q) ^ set(b_q))  # in one end only — excluded
+    fallbacks = []
     for name in sorted(s_q):
         if name not in b_q:
             continue
-        fam = _family(name, prior)
+        fam, fell_back = _family(name, prior)
+        if fell_back:
+            fallbacks.append(name)
         scale = SCALE[fam]
         t0, t1 = b_q[name], s_q[name]
         ratio = round(t1 / t0, 3) if t0 > 0 else None
@@ -126,8 +149,17 @@ def main() -> None:
             "unchanged x1). Entries over exponent 1.3 adjudicated in "
             "the round's bench_history/NOTES file."
         ),
-        "total_sf1_s": round(sum(s_q.values()), 2),
-        "total_sf0.1_s": round(sum(b_q[n] for n in s_q if n in b_q), 2),
+        # both totals over the SAME entry set (the intersection the
+        # exponents cover) — summing every sf1 entry against an
+        # intersection-only baseline skews the pinned <4x ratio
+        # whenever the two sweeps' catalogs differ
+        "total_sf1_s": round(sum(s_q[n] for n in entries), 2),
+        "total_sf0.1_s": round(sum(b_q[n] for n in entries), 2),
+        # no silent caps: entries excluded (present in only one end)
+        # or attributed by fallback to the exponent-exempt tpch bucket
+        # are recorded, not dropped invisibly
+        "excluded_one_end_only": dropped,
+        "family_fallback_tpch": fallbacks,
         "flagged_over_1.3": flagged,
         "top20_heaviest_sf1": top20,
         "entries": entries,
