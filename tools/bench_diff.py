@@ -49,6 +49,25 @@ def main() -> int:
         f"shared {len(shared)} queries: {old_shared:.1f}s -> {new_shared:.1f}s "
         f"({(new_shared / old_shared - 1) * 100:+.1f}%)"
     )
+    # Ambient-load readout (NOTES_r09.md adjudication, mechanical):
+    # the shared container inflates runs UNIFORMLY — a high median
+    # per-entry ratio with a tight spread means "divide before reading
+    # per-entry deltas", while a ~1.0 median with isolated spikes
+    # means the spikes are real code effects worth chasing.
+    ratios = sorted(nq[k] / oq[k] for k in shared if oq[k] >= 0.3)
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        p25 = ratios[len(ratios) // 4]
+        p75 = ratios[3 * len(ratios) // 4]
+        verdict = (
+            "UNIFORM ambient inflation — divide per-entry deltas by the median"
+            if med > 1.15 and p75 / max(p25, 1e-9) < 1.5
+            else "per-entry deltas are attributable"
+        )
+        print(
+            f"per-entry ratio (entries >=0.3s): median {med:.3f} "
+            f"[p25 {p25:.3f}, p75 {p75:.3f}] -> {verdict}"
+        )
     deltas = sorted(shared, key=lambda k: nq[k] - oq[k])
     print("\nbiggest regressions:")
     for k in deltas[-8:][::-1]:
