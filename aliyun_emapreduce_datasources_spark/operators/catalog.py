@@ -142,31 +142,18 @@ def _last_checked_rounds() -> dict[str, int] | None:
 # entry's latest CORRECTNESS row is from round _PIN_UNTIL_ROUND or
 # later, the pin is a no-op and it rotates normally.
 _PINNED_RECHECKS: tuple[str, ...] = (
-    # dedup_embedding_cosine itself is rows-only by design; its
-    # hash-checked property companions carry the family's evidence
-    # (latest rows r05/r07 at pin time — verdict wants both green in
-    # the r09 window so the family's freshest evidence is ≤2 rounds
-    # old).
-    "dedup_embedding_lsh_precision_check",
-    "dedup_embedding_lsh_recall_check",
-    # r08 ask #2: the entry was repointed from the fake-video stub to
-    # the real gradient-AVI decode (new oracle) in round 9 — its green
-    # row must come from the new plan this round, not round 6's.
-    "media_video_frames",
-    # round 9: the tau statistic was de-degenerated (class-1 probe vs
-    # the binary probe; class-0's coefficients were identical to the
-    # binary probe's, forcing tau_b ≡ 1) — engine and oracle changed
-    # together, so the entry needs a fresh hash-checked row now.
-    "eval_kendall_tau",
-    # round 9 root-cause follow-up: _coef_class moved mod 7 → mod 11
-    # (classes 7–9 were coefficient-identical to 0–2 and unreachable
-    # as argmax) — every class-probe consumer's values changed, engine
-    # and oracle in lockstep, so each needs a fresh hash-checked row.
-    "eval_class_prf",
-    "eval_topk_accuracy",
-    "eval_confusion_cells",
+    # r09 verdict ask #1: spans.py's FIXPOINT_ORACLE_PASSES moved 8→12
+    # in round 9 (engine + oracle in lockstep, commit 1344b3b) AFTER
+    # the scrub family's latest driver rows (r07/r06) — the same
+    # freshness rule that repinned media_video_frames and the eval
+    # probes in round 9 applies: each needs a green row from the
+    # post-change plan.
+    "dedup_scrub_fixpoint",
+    "dedup_scrub_fixpoint_check",
+    "dedup_scrub_spans",
+    "dedup_scrub_intra",
 )
-_PIN_UNTIL_ROUND = 9
+_PIN_UNTIL_ROUND = 10
 
 
 def _auto_front() -> list[str]:

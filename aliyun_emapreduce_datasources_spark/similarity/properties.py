@@ -100,17 +100,25 @@ def ann_ivf_file_consistency_violations(
     partition-pruning bug dropping a probed cluster, a scoring-kernel
     fork) surfaces as a non-empty, hash-mismatching result.
 
-    The index lives at a DETERMINISTIC per-fixture path under the
-    system tempdir and is written mode("overwrite"), so repeated runs
-    (bench sweeps, driver rounds, parity tests) rebuild one bounded
-    copy instead of leaking a corpus copy per run; it cannot be
-    deleted here because the returned DataFrame still reads from it.
+    The index lives under the system tempdir at a path keyed by
+    (fixture, Spark applicationId): within one session repeated runs
+    (bench sweeps, parity tests) overwrite the same bounded copy, and
+    CONCURRENT sessions on the same fixture get disjoint paths — a
+    shared deterministic path raced (one session's mode("overwrite")
+    deleted parquet files another session's lazily-evaluated result
+    still planned to read; r09 ADVICE). It cannot be deleted here
+    because the returned DataFrame still reads from it; boundedness
+    across sessions is kept by reaping sibling copies whose mtime is
+    hours old (a live concurrent session's copy is always fresher).
     The quantizer is trained once and passed to both paths. At 100 TB
     the write is the one-off index build and every query batch reads
     nprobe/K of the bytes through directory pruning."""
+    import glob
     import hashlib
     import os
+    import shutil
     import tempfile
+    import time
 
     from aliyun_emapreduce_datasources_spark.similarity import ivf
 
@@ -120,10 +128,18 @@ def ann_ivf_file_consistency_violations(
         F.col("embedding").alias("q_embedding"),
     )
     C = ivf.train_centroids(emb)
-    dst = os.path.join(
-        tempfile.gettempdir(),
-        "ivf_file_check_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
+    fixture_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    prefix = os.path.join(tempfile.gettempdir(), "ivf_file_check_" + fixture_key)
+    dst = prefix + "_" + spark.sparkContext.applicationId
+    for old in glob.glob(prefix + "_*"):
+        if old == dst:
+            continue
+        try:
+            stale = time.time() - os.path.getmtime(old) > 6 * 3600
+        except OSError:
+            continue
+        if stale:
+            shutil.rmtree(old, ignore_errors=True)
     ivf.write_clustered(emb, C, dst)
     via_file = ivf.ivf_file_search_topk(spark, dst, queries).select(
         "query_id", "rnk", F.col("neighbor_id").alias("file_neighbor")

@@ -56,9 +56,15 @@ def main() -> None:
     # same code, same data). Exponent-record sweeps therefore run with
     # SPARK_GRAFT_BENCH_GC_EVERY=1 so each entry measures its own
     # plan; the official sf0.1 sweep keeps the cheap default.
-    # clamp: 0 (the natural "never") or a negative would be a
-    # ZeroDivisionError / silent-never on the modulo below
-    gc_every = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20")))
+    # 0 reads as "never GC" and a silent max(1,...) clamp would give
+    # the OPPOSITE (per-entry GC, the most aggressive cadence — r09
+    # ADVICE); honor 0 as disable, reject negatives loudly
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20"))
+    if gc_every < 0:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_GC_EVERY={gc_every}: must be >= 0 "
+            "(0 disables inter-entry GC, N>=1 collects every N entries)"
+        )
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(sorted(QUERIES.items())):
         start = time.perf_counter()
@@ -70,7 +76,7 @@ def main() -> None:
         # GC pressure, not their own plan (r01->r02 diffs showed ±4s
         # noise on untouched queries from exactly this)
         spark.catalog.clearCache()
-        if i % gc_every == gc_every - 1:
+        if gc_every and i % gc_every == gc_every - 1:
             # unreferenced localCheckpoint/broadcast blocks are only
             # enqueued for ContextCleaner on a JVM GC; without one the
             # sweep measures earlier entries' heap debt (observed as a
