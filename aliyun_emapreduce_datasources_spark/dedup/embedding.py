@@ -55,10 +55,12 @@ from aliyun_emapreduce_datasources_spark.similarity.lsh import _corpus_signature
 __all__ = [
     "embedding_neardup_blocked",
     "embedding_neardup_lsh",
+    "embedding_neardup_lsh_portable",
     "auto_planes",
     "auto_tables",
     "QUERY",
     "ORACLE",
+    "ORACLE_PORTABLE",
 ]
 
 COS_THRESHOLD = 0.4
@@ -137,12 +139,23 @@ TARGET_BUCKET = 250
 def auto_planes(n: int, target_bucket: int = TARGET_BUCKET) -> int:
     """Scale-prescribed plane count: log2(n/B) rounded, floored at
     LSH_PLANES so the recall-tuned small-corpus behavior is unchanged
-    whenever n ≤ 2^LSH_PLANES·B (all on-disk test SFs)."""
-    import math
+    whenever n ≤ 2^LSH_PLANES·B (all on-disk test SFs).
 
+    INTEGER-EXACT since round 10 (the portable-oracle promotion of
+    ``dedup_embedding_cosine`` re-derives the same plane count in
+    DuckDB, so the law cannot depend on libm): round(log2(n/B)) = k
+    iff B²·2^(2k-1) ≤ n² < B²·2^(2k+1), evaluated in arbitrary-
+    precision ints. No integer n sits on a boundary (B²·2^odd is
+    never a perfect square for B = 250), so this equals the
+    mathematical round everywhere — pinned against the float law in
+    tests/test_embedding_portable.py."""
     if n <= 1:
         return LSH_PLANES
-    return max(LSH_PLANES, round(math.log2(n / target_bucket)))
+    nn, tt = n * n, target_bucket * target_bucket
+    k = 0
+    while tt * (1 << (2 * (k + 1) - 1)) <= nn:
+        k += 1
+    return max(LSH_PLANES, k)
 
 
 # recall anchor for auto_tables: hold the per-pair collision guarantee
@@ -264,7 +277,227 @@ def embedding_neardup_lsh(
     )
 
 
-QUERY = embedding_neardup_lsh
+# ---------------------------------------------------------------------------
+# Portable variant — the CATALOGED, fully hash-checked law (round-9
+# verdict ask #2, the minhash/simhash md5-promotion pattern).
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1_000_000  # floor(x·1e6): the centroid/kmeans/label_noise law
+PLANE_BITS = 16  # plane component = 16-bit signed slice of the md5 hash
+
+
+def _int_plane_matrix(n_planes: int, n_tables: int, dim: int) -> np.ndarray:
+    """(dim, n_tables·n_planes) int64 — component (t, p, d) is the low
+    16 bits of the portable md5-64 of 't,p,d', biased to signed
+    [-32768, 32767]. Engine-portable: DuckDB reproduces every value as
+    (('0x'||substr(md5(t||','||p||','||d),1,16))::UBIGINT & 65535) -
+    32768. Uniform-cube planes are sign-symmetric, which is all the
+    hyperplane-LSH collision model needs; the recall companions pin
+    the behavior empirically on the shipped corpora."""
+    import hashlib
+
+    P = np.empty((dim, n_tables * n_planes), dtype=np.int64)
+    for tbl in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                u = int(
+                    hashlib.md5(f"{tbl},{p},{d}".encode()).hexdigest()[:16], 16
+                )
+                P[d, tbl * n_planes + p] = (u & 0xFFFF) - 32768
+    return P
+
+
+def embedding_neardup_lsh_portable(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> DataFrame:
+    """``dedup_embedding_cosine``'s cataloged law since round 10 — the
+    same multi-table LSH-block + bucket-verify shape as
+    ``embedding_neardup_lsh``, re-expressed so EVERY arithmetic step
+    is integer-exact and engine-portable, making the whole pipeline a
+    full DuckDB value-hash oracle (round-9 verdict ask #2; the
+    round-9 minhash/simhash promotions are the pattern):
+
+    - vectors micro-quantized q_d = floor(x_d·1e6) (the established
+      label_noise/centroid/kmeans portable law; float32→float64 cast
+      and the 1e6 multiply are the same IEEE ops in both engines),
+    - hyperplane components are 16-bit signed slices of the portable
+      md5-64 of 't,p,d' — no RNG, no libm,
+    - signature bit = (Σ q_d·h_d > 0): |q| < 2^20, |h| < 2^15, so the
+      64-dim dot < 2^41 is exact in BOTH int64 and the float64 BLAS
+      matmul that computes it (< 2^53 — any summation order),
+    - verify: cosine(q_a, q_b) ≥ 2/5 decided as the INTEGER predicate
+      dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖² — dot < 2^45 exact, the squared
+      comparison in arbitrary precision (HUGEINT in the oracle,
+      Python ints on the knife-edge band here),
+    - planes/tables keep the auto_planes/auto_tables scale laws
+      (integer-exact / lookup since round 10, so the oracle re-derives
+      them without libm).
+
+    The blocking/verify SHAPE — and therefore the 100 TB story — is
+    unchanged: O(n·tables) shuffle keys, one BLAS matmul per bucket,
+    work ~n^1.585 under the recall contract. Quantization shifts the
+    decision boundary by < ~2e-5 of cosine (bounded in
+    tests/test_embedding_portable.py), which the companions' slack
+    absorbs; pair membership is what the driver hashes."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.select(F.size("embedding")).limit(1).collect()
+    if not first:
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    dim = int(first[0][0])
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
+    if n_tables is None:
+        n_tables = auto_tables(n_planes)
+    b_planes = spark.sparkContext.broadcast(
+        _int_plane_matrix(n_planes, n_tables, dim).astype(np.float64)
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.LongType())),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(
+                pdf["embedding"]
+                .map(lambda a: np.asarray(a, dtype=np.float64))
+                .to_numpy()
+            )
+            q = np.floor(mat * QUANT_SCALE)  # exact ints in float64
+            bits = (q @ P) > 0  # every dot < 2^41: exact
+            sigs = (bits.reshape(len(pdf), n_tables, n_planes) * weights).sum(
+                axis=2
+            )
+            qi = q.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), n_tables
+                    ),
+                    "qv": [row for row in qi for _ in range(n_tables)],
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "sig": sigs.astype(np.int64).ravel(),
+                }
+            )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.vstack(
+            pdf["qv"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy()
+        )
+        dots = q @ q.T  # < 2^45: exact integers in float64
+        n2 = np.einsum("ij,ij->i", q, q)  # < 2^45: exact
+        i, j = np.nonzero(np.triu(dots > 0, k=1))
+        if len(i) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        d = dots[i, j]
+        lhs = 25.0 * d * d  # may exceed 2^53 — float compare + exact band
+        rhs = 4.0 * n2[i] * n2[j]
+        sure_ge = lhs >= rhs * (1.0 + 1e-12)
+        sure_lt = lhs <= rhs * (1.0 - 1e-12)
+        border = ~(sure_ge | sure_lt)
+        if border.any():
+            di = d.astype(np.int64)
+            na = n2.astype(np.int64)
+            for idx in np.nonzero(border)[0]:
+                dd = int(di[idx])
+                sure_ge[idx] = 25 * dd * dd >= 4 * int(na[i[idx]]) * int(
+                    na[j[idx]]
+                )
+        a, b = ids[i][sure_ge], ids[j][sure_ge]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+        )
+
+    sig = emb.mapInPandas(signatures, sig_schema)
+    return (
+        sig.groupBy("tbl", "sig")
+        .applyInPandas(bucket_pairs, PAIRS_SCHEMA)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+QUERY = embedding_neardup_lsh_portable
+
+
+def _tables_case() -> str:
+    """auto_tables as a SQL lookup over every reachable plane count
+    (planes ≥ 41 needs n ≥ 250·2^40.5 vectors). Generated from the
+    SAME Python function the engine calls at runtime, so the two
+    sides cannot drift within a build."""
+    return " ".join(f"WHEN {p} THEN {auto_tables(p)}" for p in range(3, 41))
+
+
+def _oracle_portable() -> str:
+    """Full DuckDB twin of embedding_neardup_lsh_portable — quantize,
+    re-derive planes/tables from n with the integer-exact laws, md5
+    plane components, signature buckets, band join, HUGEINT-exact
+    cosine-threshold verify."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), nrow AS (
+  SELECT COUNT(*) AS n, MAX(len(qv)) AS dim FROM q
+), planes AS (
+  SELECT greatest({LSH_PLANES}, coalesce(
+    (SELECT MAX(k) FROM generate_series(1, 40) g(k), nrow
+      WHERE {TARGET_BUCKET * TARGET_BUCKET} * (CAST(1 AS HUGEINT) << (2*k - 1))
+            <= CAST(n AS HUGEINT) * n), 0)) AS np
+  FROM nrow
+), params AS (
+  SELECT np, CASE np {_tables_case()} END AS nt FROM planes
+), pw AS MATERIALIZED (
+  SELECT t.t, p.p, d.d,
+         CAST(CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ',' || CAST(p.p AS VARCHAR) || ',' || CAST(d.d AS VARCHAR)), 1, 16)) AS UBIGINT) & 65535 AS BIGINT) - 32768 AS w
+  FROM params,
+       LATERAL (SELECT unnest(generate_series(0, nt - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, np - 1)) AS p) p,
+       LATERAL (SELECT unnest(generate_series(0, (SELECT dim FROM nrow) - 1)) AS d) d
+), qd AS MATERIALIZED (
+  SELECT vec_id, i.i AS d, qv[i.i + 1] AS val
+  FROM q, LATERAL (SELECT unnest(generate_series(0, len(qv) - 1)) AS i) i
+), dots AS (
+  SELECT qd.vec_id, pw.t, pw.p, SUM(qd.val * pw.w) AS dot
+  FROM qd JOIN pw ON pw.d = qd.d
+  GROUP BY qd.vec_id, pw.t, pw.p
+), sigs AS MATERIALIZED (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(list_dot_product(x.qv::DOUBLE[], y.qv::DOUBLE[]) AS HUGEINT) AS dot,
+         CAST(list_dot_product(x.qv::DOUBLE[], x.qv::DOUBLE[]) AS HUGEINT) AS na2,
+         CAST(list_dot_product(y.qv::DOUBLE[], y.qv::DOUBLE[]) AS HUGEINT) AS nb2
+  FROM cand c JOIN q x ON x.vec_id = c.vec_a JOIN q y ON y.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b FROM scored
+WHERE dot > 0 AND 25 * dot * dot >= 4 * na2 * nb2
+"""
+
+
+# Full portable oracle for the cataloged entry (wired in queries.py).
+ORACLE_PORTABLE = _oracle_portable()
 
 # Exact all-pairs oracle — cross-checked against the exact BLOCKED
 # variant in tests (test_dedup.py::test_embedding_blocked_matches_oracle);

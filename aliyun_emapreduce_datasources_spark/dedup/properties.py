@@ -158,10 +158,21 @@ def winnow_containment_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Slack for the quantization shift of the round-10 portable law:
+# q = floor(x·1e6) perturbs each component by < 1e-6, which moves the
+# cosine of these corpora's vectors (‖x‖ ≈ 1.7-2.4, dim 64) by
+# < ~2e-5 — bounded empirically with margin in
+# tests/test_embedding_portable.py::test_quantized_cosine_shift_bound.
+# A genuine verify bug still surfaces: a leaked pair sits BELOW the
+# 0.4 cut by bucket-collision distance (~0.05+), not by 1e-4.
+QUANT_COS_SLACK = 1e-4
+
+
 def embedding_lsh_precision_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs whose JVM-expression cosine (independent of
-    the numpy bucket matmul) is below threshold − 1e-9 — empty by the
-    exact-verify construction."""
+    """LSH near-dup pairs whose JVM-expression FLOAT cosine
+    (independent of the entry's quantized-integer verify arithmetic)
+    is below threshold − QUANT_COS_SLACK — empty by the exact-verify
+    construction plus the quantization-shift bound."""
     pairs = embedding.QUERY(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
@@ -169,7 +180,10 @@ def embedding_lsh_precision_violations(spark: SparkSession, sf_dir: str) -> Data
             emb.withColumnsRenamed({"vec_id": "vec_a", "embedding": "ea"}), "vec_a"
         )
         .join(emb.withColumnsRenamed({"vec_id": "vec_b", "embedding": "eb"}), "vec_b")
-        .where(cosine("ea", "eb") < F.lit(embedding.COS_THRESHOLD) - F.lit(1e-9))
+        .where(
+            cosine("ea", "eb")
+            < F.lit(embedding.COS_THRESHOLD) - F.lit(QUANT_COS_SLACK)
+        )
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
@@ -192,9 +206,11 @@ def embedding_lsh_recall_violations(spark: SparkSession, sf_dir: str) -> DataFra
 
     SCOPE (round-6 clarification): this is an EMPIRICAL PIN of the
     shipped deterministic corpora, not a mathematical invariant. The
-    hyperplanes are fixed (splitmix64 of (table, plane, dim)) and the
-    testdata is fixed, so the outcome carries no run-to-run chance —
-    emptiness, once observed, is reproducible. For an ARBITRARY corpus
+    hyperplanes are fixed (since round 10: 16-bit signed slices of
+    the portable md5-64 of 't,p,d' — the quantized-law promotion; the
+    splitmix64 planes remain on the non-cataloged float variant) and
+    the testdata is fixed, so the outcome carries no run-to-run
+    chance — emptiness, once observed, is reproducible. For an ARBITRARY corpus
     the guarantee is probabilistic: per-pair collision ≥ 1 − 1e-4 at
     the prescribed auto_tables(auto_planes(n)) knob, ≈ 0.9964 at the
     3-plane/16-table floor for s near the 0.5 cut — a corpus with many

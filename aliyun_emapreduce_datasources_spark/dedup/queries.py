@@ -51,11 +51,15 @@ QUERIES = {
 # it stood — all four full oracles were staged through round 8 (the
 # r08 oracled set was frozen for the rotation drain) and PROMOTED in
 # round 9 (verdict r08 ask #1): they are ordinary ORACLES entries now,
-# see PROMOTED_R09 below. embedding_cosine is LSH-blocked (recall < 1
-# by design) → rows-only; its exact blocked twin is oracle-checked in
-# tests/test_dedup.py.
+# see PROMOTED_R09 below. dedup_embedding_cosine joined the portable
+# family in round 10 (r09 verdict ask #2): micro-quantized integer
+# cosine law + md5-derived planes + integer-exact scale laws make the
+# whole LSH-block/verify pipeline a full DuckDB value-hash oracle —
+# the rows-only set is now only the irreducibly approximate entries
+# (ANN×4, HLL, approx-quantiles, minhash-clusters, zlib ratio).
 ORACLES = {
     "dedup_simhash": simhash.ORACLE,
+    "dedup_embedding_cosine": embedding.ORACLE_PORTABLE,
     "dedup_minhash_lsh": minhash.ORACLE,
     "dedup_bloom_decontaminate": bloom.ORACLE,
     "dedup_winnow_fingerprint": winnow.ORACLE,

@@ -53,10 +53,12 @@ __all__ = [
     "attach_fake_audio",
     "attach_fake_media",
     "attach_fake_video",
+    "attach_png_gradient_images",
     "attach_wav_audio",
     "audio_features",
     "decode_features",
     "frame_sample",
+    "png_image_metrics",
     "resize_media",
     "video_frame_metrics",
     "video_frame_sample",
@@ -446,6 +448,118 @@ def attach_avi_gradient_video(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# Gradient-PNG geometry: sizes vary per media (8-31 x 8-23) so the
+# decode must read IHDR, and the per-row filter type cycles y % 5 so
+# every genuine container exercises ALL FIVE unfilter paths
+# (None/Sub/Up/Average/Paeth) through real DEFLATE bytes. Pixel law
+# (SQL-derivable, the AVI-gradient pattern): g(y, x) = (media_id +
+# 2·y + 3·x) mod 256, channels (g, (g+85) mod 256, (g+170) mod 256).
+PNG_W_MOD, PNG_W_BASE = 24, 8
+PNG_H_MOD, PNG_H_BASE = 16, 8
+
+
+def _png_gradient_pixels(media_id: int) -> np.ndarray:
+    w = media_id % PNG_W_MOD + PNG_W_BASE
+    h = media_id % PNG_H_MOD + PNG_H_BASE
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64), indexing="ij"
+    )
+    g = (media_id + 2 * yy + 3 * xx) % 256
+    return np.stack([(g + off) % 256 for off in _GRAD_CH_OFF], axis=-1).astype(
+        np.uint8
+    )
+
+
+def attach_png_gradient_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Genuine PNG containers (multimodal/png.py — real zlib DEFLATE,
+    CRC'd chunks, filtered scanlines) whose decoded pixels follow the
+    closed-form gradient law above, so a SQL engine reconstructs
+    per-image pixel sums and corner probes without seeing the bytes —
+    the compressed-format sibling of attach_avi_gradient_video
+    (round-9 verdict ask #4). Containers are synthesized
+    executor-side in mapInPandas; each row independent."""
+    from aliyun_emapreduce_datasources_spark.multimodal.png import encode_png
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                px = _png_gradient_pixels(mid)
+                h, w = px.shape[:2]
+                png = encode_png(px, [y % 5 for y in range(h)])
+                out["media_id"].append(mid)
+                out["payload"].append(png)
+                out["meta"].append(
+                    {
+                        "modality": "image",
+                        "format": "png",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": 0,
+                        "n_bytes": len(png),
+                        "digest": hashlib.sha256(png).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+PNG_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("corner_tl_r", T.IntegerType()),
+        T.StructField("corner_br_b", T.IntegerType()),
+    ]
+)
+
+
+def png_image_metrics(media: DataFrame) -> DataFrame:
+    """REAL-decode-only image metrics: parse each payload as a genuine
+    PNG (multimodal/png.py — signature, chunk CRCs, zlib inflate, all
+    five unfilters; refuses anything else), emit the DECODED width and
+    height (IHDR must be read right), the int64 sum of all RGB bytes,
+    and two orientation/channel probes. Under the gradient law all
+    five are id-derivable, so a full SQL oracle pins the decoded
+    CONTENT — a wrong unfilter (the per-row y%5 cycle guarantees every
+    filter type appears), a channel swap, or a scanline mis-split
+    hash-mismatches. Blob bytes stay executor-side."""
+    from aliyun_emapreduce_datasources_spark.multimodal.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_METRICS_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                img = decode_png(bytes(row["payload"]))
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                h, w = img.shape[:2]
+                rows["media_id"].append(row["media_id"])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum"].append(int(img.sum(dtype=np.int64)))
+                rows["corner_tl_r"].append(int(img[0, 0, 0]))
+                rows["corner_br_b"].append(int(img[-1, -1, 2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                    "corner_tl_r": pd.Series(rows["corner_tl_r"], dtype="int32"),
+                    "corner_br_b": pd.Series(rows["corner_br_b"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, PNG_METRICS_SCHEMA)
 
 
 VIDEO_METRICS_SCHEMA = T.StructType(

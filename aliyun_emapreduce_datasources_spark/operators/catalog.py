@@ -152,6 +152,18 @@ _PINNED_RECHECKS: tuple[str, ...] = (
     "dedup_scrub_fixpoint_check",
     "dedup_scrub_spans",
     "dedup_scrub_intra",
+    # round 10 (r09 ask #2): dedup_embedding_cosine promoted to the
+    # portable quantized-integer law with a full DuckDB oracle — the
+    # entry and both its property companions (whose slack absorbed
+    # the quantization shift) changed engine+oracle in lockstep and
+    # need green rows from the new plan.
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_precision_check",
+    "dedup_embedding_lsh_recall_check",
+    # round 10 (r09 ask #6): the IVF file check now exercises a
+    # build+append index (append_clustered) — new plan, needs a green
+    # row from it.
+    "ann_ivf_file_consistency_check",
 )
 _PIN_UNTIL_ROUND = 10
 
