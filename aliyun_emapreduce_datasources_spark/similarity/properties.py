@@ -88,17 +88,25 @@ def ann_ivf_file_consistency_violations(
     """Driver-visible twin of tests/test_ivf_file.py (r08 verdict ask
     #4 made the IVF inverted file CODE; this makes it catalog
     evidence): materialize the inverted file — the corpus assignment
-    written ``partitionBy(cluster)`` plus a centroids table — into a
-    fresh temp dir, search it through the partition-pruned read path
+    written ``partitionBy(cluster)`` plus a centroids table — and
+    search it through the partition-pruned read path
     (``ivf_file_search_topk``: nprobe of K directories scanned, never
-    the full file), and emit every (query_id, rnk) whose neighbor
+    the full file), emitting every (query_id, rnk) whose neighbor
     differs from the in-memory ``ann_ivf_topk`` — empty by
     construction, since both paths share the deterministic quantizer
     (seeded-sample spherical k-means) and the same exact scoring
-    kernel. The oracle pins the empty set: a drift between the filed
-    layout and the in-memory index (lost vectors in the write, a
-    partition-pruning bug dropping a probed cluster, a scoring-kernel
-    fork) surfaces as a non-empty, hash-mismatching result.
+    kernel.
+
+    Since round 10 (r09 verdict ask #6) the index is BUILT + APPENDED:
+    ``write_clustered`` files the even-vec_id half, then
+    ``append_clustered`` adds the odd half by loading the on-disk
+    quantizer (never retraining — the quantizer is trained once, on
+    the base half, and handed to the in-memory twin too). The oracle
+    pins the empty set: a drift between the filed layout and the
+    in-memory index (lost vectors in the write OR the append, a
+    partition-pruning bug dropping a probed cluster, an append that
+    silently retrained or re-bucketed, a scoring-kernel fork)
+    surfaces as a non-empty, hash-mismatching result.
 
     The index lives under the system tempdir at a path keyed by
     (fixture, Spark applicationId): within one session repeated runs
@@ -127,7 +135,9 @@ def ann_ivf_file_consistency_violations(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
     )
-    C = ivf.train_centroids(emb)
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    increment = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    C = ivf.train_centroids(base)
     fixture_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     prefix = os.path.join(tempfile.gettempdir(), "ivf_file_check_" + fixture_key)
     dst = prefix + "_" + spark.sparkContext.applicationId
@@ -140,7 +150,11 @@ def ann_ivf_file_consistency_violations(
             continue
         if stale:
             shutil.rmtree(old, ignore_errors=True)
-    ivf.write_clustered(emb, C, dst)
+    # build on the base half, then grow the SAME index in place —
+    # append_clustered re-loads the filed quantizer, so equality with
+    # the in-memory twin (handed C directly) also proves no retrain
+    ivf.write_clustered(base, C, dst)
+    ivf.append_clustered(increment, dst)
     via_file = ivf.ivf_file_search_topk(spark, dst, queries).select(
         "query_id", "rnk", F.col("neighbor_id").alias("file_neighbor")
     )

@@ -161,3 +161,62 @@ def test_catalog_check_empty_and_falsifiable(spark, sf_dir, tmp_path):
         ~F.col("file_neighbor").eqNullSafe(F.col("mem_neighbor"))
     )
     assert viol.count() > 0
+
+
+def test_append_grows_index_without_retrain(spark, sf_dir, tmp_path):
+    """append_clustered (r09 verdict ask #6): build on the even half,
+    append the odd half. The filed quantizer is byte-identical after
+    the append (no silent retrain), every vector lands exactly once,
+    appended rows bucket under the SAME assignment law, partition
+    pruning still holds on the appended layout, and a search of the
+    appended index equals the in-memory twin over the full corpus."""
+    import os
+
+    from aliyun_emapreduce_datasources_spark.similarity.ivf import (
+        append_clustered,
+        assign_clusters,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    inc = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    C = train_centroids(base)
+    dst = str(tmp_path / "index")
+    write_clustered(base, C, dst)
+    append_clustered(inc, dst)
+
+    np.testing.assert_array_equal(load_centroids(spark, dst), C)
+
+    file = spark.read.parquet(os.path.join(dst, "file"))
+    assert file.count() == emb.count()
+    assert file.select("vec_id").distinct().count() == emb.count()
+
+    assigned = {
+        r.vec_id: r.cluster for r in assign_clusters(emb, C).collect()
+    }
+    for r in file.select("vec_id", "cluster").collect():
+        assert assigned[r.vec_id] == r.cluster, r.vec_id
+
+    probed = read_clustered(spark, dst, [0, 2])
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "cluster" in plan
+
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    via_file = ivf_file_search_topk(spark, dst, queries).toPandas()
+    in_mem = ann_ivf_topk(
+        emb.select("vec_id", "embedding"), queries, centroids=C
+    ).toPandas()
+    key = ["query_id", "rnk"]
+    a = via_file.sort_values(key).reset_index(drop=True)
+    b = in_mem.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        if a[col].dtype.kind == "f":
+            np.testing.assert_allclose(a[col], b[col], rtol=1e-12)
+        else:
+            assert (a[col] == b[col]).all(), col
