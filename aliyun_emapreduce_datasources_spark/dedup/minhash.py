@@ -200,7 +200,8 @@ def _with_signatures_expr(
         return h64_md5(F.concat_ws(",", *parts, b.cast("string")))
 
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh"))
+        ensure_parallelism(docs.select(id_col, text_col))
+        .select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh"))
         .where(F.size("sh") > 0)
         .withColumn("hashes", F.transform("sh", h64_md5))
         .withColumn("gmin", F.array_min("hashes"))

@@ -126,7 +126,8 @@ def simhash64_expr(
         """
     )
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
+        ensure_parallelism(docs.select(id_col, text_col))
+        .select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
         .withColumn("hashes", F.transform("toks", h64_md5))
         .withColumn("n", F.size("toks"))
         .select("doc_id", fp.alias("simhash"))

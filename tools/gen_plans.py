@@ -17,8 +17,9 @@ from aliyun_emapreduce_datasources_spark.session import get_session  # noqa: E40
 COMMENT = {
     "q3_star_revenue": "Star join: both dimension sides BroadcastExchange; the lineitem fact scan never shuffles for the join — one Exchange total, for the final aggregate.",
     "q6_forecast_revenue": "All three predicates in PushedFilters at the parquet scan; ReadSchema is the 3-column projection; single partial+final HashAggregate.",
-    "dedup_embedding_cosine": "Multi-table LSH blocking: one MapInPandas emits (tbl, sig)-keyed signature rows, one hashpartitioning Exchange into the grouped per-bucket BLAS verify, then a pair-distinct — compute bounded by bucket occupancy, no all-pairs stage, no driver collect.",
-    "dedup_minhash_lsh": "OPH signatures in ArrowEvalPython/FlatMapGroupsInPandas; band-bucket self-join is a shuffled hash join on (band, bucket) — shuffle volume O(docs×bands); the exact-verify join touches only candidate pairs.",
+    "dedup_embedding_cosine": "Multi-table LSH blocking under the round-10 quantized-integer portable law: one MapInPandas emits (tbl, sig)-keyed signature rows (exact integer dots), one hashpartitioning Exchange into the grouped per-bucket exact-integer verify, then a pair-distinct — compute bounded by bucket occupancy, no all-pairs stage, no driver collect.",
+    "dedup_minhash_lsh": "OPH signatures as a whole-stage expression tree since round 10 (portable md5 via conv, ANSI-safe wrap filler) — NO Python worker anywhere in the plan; band-bucket self-join is a shuffled hash join on (band, bucket) — shuffle volume O(docs×bands); the exact-verify join touches only candidate pairs.",
+    "media_png_features": "Genuine-PNG synth + decode are two narrow MapInPandas legs (per-row zlib DEFLATE/inflate — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
     "dsir_importance": "Bigram postings reduce map-side (partial HashAggregate before their Exchange); the 256-row bucket-stats side is BroadcastExchange; one doc_id shuffle for the final rollup.",
     "text_rare_bigram_ratio": "Double aggregation over bigrams with map-side partials; corpus frequency table joined back broadcast-eligible; the 1-row scalar rides a BroadcastNestedLoopJoin of bytes.",
     "chunk_documents": "Pure narrow plan: Scan → Project(split/sequence/transform) → Generate(posexplode) → Project, inside one WholeStageCodegen span; the only Exchange is the catalog's deterministic final sort.",
