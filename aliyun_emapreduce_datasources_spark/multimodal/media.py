@@ -450,14 +450,18 @@ def attach_avi_gradient_video(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(run, MEDIA_SCHEMA)
 
 
-# Gradient-PNG geometry: sizes vary per media (8-31 x 8-23) so the
+# Gradient-PNG geometry: sizes vary per media (6-17 x 6-13) so the
 # decode must read IHDR, and the per-row filter type cycles y % 5 so
 # every genuine container exercises ALL FIVE unfilter paths
-# (None/Sub/Up/Average/Paeth) through real DEFLATE bytes. Pixel law
+# (None/Sub/Up/Average/Paeth) through real DEFLATE bytes — h >= 6
+# guarantees every filter appears in every container. Pixel law
 # (SQL-derivable, the AVI-gradient pattern): g(y, x) = (media_id +
 # 2·y + 3·x) mod 256, channels (g, (g+85) mod 256, (g+170) mod 256).
-PNG_W_MOD, PNG_W_BASE = 24, 8
-PNG_H_MOD, PNG_H_BASE = 16, 8
+# Sizes sit in the AVI entry's per-frame ballpark (the sequential
+# unfilter chain prices each pixel; the codec itself is size-generic,
+# tests/test_png.py sweeps other shapes).
+PNG_W_MOD, PNG_W_BASE = 12, 6
+PNG_H_MOD, PNG_H_BASE = 8, 6
 
 
 def _png_gradient_pixels(media_id: int) -> np.ndarray:
@@ -537,12 +541,12 @@ def png_image_metrics(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in PNG_METRICS_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                img = decode_png(bytes(row["payload"]))
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 h, w = img.shape[:2]
-                rows["media_id"].append(row["media_id"])
+                rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["px_sum"].append(int(img.sum(dtype=np.int64)))

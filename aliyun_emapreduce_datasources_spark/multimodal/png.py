@@ -216,21 +216,34 @@ def decode_png(payload: bytes) -> np.ndarray:
             )
         else:
             # Average/Paeth reference the in-progress recon row —
-            # sequential per pixel-column by definition
-            row = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                if ft == 3:
-                    pred = (int(left) + int(up)) // 2
-                else:
-                    ul = prev[x - bpp] if x >= bpp else 0
-                    pred = int(
-                        _paeth(
-                            np.int16(left), np.int16(up), np.int16(ul)
-                        )
-                    )
-                row[x] = (int(raw_row[x]) + pred) % 256
+            # sequential per byte by definition. Plain-list arithmetic
+            # here: numpy SCALAR indexing in a dependency-chained loop
+            # costs ~3x list indexing (measured — this leg dominated
+            # the catalog entry's wall before the switch)
+            rawl = raw_row.tolist()
+            prevl = prev.tolist()
+            rowl = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    left = rowl[x - bpp] if x >= bpp else 0
+                    rowl[x] = (rawl[x] + ((left + prevl[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = rowl[x - bpp] if x >= bpp else 0
+                    b = prevl[x]
+                    c = prevl[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rowl[x] = (rawl[x] + pred) & 255
+            row = np.array(rowl, dtype=np.int16)
         out[y] = row
         prev = row
     img = out.astype(np.uint8)

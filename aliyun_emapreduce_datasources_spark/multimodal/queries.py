@@ -163,15 +163,15 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_image_metrics(media)
 
 
-# mirrors attach_png_gradient_images (w = id%24+8, h = id%16+8; pixel
+# mirrors attach_png_gradient_images (w = id%12+6, h = id%8+6; pixel
 # law g = (media_id + 2y + 3x) mod 256, channels g/g+85/g+170 mod 256)
 # — the unnest grid re-derives each image's full RGB byte sum and the
 # two orientation/channel corner probes from first principles.
 ORACLE_PNG = """
 WITH dims AS (
     SELECT doc_id AS media_id,
-           doc_id % 24 + 8 AS w,
-           doc_id % 16 + 8 AS h
+           doc_id % 12 + 6 AS w,
+           doc_id % 8 + 6 AS h
     FROM documents WHERE text IS NOT NULL
 ), px AS (
     SELECT media_id, w, h,
