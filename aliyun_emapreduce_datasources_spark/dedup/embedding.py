@@ -358,7 +358,12 @@ def embedding_neardup_lsh_portable(
     sig_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
-            T.StructField("qv", T.ArrayType(T.LongType())),
+            # int32 lanes: |q| < 2^20 (|x| < ~8 at scale 1e6), so the
+            # replicated-by-tables signature shuffle carries the same
+            # bytes per vector as the float32 embedding column the
+            # non-portable variant ships — int64 doubled it and showed
+            # up directly in the sf1 wall (NOTES_r10.md)
+            T.StructField("qv", T.ArrayType(T.IntegerType())),
             T.StructField("tbl", T.IntegerType()),
             T.StructField("sig", T.LongType()),
         ]
@@ -379,13 +384,18 @@ def embedding_neardup_lsh_portable(
             sigs = (bits.reshape(len(pdf), n_tables, n_planes) * weights).sum(
                 axis=2
             )
-            qi = q.astype(np.int64)
+            qi = q.astype(np.int32)
+            # repeat REFERENCES to the per-vector rows, not n_tables
+            # fresh list objects per vector (n·tables object churn)
+            qrows = np.empty(len(qi), dtype=object)
+            for i in range(len(qi)):
+                qrows[i] = qi[i]
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(
                         pdf["vec_id"].to_numpy(dtype=np.int64), n_tables
                     ),
-                    "qv": [row for row in qi for _ in range(n_tables)],
+                    "qv": qrows.repeat(n_tables),
                     "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
                     "sig": sigs.astype(np.int64).ravel(),
                 }
