@@ -187,13 +187,6 @@ def _with_signatures_expr(
     sh = F.array_distinct(shingles(tokens(text_col), SHINGLE_K))
     fill_base = wmul_const(F.col("gmin"), _FILL_C1)
 
-    def slot_min(k: Column) -> Column:
-        return F.array_min(
-            F.filter(
-                F.col("hashes"), lambda h: h.bitwiseAND(F.lit(n_perm - 1)) == k
-            )
-        )
-
     def band_bucket(b: Column) -> Column:
         parts = [
             F.element_at(F.col("sig"), (b * rows_per_band + j + 1)).cast("string")
@@ -201,6 +194,15 @@ def _with_signatures_expr(
         ]
         return h64_md5(F.concat_ws(",", *parts, b.cast("string")))
 
+    # Per-slot minima WITHOUT a per-slot scan: the obvious
+    # `transform(0..P-1, k -> array_min(filter(hashes, h&mask==k)))`
+    # evaluates P·S interpreted lambdas per document (higher-order
+    # functions don't enter whole-stage codegen) — measured as a
+    # GC-amplified 5-20x wall swing whenever the sweep carries heap
+    # debt (NOTES_r10.md). Instead: sort (slot, hash) pairs once —
+    # struct ordering is lexicographic, so each slot-run's HEAD is
+    # that slot's minimum — keep run heads, build a map, and probe it
+    # P times. ~3·S + P lambda evals per document, same values.
     return (
         ensure_parallelism(docs.select(id_col, text_col))
         .select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh"))
@@ -208,14 +210,34 @@ def _with_signatures_expr(
         .withColumn("hashes", F.transform("sh", h64_md5))
         .withColumn("gmin", F.array_min("hashes"))
         .withColumn(
+            "pairs",
+            F.array_sort(
+                F.transform(
+                    "hashes",
+                    lambda h: F.struct(
+                        h.bitwiseAND(F.lit(n_perm - 1)).cast("int").alias("s"),
+                        h.alias("h"),
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "slotmap",
+            F.map_from_entries(
+                F.filter(
+                    F.col("pairs"),
+                    lambda e, i: (i == F.lit(0))
+                    | (F.element_at(F.col("pairs"), i)["s"] != e["s"]),
+                )
+            ),
+        )
+        .withColumn(
             "sig",
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_perm - 1)),
                 lambda k: F.coalesce(
-                    slot_min(k),
-                    fill_base.bitwiseXOR(
-                        k.cast("long") * F.lit(_FILL_C2)
-                    ),
+                    F.try_element_at(F.col("slotmap"), k.cast("int")),
+                    fill_base.bitwiseXOR(k.cast("long") * F.lit(_FILL_C2)),
                 ),
             ),
         )

@@ -1,12 +1,16 @@
 """Pin the WALL-CLOCK exponent budget (r07 ask #2, regenerated at the
-round-9 HEAD per r08 ask #3): the full 213-entry catalog benchmarked
-at the sf1 fixture vs the sf0.1 baseline, per-entry exponents in
-bench_history/r09_sf1_exponents.json. Each end of the r09 record is
-the per-entry MIN over three idle sweeps (r09a/b/c at sf0.1,
-r09_sf1/b/c at the fixture) — the round-9 container shows a ±30 %
-JVM-entry noise band and up to 5x single-entry spikes between
-back-to-back idle sweeps, and contamination only ever adds time, so
-min-of-N is the honest estimator (bench_history/NOTES_r09.md).
+round-10 HEAD per the same freshness rule r09 applied): the full
+215-entry catalog benchmarked at the sf1 fixture vs the sf0.1
+baseline, per-entry exponents in
+bench_history/r10_sf1_exponents.json. Each end of the r10 record is
+the per-entry MIN over three idle sweeps (r10a/b/c at sf0.1,
+r10_sf1/b/c at the fixture) — contamination only ever adds time, so
+min-of-N is the honest estimator (NOTES_r09.md established the
+protocol; NOTES_r10.md documents this round's ambient band). The
+embedding-LSH trio's values come EXCLUSIVELY from at-HEAD
+min-of-3 idle probes (tools/probe_entries.py) because the sweeps ran
+the pre-int32-lane code for those three entries — mixing codes across
+scale ends would make their exponents fiction (NOTES_r10.md).
 
 The contract this suite pins — the same pattern as
 test_scaling_curve.py's work-metric pins:
@@ -15,13 +19,10 @@ test_scaling_curve.py's work-metric pins:
   dominant input's scale step,
 - EXCEPT the two adjudicated embedding-LSH entries, whose exponent is
   the recall contract's table growth (auto_tables 16→66 at the ×4
-  embeddings step — NOTES_r08.md), budgeted at ≤ 1.55 since round 9:
-  the r08 wall numbers (1.34/1.37) were measured in a container whose
-  python-worker throughput is 2-3× the round-9 one's (verified by
-  running the identical r08 code in the r09 container —
-  NOTES_r09.md), and the signature/explode leg that the table growth
-  multiplies is exactly the python-worker leg, so the SAME plan lands
-  1.41/1.48 here. The environment-free work-metric exponents
+  embeddings step — NOTES_r08.md), budgeted at ≤ 1.55 since round 9.
+  At the round-10 HEAD (portable quantized law, int32 lanes) they
+  land 1.517 / 1.344 idle — inside the round-9 budget, no raise
+  needed. The environment-free work-metric exponents
   (scaling_r07.json) are unchanged,
 - and no entry anywhere in the catalog exceeds 1.55.
 
@@ -35,12 +36,12 @@ import json
 
 import pytest
 
-_REC = "/root/repo/bench_history/r09_sf1_exponents.json"
+_REC = "/root/repo/bench_history/r10_sf1_exponents.json"
 
 # explained in bench_history/NOTES_r08.md (cause) + NOTES_r09.md
-# (environment re-adjudication): auto_planes 3→5 pushes auto_tables
-# 16→66 at the ×4 embeddings step — LSH's n^(1+ρ) recall cost, not a
-# plan defect
+# (environment re-adjudication) + NOTES_r10.md (portable-law re-check):
+# auto_planes 3→5 pushes auto_tables 16→66 at the ×4 embeddings step —
+# LSH's n^(1+ρ) recall cost, not a plan defect
 ADJUDICATED = {"dedup_embedding_cosine", "dedup_embedding_lsh_precision_check"}
 ADJUDICATED_CAP = 1.55
 
