@@ -286,18 +286,57 @@ def minhash_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash candidate pairs (dedup/minhash.py — O(docs×bands) shuffle,
     never all-pairs) fed through the same min-label propagation. This
     is the composition a 100 TB corpus actually runs; the ngram-pairs
-    variant above stays the oracle-checked reference. Rows-only in the
-    catalog (MinHash is engine-hashed); the containment property vs
-    the exact high-Jaccard clusters is pinned in tests/test_dedup.py.
+    variant above stays an independent oracle-checked reference.
+
+    FULL DuckDB oracle since round 10: the pairs use the portable md5
+    family (minhash.CATALOG_HASH — the round-9 promotion that already
+    made `dedup_minhash_lsh` hash-checked), so the whole composition
+    — signatures → banding → exact verify → connected components — is
+    value-reproducible in SQL (the recursive-CTE min-label closure,
+    same pattern as `dedup_cluster_resolve`'s oracle). The containment
+    property vs the exact high-Jaccard clusters stays pinned by
+    `dedup_minhash_cluster_containment_check` and tests/test_dedup.py.
     """
-    from aliyun_emapreduce_datasources_spark.dedup.minhash import minhash_dedup_pairs
+    from aliyun_emapreduce_datasources_spark.dedup.minhash import (
+        CATALOG_HASH,
+        minhash_dedup_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_dedup_pairs(spark, sf_dir, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    pairs = minhash_dedup_pairs(
+        spark, sf_dir, threshold=0.5, hash_name=CATALOG_HASH
+    ).select("doc_a", "doc_b")
     labels = connected_components(docs, pairs)
     return (
         labels.withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+def _oracle_minhash_clusters() -> str:
+    """Recursive min-label closure over the portable-md5 MinHash pair
+    oracle — built lazily so the import graph stays acyclic."""
+    from aliyun_emapreduce_datasources_spark.dedup import minhash
+
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({minhash.ORACLE}) mh
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id,
+       node = MIN(lab) AS is_kept
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
+ORACLE_MINHASH_CLUSTERS = _oracle_minhash_clusters()

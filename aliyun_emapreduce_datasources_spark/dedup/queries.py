@@ -60,6 +60,8 @@ QUERIES = {
 ORACLES = {
     "dedup_simhash": simhash.ORACLE,
     "dedup_embedding_cosine": embedding.ORACLE_PORTABLE,
+    # round-10 promotion: md5-family pairs + recursive min-label CTE
+    "dedup_minhash_clusters": clusters.ORACLE_MINHASH_CLUSTERS,
     "dedup_minhash_lsh": minhash.ORACLE,
     "dedup_bloom_decontaminate": bloom.ORACLE,
     "dedup_winnow_fingerprint": winnow.ORACLE,

@@ -164,6 +164,11 @@ _PINNED_RECHECKS: tuple[str, ...] = (
     # build+append index (append_clustered) — new plan, needs a green
     # row from it.
     "ann_ivf_file_consistency_check",
+    # round 10: dedup_minhash_clusters promoted to a full oracle (md5
+    # pairs + recursive min-label CTE); its containment companion's
+    # engine changed with it — both need green rows from the new plan.
+    "dedup_minhash_clusters",
+    "dedup_minhash_cluster_containment_check",
 )
 _PIN_UNTIL_ROUND = 10
 

@@ -177,3 +177,25 @@ def test_portable_recall_at_auto_scaled_planes(spark, tmp_path):
     assert got <= exact_q, f"false positives: {sorted(got - exact_q)[:5]}"
     recall = len(got & exact_q) / len(exact_q)
     assert recall >= 0.85, recall
+
+
+def test_minhash_clusters_oracle_parity_sf0001(spark):
+    """Round-10 sibling promotion: dedup_minhash_clusters = portable
+    md5 MinHash pairs -> min-label connected components, vs the
+    recursive-CTE DuckDB closure."""
+    from aliyun_emapreduce_datasources_spark.dedup import clusters
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(clusters.ORACLE_MINHASH_CLUSTERS).fetchall()
+    }
+    got = {
+        (r.doc_id, r.cluster_id, r.is_kept)
+        for r in clusters.minhash_cluster_resolve(spark, sf).collect()
+    }
+    assert got == oracle and len(got) > 0
