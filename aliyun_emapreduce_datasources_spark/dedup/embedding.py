@@ -380,6 +380,21 @@ def embedding_neardup_lsh_portable(
                 .to_numpy()
             )
             q = np.floor(mat * QUANT_SCALE)  # exact ints in float64
+            # Exactness envelope guard (r10 advice): the portable law
+            # is engine==oracle only while every downstream product
+            # stays float64-exact — |q| < 2^25 keeps bucket dots under
+            # ~2^56 of HEADROOM for the banded compare and is ~4000x
+            # above the shipped corpora (|x| ~ 2.4 → |q| ~ 2^21.2).
+            # An out-of-envelope embedding must fail LOUDLY here, not
+            # hash-mismatch silently against the DuckDB twin.
+            qmax = float(np.abs(q).max()) if q.size else 0.0
+            if qmax >= float(1 << 25):
+                raise ValueError(
+                    "embedding component out of the portable-law "
+                    f"float64-exactness envelope: max |floor(x*{QUANT_SCALE:g})| "
+                    f"= {qmax:.0f} >= 2^25; rescale the embeddings or "
+                    "lower QUANT_SCALE"
+                )
             bits = (q @ P) > 0  # every dot < 2^41: exact
             sigs = (bits.reshape(len(pdf), n_tables, n_planes) * weights).sum(
                 axis=2
@@ -488,7 +503,7 @@ WITH q AS MATERIALIZED (
   GROUP BY qd.vec_id, pw.t, pw.p
 ), sigs AS MATERIALIZED (
   SELECT vec_id, t,
-         CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
   FROM dots GROUP BY vec_id, t
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

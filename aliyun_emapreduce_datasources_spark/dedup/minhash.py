@@ -226,8 +226,15 @@ def _with_signatures_expr(
             F.map_from_entries(
                 F.filter(
                     F.col("pairs"),
+                    # try_element_at returns NULL at the 1-based index
+                    # 0 (i is the 0-based lambda index, so `pairs[i]`
+                    # is e's PREDECESSOR), and `NULL != e.s` is NULL →
+                    # the i==0 branch keeps the first element without
+                    # relying on Or short-circuit order (r10 advice:
+                    # element_at(…, 0) is an ERROR kept latent only by
+                    # evaluation order).
                     lambda e, i: (i == F.lit(0))
-                    | (F.element_at(F.col("pairs"), i)["s"] != e["s"]),
+                    | (F.try_element_at(F.col("pairs"), i)["s"] != e["s"]),
                 )
             ),
         )

@@ -141,11 +141,19 @@ def ann_ivf_file_consistency_violations(
     fixture_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     prefix = os.path.join(tempfile.gettempdir(), "ivf_file_check_" + fixture_key)
     dst = prefix + "_" + spark.sparkContext.applicationId
+    # Staleness is keyed on a per-copy HEARTBEAT file the owning
+    # session touches on every run (r10 advice: the bare dir mtime
+    # narrowed but did not close the reap-a-live-sibling race), with a
+    # 24 h window — a sibling is reaped only if its owner has not
+    # re-run the check for a full day, far beyond any bench/test
+    # session's idle-then-re-read gap.
     for old in glob.glob(prefix + "_*"):
         if old == dst:
             continue
+        hb = os.path.join(old, "HEARTBEAT")
         try:
-            stale = time.time() - os.path.getmtime(old) > 6 * 3600
+            mark = hb if os.path.exists(hb) else old
+            stale = time.time() - os.path.getmtime(mark) > 24 * 3600
         except OSError:
             continue
         if stale:
@@ -155,6 +163,8 @@ def ann_ivf_file_consistency_violations(
     # the in-memory twin (handed C directly) also proves no retrain
     ivf.write_clustered(base, C, dst)
     ivf.append_clustered(increment, dst)
+    with open(os.path.join(dst, "HEARTBEAT"), "w") as fh:
+        fh.write(str(time.time()))
     via_file = ivf.ivf_file_search_topk(spark, dst, queries).select(
         "query_id", "rnk", F.col("neighbor_id").alias("file_neighbor")
     )
