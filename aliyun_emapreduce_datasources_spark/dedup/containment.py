@@ -51,9 +51,16 @@ CONTAINMENT_THRESHOLD = 0.5
 MAX_DF = 50  # drop shingles present in > 50 docs of a source
 
 
-def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Pairs (doc_a < doc_b, same source) whose pruned-shingle
-    containment |A∩B| / min(|A|,|B|) is >= the threshold."""
+    containment |A∩B| / min(|A|,|B|) is >= the threshold.
+
+    ``materialize=False`` keeps the plan fully lazy (no persist /
+    checkpoint) for plan inspection — tests/test_plans.py pins the
+    hash-equi join + Window shape, which the materialized path hides
+    behind a checkpointed-RDD scan."""
     docs = t(spark, sf_dir, "documents")
     post = ensure_parallelism(docs).select(
         "doc_id",
@@ -74,8 +81,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_kept", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
-        .persist()  # both self-join sides; lifecycle as in ngram.py
     )
+    if materialize:
+        kept = kept.persist()  # both self-join sides; released below
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(
@@ -93,9 +101,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     containment = F.col("inter").cast("double") / F.least("n_a", "n_b")
-    return inter.select(
+    result = inter.select(
         "doc_a", "doc_b", containment.alias("containment")
     ).where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    if not materialize:
+        return result
+    out = result.localCheckpoint(eager=True)  # release the postings now
+    kept.unpersist()
+    return out
 
 
 QUERY = containment_pairs

@@ -173,7 +173,15 @@ def _with_signatures_expr(
     branch-free comparisons + one md5 per distinct shingle, all
     map-side; at 100 TB it sweeps at scan speed like the pandas leg
     but without the Arrow round-trip or a Python runtime on the
-    executors."""
+    executors.
+
+    CONSUMER CONTRACT: materialize (persist/checkpoint) before
+    consuming DERIVED projections of this frame. Read lazily through
+    e.g. a posexplode of ``bands``, the optimizer can inline the whole
+    fold into the downstream node — the band probes reference ``sig``
+    128x, each copy re-evaluating slotmap/sort/md5 per row, a ~100x
+    blowup observed as minutes-long tasks on 50-row inputs.
+    ``minhash_dedup_pairs`` persists before the banding join."""
     if not n_perm or (n_perm & (n_perm - 1)) != 0:
         raise ValueError(
             "minhash md5 variant requires a power-of-two n_perm "
@@ -303,21 +311,82 @@ def minhash_signature(sh: Column, n_perm: int = N_PERM) -> Column:
     )
 
 
-def lsh_candidate_pairs(with_sig: DataFrame) -> DataFrame:
-    """Distinct candidate (doc_a < doc_b) pairs via band-bucket join."""
+# Hot-bucket guard (r10 verdict ask #6). A boilerplate-heavy corpus
+# puts THOUSANDS of near-identical docs into the same (band, bucket) —
+# all-pairs within such a bucket is O(B²) candidate fan-out, the one
+# quadratic hiding in the banding join at 100 TB (the containment op
+# already caps stop-shingles; this is the banding analogue). Buckets
+# at or under the cap keep exact all-pairs (the shipped fixtures never
+# exceed it, so catalog results are unchanged); an OVER-cap bucket
+# emits a STAR instead: every member pairs with the bucket's leader
+# (min portable md5(doc_id), doc_id tie-break) — O(B) pairs that keep
+# the bucket CONNECTED, so downstream clustering still collapses the
+# boilerplate group. Documented recall effect: within an over-cap
+# bucket, member–member pairs not through the leader are dropped; for
+# the boilerplate case that triggers the cap the members verify
+# against the leader anyway (J ≈ 1), and every emitted pair is still
+# exact-verified, so precision is untouched. The DuckDB oracle models
+# the cap EXACTLY (same leader rule), so value parity holds even when
+# it fires.
+BUCKET_CAP = 64
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame, bucket_cap: int | None = BUCKET_CAP
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs via band-bucket join,
+    star-capped on over-``bucket_cap`` buckets (None = uncapped — the
+    differential twin the adversarial test uses to prove the fixture
+    is sharp).
+
+    CALLER CONTRACT: persist (or checkpoint) ``with_sig`` first — the
+    capped plan references it from five branches (stats, membership,
+    both all-pairs sides, the star side), and over an UN-materialized
+    signature expression tree that quintuplicates a multi-MB codegen
+    unit whose Janino compile stalls executors for minutes (observed:
+    3.1 MiB task binaries, tasks pinned at 0 progress).
+    ``minhash_dedup_pairs`` persists; ad-hoc callers must too."""
+    from aliyun_emapreduce_datasources_spark.functions.inthash import h64_md5
+
     exploded = with_sig.select("doc_id", F.posexplode("bands").alias("band", "bucket"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if bucket_cap is None:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    stats = exploded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(
+            F.struct(
+                h64_md5(F.col("doc_id").cast("string")).alias("ck"),
+                F.col("doc_id").alias("id"),
+            )
+        )["id"].alias("lead_id"),
     )
+    mem = exploded.join(stats, ["band", "bucket"])
+    small = mem.where(F.col("cnt") <= bucket_cap)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_pairs = (
+        mem.where((F.col("cnt") > bucket_cap) & (F.col("doc_id") != F.col("lead_id")))
+        .select(
+            F.least("doc_id", "lead_id").alias("doc_a"),
+            F.greatest("doc_id", "lead_id").alias("doc_b"),
+        )
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def minhash_dedup_pairs(
@@ -325,28 +394,49 @@ def minhash_dedup_pairs(
     sf_dir: str,
     threshold: float = 0.5,
     hash_name: str = "blake2b",
+    materialize: bool = True,
 ) -> DataFrame:
     """Confirmed near-dup pairs: LSH candidates verified with exact
     shingle-Jaccard. The signature table is persisted eagerly — the
     band self-join and the two verify joins all read it (at cluster
-    scale this is a checkpointed intermediate)."""
-        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    scale this is a checkpointed intermediate) — and RELEASED
+    deterministically once the (tiny) pair result is materialized:
+    an unreferenced cache is otherwise only reclaimed when a JVM GC
+    lets ContextCleaner see the dead weak ref, which is exactly the
+    heap debt that made this family's wall GC-CADENCE-COUPLED in the
+    r10 sweeps (14.75 s loaded vs 4.0 s per-entry-GC — r10 verdict
+    ask #2). The fat blocks here are the per-doc shingle arrays; the
+    checkpointed pair list is O(near-dups).
+
+    ``materialize=False`` returns the fully LAZY plan — no persist, no
+    checkpoint — for plan inspection only (the no-Python-worker pin in
+    tests/test_minhash_expr.py reads the REAL pipeline plan, which the
+    materialized path hides behind a checkpointed-RDD scan); executing
+    through it would recompute the signature stage per consumer."""
+    # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    with_sig = _with_signatures(docs, hash_name=hash_name).persist()
-    with_sig.count()
+    with_sig = _with_signatures(docs, hash_name=hash_name)
+    if materialize:
+        with_sig = with_sig.persist()
+        with_sig.count()
     cand = lsh_candidate_pairs(with_sig)
     sh_only = with_sig.select("doc_id", "sh")
     jac = (
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
         / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
     )
-    return (
+    result = (
         cand.join(sh_only.withColumnsRenamed({"doc_id": "doc_a", "sh": "a_sh"}), "doc_a")
         .join(sh_only.withColumnsRenamed({"doc_id": "doc_b", "sh": "b_sh"}), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if not materialize:
+        return result
+    out = result.localCheckpoint(eager=True)
+    with_sig.unpersist()
+    return out
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,10 +499,29 @@ WITH docs AS MATERIALIZED (
   SELECT doc_id, CAST(k // {ROWS_PER_BAND} AS BIGINT) AS band,
          {signed(f"CAST(('0x' || substr(md5({band_cols} || ',' || CAST(k // {ROWS_PER_BAND} AS VARCHAR)), 1, 16)) AS UBIGINT)")} AS bucket
   FROM filled GROUP BY doc_id, k // {ROWS_PER_BAND}
+), bmem AS MATERIALIZED (
+  SELECT doc_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS cnt,
+         {signed("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS HUGEINT)")} AS ck
+  FROM buckets
+), leads AS (
+  SELECT band, bucket, doc_id AS lead_id FROM (
+    SELECT band, bucket, doc_id,
+           row_number() OVER (PARTITION BY band, bucket ORDER BY ck, doc_id) AS rn
+    FROM bmem) WHERE rn = 1
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  -- hot-bucket star cap, the engine's BUCKET_CAP rule exactly:
+  -- all-pairs at or under the cap, leader-star above it
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bmem a JOIN bmem b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.cnt <= {BUCKET_CAP}
+    UNION ALL
+    SELECT least(m.doc_id, l.lead_id), greatest(m.doc_id, l.lead_id)
+    FROM bmem m JOIN leads l ON l.band = m.band AND l.bucket = m.bucket
+    WHERE m.cnt > {BUCKET_CAP} AND m.doc_id <> l.lead_id
+  )
 )
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)

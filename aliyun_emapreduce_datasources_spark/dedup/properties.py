@@ -92,7 +92,9 @@ def minhash_precision_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-verified pairs whose Jaccard over RAW shingle strings
     falls below the 0.5 cut — empty unless a hash collision (or a
     verify bug) inflated the hashed-set Jaccard."""
-    pairs = minhash.QUERY(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # QUERY's result is already eagerly checkpointed (and its fat
+    # signature cache released) — no second checkpoint needed here
+    pairs = minhash.QUERY(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents")
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -122,7 +124,8 @@ def winnow_containment_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     empty by the winnowing guarantee (shared window-min fingerprint ⇒
     shared k-gram) unless a rolling-hash collision produced the pair."""
     k = winnow.KGRAM
-    pairs = winnow.QUERY(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # QUERY's result is already eagerly checkpointed — no second pass
+    pairs = winnow.QUERY(spark, sf_dir).select("doc_a", "doc_b")
     docs = t(spark, sf_dir, "documents")
     # only pair members need gram explosion — the near-dup pair set is
     # tiny next to the corpus, so semi-joining first keeps the k-gram
@@ -320,7 +323,8 @@ def simhash_bits_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aliyun_emapreduce_datasources_spark.dedup import simhash
 
-    pairs = simhash.QUERY(spark, sf_dir).localCheckpoint()
+    # QUERY's result is already eagerly checkpointed — no second pass
+    pairs = simhash.QUERY(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))

@@ -197,13 +197,23 @@ def simhash_candidates(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
-    # would crash on None; skip them like every per-text operator
+def QUERY(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFrame:
+    # NULL-text docs carry no shingles/fingerprint — the pandas UDFs
+    # would crash on None; skip them like every per-text operator.
+    # materialize=False: fully lazy plan for plan inspection only
+    # (tests/test_minhash_expr.py's no-Python-worker pin).
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    fps = simhash64(docs, hash_name=CATALOG_HASH).persist()
+    fps = simhash64(docs, hash_name=CATALOG_HASH)
+    if not materialize:
+        return simhash_candidates(fps)
+    fps = fps.persist()
     fps.count()  # materialize once; both self-join sides read the cache
-    return simhash_candidates(fps)
+    # deterministic release (r10 verdict ask #2's pattern): checkpoint
+    # the small pair result eagerly, then free the cache NOW instead
+    # of waiting for a JVM GC to surface the dead weak ref
+    out = simhash_candidates(fps).localCheckpoint(eager=True)
+    fps.unpersist()
+    return out
 
 
 # Full DuckDB twin of QUERY under CATALOG_HASH = "md5": token hash =

@@ -163,7 +163,13 @@ def winnow_dedup_pairs(
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
-    return winnow_pairs_from_fingerprints(fps, min_containment, prefix_filter)
+    # deterministic release (r10 verdict ask #2's pattern): checkpoint
+    # the small pair result eagerly, free the postings cache NOW
+    out = winnow_pairs_from_fingerprints(
+        fps, min_containment, prefix_filter
+    ).localCheckpoint(eager=True)
+    fps.unpersist()
+    return out
 
 
 def winnow_pairs_from_fingerprints(

@@ -43,6 +43,7 @@ __all__ = [
     "append_clustered",
     "read_clustered",
     "load_centroids",
+    "drift_report",
     "ivf_file_search_topk",
     "ann_ivf_topk",
     "QUERY",
@@ -55,12 +56,42 @@ N_QUERIES = 8
 TRAIN_CAP = 2048
 KMEANS_ITERS = 10
 
+# Quantizer drift (r10 verdict ask #5): append_clustered deliberately
+# NEVER retrains — but nothing used to measure when the frozen
+# quantizer had drifted enough that a rebuild is warranted. The cheap
+# raw material: every filed vector carries its assignment residual
+# (1 − cos(v, centroid)); the build stamps each cluster's mean
+# residual into the centroids table, and drift_report compares the
+# CURRENT per-cluster mean (build + appends) against it in one
+# column-pruned scan of (cluster, resid). The metric is the
+# MEDIAN-CENTERED excess: appends always pay a roughly UNIFORM
+# out-of-sample residual lift over the in/near-sample build baseline
+# (measured 0.06–0.12 between the even/odd halves of one corpus —
+# generalization gap, not drift), while genuine drift CONCENTRATES
+# (vectors from a new region pile into the few clusters nearest it).
+# Subtracting the across-cluster median excess cancels the uniform
+# lift; a cluster whose centered excess exceeds this threshold is
+# being fed vectors the quantizer no longer represents — rebuild
+# (write_clustered), the documented remedy. Calibration at sf0.01:
+# same-distribution appends max-centered-excess 0.04, a constant-
+# offset shifted append 0.17 — the 0.1 cut sits >2x from the noise
+# and well under the signal (tests/test_ivf_file.py pins both
+# sides). Limitation, by construction: a perfectly UNIFORM residual
+# rise is absorbed into the median — indistinguishable from the
+# generalization gap without a held-out baseline, and exactly the
+# shape that does not skew IVF search anyway.
+REBUILD_DRIFT_THRESHOLD = 0.1
+
 ASSIGN_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
         T.StructField("cluster", T.IntegerType()),
     ]
+)
+
+ASSIGN_RESID_SCHEMA = T.StructType(
+    ASSIGN_SCHEMA.fields + [T.StructField("resid", T.DoubleType())]
 )
 
 CAND_SCHEMA = T.StructType(
@@ -98,12 +129,18 @@ def train_centroids(
     return C
 
 
-def assign_clusters(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """(vec_id, embedding, cluster): nearest-centroid id per vector,
-    one matmul per Arrow batch. At scale: write out partitioned by
-    cluster — the inverted file."""
+def assign_clusters(
+    corpus: DataFrame, centroids: np.ndarray, with_resid: bool = False
+) -> DataFrame:
+    """(vec_id, embedding, cluster[, resid]): nearest-centroid id per
+    vector, one matmul per Arrow batch. At scale: write out
+    partitioned by cluster — the inverted file. ``with_resid`` adds
+    the assignment residual 1 − cos(v, centroid) (the drift metric's
+    raw material — it rides into the filed parquet so drift is a
+    column-pruned aggregate later, never a re-assignment)."""
     spark = corpus.sparkSession
     b_c = spark.sparkContext.broadcast(centroids)
+    schema = ASSIGN_RESID_SCHEMA if with_resid else ASSIGN_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = b_c.value
@@ -113,16 +150,18 @@ def assign_clusters(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
             mat = _normalize(
                 np.vstack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
             )
-            cl = (mat @ C.T).argmax(axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "embedding": pdf["embedding"],
-                    "cluster": cl,
-                }
-            )
+            sims = mat @ C.T
+            cl = sims.argmax(axis=1).astype(np.int32)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "embedding": pdf["embedding"],
+                "cluster": cl,
+            }
+            if with_resid:
+                out["resid"] = 1.0 - sims.max(axis=1)
+            yield pd.DataFrame(out)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(run, ASSIGN_SCHEMA)
+    return corpus.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
 def write_clustered(
@@ -141,17 +180,30 @@ def write_clustered(
     import os
 
     spark = corpus.sparkSession
-    assigned = assign_clusters(corpus, centroids)
+    assigned = assign_clusters(corpus, centroids, with_resid=True)
     (
         assigned.repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(os.path.join(dst, "file"))
     )
+    # build-time drift baseline: per-cluster mean residual, aggregated
+    # from the JUST-WRITTEN file (a (cluster, resid) column-pruned
+    # read — no second assignment pass over the corpus)
+    build_resid = {
+        int(r["cluster"]): float(r["br"])
+        for r in spark.read.parquet(os.path.join(dst, "file"))
+        .groupBy("cluster")
+        .agg(F.avg("resid").alias("br"))
+        .collect()
+    }
     (
         spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cluster int, centroid array<double>",
+            [
+                (int(i), [float(x) for x in c], build_resid.get(int(i)))
+                for i, c in enumerate(centroids)
+            ],
+            "cluster int, centroid array<double>, build_resid double",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -178,11 +230,54 @@ def append_clustered(new_vectors: DataFrame, index_dir: str) -> None:
     spark = new_vectors.sparkSession
     C = load_centroids(spark, index_dir)
     (
-        assign_clusters(new_vectors, C)
+        assign_clusters(new_vectors, C, with_resid=True)
         .repartition("cluster")
         .write.mode("append")
         .partitionBy("cluster")
         .parquet(os.path.join(index_dir, "file"))
+    )
+
+
+def drift_report(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(cluster, build_resid, cur_resid, n_vectors, drifted): the
+    frozen quantizer's health, one column-pruned scan of
+    (cluster, resid) — no embeddings read, no re-assignment. A cluster
+    is ``drifted`` when its MEDIAN-CENTERED residual excess
+    (cur − build, minus the across-cluster median of that excess,
+    which cancels the uniform out-of-sample lift every append pays)
+    exceeds REBUILD_DRIFT_THRESHOLD: appends have been concentrating
+    vectors the centroid no longer represents, and the documented
+    remedy is a deliberate full ``write_clustered`` rebuild (what
+    append_clustered correctly refuses to do silently). The median is
+    exact over K rows — driver-scale, deterministic."""
+    import os
+
+    cur = (
+        spark.read.parquet(os.path.join(index_dir, "file"))
+        .groupBy("cluster")
+        .agg(
+            F.avg("resid").alias("cur_resid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+    base = spark.read.parquet(os.path.join(index_dir, "centroids")).select(
+        "cluster", "build_resid"
+    )
+    joined = base.join(cur, "cluster", "left").withColumn(
+        "excess", F.col("cur_resid") - F.col("build_resid")
+    )
+    med = joined.select(
+        F.expr("percentile(excess, 0.5)").alias("med_excess")
+    )
+    return joined.crossJoin(F.broadcast(med)).select(
+        "cluster",
+        "build_resid",
+        "cur_resid",
+        "n_vectors",
+        (
+            F.col("excess") - F.col("med_excess")
+            > F.lit(REBUILD_DRIFT_THRESHOLD)
+        ).alias("drifted"),
     )
 
 

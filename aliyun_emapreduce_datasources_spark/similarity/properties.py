@@ -82,6 +82,49 @@ def ann_rank_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFra
     return out.orderBy("variant", "query_id", "rnk")
 
 
+def _scratch_index_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Per-(fixture, applicationId) scratch path for a filed IVF index
+    under the system tempdir, with the sibling-copy reaper. Staleness
+    is keyed on a per-copy HEARTBEAT file the owning session touches
+    on every run (r10 advice: the bare dir mtime narrowed but did not
+    close the reap-a-live-sibling race), with a 24 h window — a
+    sibling is reaped only if its owner has not re-run the check for a
+    full day, far beyond any bench/test session's idle-then-re-read
+    gap. Within one session repeated runs overwrite the same bounded
+    copy; concurrent sessions get disjoint paths (a shared
+    deterministic path raced — r09 ADVICE)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    fixture_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    prefix = os.path.join(tempfile.gettempdir(), f"ivf_{tag}_" + fixture_key)
+    dst = prefix + "_" + spark.sparkContext.applicationId
+    for old in glob.glob(prefix + "_*"):
+        if old == dst:
+            continue
+        hb = os.path.join(old, "HEARTBEAT")
+        try:
+            mark = hb if os.path.exists(hb) else old
+            stale = time.time() - os.path.getmtime(mark) > 24 * 3600
+        except OSError:
+            continue
+        if stale:
+            shutil.rmtree(old, ignore_errors=True)
+    return dst
+
+
+def _touch_heartbeat(dst: str) -> None:
+    import os
+    import time
+
+    with open(os.path.join(dst, "HEARTBEAT"), "w") as fh:
+        fh.write(str(time.time()))
+
+
 def ann_ivf_file_consistency_violations(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -121,13 +164,6 @@ def ann_ivf_file_consistency_violations(
     The quantizer is trained once and passed to both paths. At 100 TB
     the write is the one-off index build and every query batch reads
     nprobe/K of the bytes through directory pruning."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from aliyun_emapreduce_datasources_spark.similarity import ivf
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -138,33 +174,13 @@ def ann_ivf_file_consistency_violations(
     base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
     increment = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
     C = ivf.train_centroids(base)
-    fixture_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    prefix = os.path.join(tempfile.gettempdir(), "ivf_file_check_" + fixture_key)
-    dst = prefix + "_" + spark.sparkContext.applicationId
-    # Staleness is keyed on a per-copy HEARTBEAT file the owning
-    # session touches on every run (r10 advice: the bare dir mtime
-    # narrowed but did not close the reap-a-live-sibling race), with a
-    # 24 h window — a sibling is reaped only if its owner has not
-    # re-run the check for a full day, far beyond any bench/test
-    # session's idle-then-re-read gap.
-    for old in glob.glob(prefix + "_*"):
-        if old == dst:
-            continue
-        hb = os.path.join(old, "HEARTBEAT")
-        try:
-            mark = hb if os.path.exists(hb) else old
-            stale = time.time() - os.path.getmtime(mark) > 24 * 3600
-        except OSError:
-            continue
-        if stale:
-            shutil.rmtree(old, ignore_errors=True)
+    dst = _scratch_index_dir(spark, sf_dir, "file_check")
     # build on the base half, then grow the SAME index in place —
     # append_clustered re-loads the filed quantizer, so equality with
     # the in-memory twin (handed C directly) also proves no retrain
     ivf.write_clustered(base, C, dst)
     ivf.append_clustered(increment, dst)
-    with open(os.path.join(dst, "HEARTBEAT"), "w") as fh:
-        fh.write(str(time.time()))
+    _touch_heartbeat(dst)
     via_file = ivf.ivf_file_search_topk(spark, dst, queries).select(
         "query_id", "rnk", F.col("neighbor_id").alias("file_neighbor")
     )
@@ -179,9 +195,48 @@ def ann_ivf_file_consistency_violations(
     )
 
 
+def ann_ivf_drift_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters whose frozen-quantizer drift trips the rebuild
+    threshold after a SAME-DISTRIBUTION append — empty by
+    construction (r10 verdict ask #5).
+
+    ``append_clustered`` deliberately never retrains; this check is
+    the instrument that says when that stance stops being safe. It
+    builds the inverted file on the even-vec_id half, appends the odd
+    half with the frozen quantizer, and reads ``ivf.drift_report`` —
+    per-cluster CURRENT mean assignment residual vs the BUILD-TIME
+    mean the index stamps into its centroids table, MEDIAN-CENTERED
+    across clusters (cancelling the uniform out-of-sample lift every
+    append pays — see ivf.REBUILD_DRIFT_THRESHOLD), one column-pruned
+    (cluster, resid) scan, no re-assignment. Both halves come from the
+    same corpus, so no cluster's centered excess may cross the
+    threshold; a non-empty result means
+    either genuinely shifted appends (rebuild the index — the
+    documented remedy) or a broken residual pipeline. The
+    drifted-appends side (shifted vectors MUST trip the threshold) is
+    pinned by tests/test_ivf_file.py::test_shifted_append_trips_drift."""
+    from aliyun_emapreduce_datasources_spark.similarity import ivf
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    increment = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    C = ivf.train_centroids(base)
+    dst = _scratch_index_dir(spark, sf_dir, "drift_check")
+    ivf.write_clustered(base, C, dst)
+    ivf.append_clustered(increment, dst)
+    _touch_heartbeat(dst)
+    return (
+        ivf.drift_report(spark, dst)
+        .where(F.col("drifted"))
+        .select("cluster", "build_resid", "cur_resid")
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "ann_rank_consistency_check": ann_rank_consistency_violations,
     "ann_ivf_file_consistency_check": ann_ivf_file_consistency_violations,
+    "ann_ivf_drift_check": ann_ivf_drift_violations,
 }
 
 ORACLES = {
@@ -193,5 +248,10 @@ ORACLES = {
         "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,"
         " CAST(NULL AS BIGINT) AS file_neighbor,"
         " CAST(NULL AS BIGINT) AS mem_neighbor WHERE FALSE"
+    ),
+    "ann_ivf_drift_check": (
+        "SELECT CAST(NULL AS INTEGER) AS cluster,"
+        " CAST(NULL AS DOUBLE) AS build_resid,"
+        " CAST(NULL AS DOUBLE) AS cur_resid WHERE FALSE"
     ),
 }

@@ -220,3 +220,57 @@ def test_append_grows_index_without_retrain(spark, sf_dir, tmp_path):
             np.testing.assert_allclose(a[col], b[col], rtol=1e-12)
         else:
             assert (a[col] == b[col]).all(), col
+
+
+def test_same_distribution_append_no_drift(spark, sf_dir, tmp_path):
+    """Both halves of one corpus: every cluster sits well inside the
+    rebuild threshold (the empty-set contract of ann_ivf_drift_check),
+    and the report covers every built cluster exactly once."""
+    from aliyun_emapreduce_datasources_spark.similarity.ivf import (
+        REBUILD_DRIFT_THRESHOLD,
+        append_clustered,
+        drift_report,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    inc = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    C = train_centroids(base)
+    dst = str(tmp_path / "index")
+    write_clustered(base, C, dst)
+    append_clustered(inc, dst)
+    rep = drift_report(spark, dst).toPandas()
+    assert len(rep) == len(C)
+    assert not rep["drifted"].any(), rep
+    # the threshold has real margin on this corpus, not a hair's
+    # width: the raw out-of-sample lift is uniform (that's what the
+    # median centering cancels), so the CENTERED excess stays well
+    # under the cut
+    excess = rep["cur_resid"] - rep["build_resid"]
+    centered = (excess - excess.median()).max()
+    assert centered < REBUILD_DRIFT_THRESHOLD / 2, centered
+
+
+def test_shifted_append_trips_drift(spark, sf_dir, tmp_path):
+    """Mutation side: appending vectors from a genuinely SHIFTED
+    distribution (a constant offset pushes every vector toward one
+    direction the quantizer never saw) must raise per-cluster mean
+    residuals past the threshold — the check is sharp, not vacuous."""
+    from aliyun_emapreduce_datasources_spark.similarity.ivf import (
+        append_clustered,
+        drift_report,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    shifted = emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(3.0)).alias("embedding"),
+    )
+    C = train_centroids(base)
+    dst = str(tmp_path / "index")
+    write_clustered(base, C, dst)
+    append_clustered(shifted, dst)
+    rep = drift_report(spark, dst).toPandas()
+    hit = rep[rep["drifted"]]
+    assert len(hit) > 0, rep

@@ -102,7 +102,16 @@ def test_simhash_expr_matches_pandas_leg(spark):
     ["minhash", "simhash"],
 )
 def test_catalog_plans_have_no_python_worker(spark, entry):
-    q = {"minhash": minhash.QUERY, "simhash": simhash.QUERY}[entry]
+    # materialize=False: the catalog path eagerly checkpoints its
+    # result (deterministic cache release, r10 ask #2), which would
+    # reduce the inspected plan to a checkpointed-RDD scan and make
+    # this pin vacuous — the lazy twin exposes the REAL pipeline plan
+    q = {
+        "minhash": lambda s, d: minhash.minhash_dedup_pairs(
+            s, d, hash_name=minhash.CATALOG_HASH, materialize=False
+        ),
+        "simhash": lambda s, d: simhash.QUERY(s, d, materialize=False),
+    }[entry]
     plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     for node in _PY_NODES:
         assert node not in plan, (entry, node)

@@ -410,7 +410,14 @@ def test_containment_join_is_hash_equi_on_postings(spark, sf_dir):
     # never a nested loop over doc pairs — and the stop-shingle DF cut
     # plus set sizes must come from Window over the postings, not
     # re-joins of the corpus
-    plan = plan_of(QUERIES["dedup_containment"](spark, sf_dir))
+    from aliyun_emapreduce_datasources_spark.dedup.containment import (
+        containment_pairs,
+    )
+
+    # materialize=False: the catalog path eagerly checkpoints (cache
+    # release) which would reduce the plan to an RDD scan — the lazy
+    # twin exposes the real join/Window shape this test pins
+    plan = plan_of(containment_pairs(spark, sf_dir, materialize=False))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" in plan
