@@ -193,11 +193,14 @@ def dhash64(cells: F.Column) -> F.Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
-def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_neardup_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """(media_a, media_b, hamming): perceptual near-dup image pairs at
     hamming <= 3 over the 64-bit dHash, via the SimHash Manku block
     join (exact at this threshold by pigeonhole — bucketed, never
-    all-pairs)."""
+    all-pairs). ``materialize=False`` keeps the plan lazy for plan
+    inspection (tests/test_imagehash.py's never-all-pairs pin)."""
     # project to the id BEFORE spreading partitions — the synthesis
     # stage only needs ids, so the one-file local fixture fans out
     # without shuffling document text
@@ -207,10 +210,18 @@ def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     media = attach_dhash_group_images(docs, "doc_id")
+    # persist the fingerprints: both sides of the block self-join read
+    # them, and without the boundary the synth+decode MapInPandas
+    # chain runs once PER SIDE; released deterministically once the
+    # (tiny) pair result is checkpointed — the r10-ask-#2 pattern the
+    # whole pair-dedup family follows (dedup/minhash.py)
     fps = image_dhash_cells(media).select(
         F.col("media_id"), dhash64(F.col("cells")).alias("simhash")
     )
-    return (
+    if materialize:
+        fps = fps.persist()
+        fps.count()
+    result = (
         simhash_candidates(fps, id_col="media_id")
         .select(
             F.col("doc_a").alias("media_a"),
@@ -219,6 +230,11 @@ def image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+    if not materialize:
+        return result
+    out = result.localCheckpoint(eager=True)
+    fps.unpersist()
+    return out
 
 
 def QUERY(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,9 @@ def _plan(df) -> str:
 
 
 def test_banded_plan_never_all_pairs(spark, sf_dir):
-    plan = _plan(imagehash.QUERY(spark, sf_dir))
+    # materialize=False: the catalog path eagerly checkpoints (cache
+    # release), which would reduce the inspected plan to an RDD scan
+    plan = _plan(imagehash.image_neardup_pairs(spark, sf_dir, materialize=False))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
