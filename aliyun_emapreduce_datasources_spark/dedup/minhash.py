@@ -319,12 +319,14 @@ def minhash_signature(sh: Column, n_perm: int = N_PERM) -> Column:
 # at or under the cap keep exact all-pairs (the shipped fixtures never
 # exceed it, so catalog results are unchanged); an OVER-cap bucket
 # emits a STAR instead: every member pairs with the bucket's leader
-# (min portable md5(doc_id), doc_id tie-break) — O(B) pairs that keep
-# the bucket CONNECTED, so downstream clustering still collapses the
-# boilerplate group. Documented recall effect: within an over-cap
-# bucket, member–member pairs not through the leader are dropped; for
-# the boilerplate case that triggers the cap the members verify
-# against the leader anyway (J ≈ 1), and every emitted pair is still
+# (MIN doc_id — the star only needs CONNECTIVITY, so the cheapest
+# deterministic portable rule wins; a hash-ranked leader would buy
+# nothing but an md5 per row) — O(B) pairs that keep the bucket
+# CONNECTED, so downstream clustering still collapses the boilerplate
+# group. Documented recall effect: within an over-cap bucket,
+# member–member pairs not through the leader are dropped; for the
+# boilerplate case that triggers the cap the members verify against
+# the leader anyway (J ≈ 1), and every emitted pair is still
 # exact-verified, so precision is untouched. The DuckDB oracle models
 # the cap EXACTLY (same leader rule), so value parity holds even when
 # it fires.
@@ -340,14 +342,12 @@ def lsh_candidate_pairs(
     is sharp).
 
     CALLER CONTRACT: persist (or checkpoint) ``with_sig`` first — the
-    capped plan references it from five branches (stats, membership,
-    both all-pairs sides, the star side), and over an UN-materialized
-    signature expression tree that quintuplicates a multi-MB codegen
-    unit whose Janino compile stalls executors for minutes (observed:
-    3.1 MiB task binaries, tasks pinned at 0 progress).
+    capped plan references it from four branches (stats, membership,
+    both all-pairs sides), and over an UN-materialized signature
+    expression tree that multiplies a multi-MB codegen unit whose
+    Janino compile stalls executors for minutes (observed: 3.1 MiB
+    task binaries, tasks pinned at 0 progress).
     ``minhash_dedup_pairs`` persists; ad-hoc callers must too."""
-    from aliyun_emapreduce_datasources_spark.functions.inthash import h64_md5
-
     exploded = with_sig.select("doc_id", F.posexplode("bands").alias("band", "bucket"))
     if bucket_cap is None:
         a, b = exploded.alias("a"), exploded.alias("b")
@@ -361,17 +361,22 @@ def lsh_candidate_pairs(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-    stats = exploded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(
-            F.struct(
-                h64_md5(F.col("doc_id").cast("string")).alias("ck"),
-                F.col("doc_id").alias("id"),
-            )
-        )["id"].alias("lead_id"),
+    # ONE shuffle for the whole capped path, same as the uncapped
+    # twin: a Window over (band, bucket) — no orderBy, so no sort —
+    # attaches the bucket count and its MIN-doc_id leader to every
+    # membership row in the same exchange the self-join needs, and
+    # both self-join sides then consume that HashPartitioning without
+    # a new shuffle. (The first cut aggregated stats separately and
+    # joined them back — a blocking aggregate + join that tripled the
+    # banding stage's wall; the window formulation measured at parity
+    # with the uncapped path.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    mem = exploded.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "lead_id", F.min("doc_id").over(w)
     )
-    mem = exploded.join(stats, ["band", "bucket"])
-    small = mem.where(F.col("cnt") <= bucket_cap)
+    small = mem.where(F.col("cnt") <= bucket_cap).select("doc_id", "band", "bucket")
     a, b = small.alias("a"), small.alias("b")
     all_pairs = a.join(
         b,
@@ -379,12 +384,12 @@ def lsh_candidate_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    star_pairs = (
-        mem.where((F.col("cnt") > bucket_cap) & (F.col("doc_id") != F.col("lead_id")))
-        .select(
-            F.least("doc_id", "lead_id").alias("doc_a"),
-            F.greatest("doc_id", "lead_id").alias("doc_b"),
-        )
+    star_pairs = mem.where(
+        (F.col("cnt") > bucket_cap) & (F.col("doc_id") != F.col("lead_id"))
+    ).select(
+        # lead_id = MIN(doc_id) of the bucket, so it is always doc_a
+        F.col("lead_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
     )
     return all_pairs.unionByName(star_pairs).distinct()
 
@@ -499,28 +504,22 @@ WITH docs AS MATERIALIZED (
   SELECT doc_id, CAST(k // {ROWS_PER_BAND} AS BIGINT) AS band,
          {signed(f"CAST(('0x' || substr(md5({band_cols} || ',' || CAST(k // {ROWS_PER_BAND} AS VARCHAR)), 1, 16)) AS UBIGINT)")} AS bucket
   FROM filled GROUP BY doc_id, k // {ROWS_PER_BAND}
-), bmem AS MATERIALIZED (
-  SELECT doc_id, band, bucket,
-         COUNT(*) OVER (PARTITION BY band, bucket) AS cnt,
-         {signed("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS HUGEINT)")} AS ck
-  FROM buckets
-), leads AS (
-  SELECT band, bucket, doc_id AS lead_id FROM (
-    SELECT band, bucket, doc_id,
-           row_number() OVER (PARTITION BY band, bucket ORDER BY ck, doc_id) AS rn
-    FROM bmem) WHERE rn = 1
+), bstat AS MATERIALIZED (
+  SELECT band, bucket, COUNT(*) AS cnt, MIN(doc_id) AS lead_id
+  FROM buckets GROUP BY band, bucket
 ), cand AS (
   -- hot-bucket star cap, the engine's BUCKET_CAP rule exactly:
-  -- all-pairs at or under the cap, leader-star above it
+  -- all-pairs at or under the cap, MIN-doc_id-leader star above it
   SELECT DISTINCT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bmem a JOIN bmem b
+    FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE a.cnt <= {BUCKET_CAP}
+    JOIN bstat s ON s.band = a.band AND s.bucket = a.bucket
+    WHERE s.cnt <= {BUCKET_CAP}
     UNION ALL
-    SELECT least(m.doc_id, l.lead_id), greatest(m.doc_id, l.lead_id)
-    FROM bmem m JOIN leads l ON l.band = m.band AND l.bucket = m.bucket
-    WHERE m.cnt > {BUCKET_CAP} AND m.doc_id <> l.lead_id
+    SELECT s.lead_id AS doc_a, m.doc_id AS doc_b
+    FROM buckets m JOIN bstat s ON s.band = m.band AND s.bucket = m.bucket
+    WHERE s.cnt > {BUCKET_CAP} AND m.doc_id <> s.lead_id
   )
 )
 SELECT c.doc_a, c.doc_b,

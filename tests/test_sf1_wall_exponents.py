@@ -1,16 +1,17 @@
 """Pin the WALL-CLOCK exponent budget (r07 ask #2, regenerated at the
-round-10 HEAD per the same freshness rule r09 applied): the full
-215-entry catalog benchmarked at the sf1 fixture vs the sf0.1
+round-11 HEAD per the same freshness rule r09/r10 applied): the full
+217-entry catalog benchmarked at the sf1 fixture vs the sf0.1
 baseline, per-entry exponents in
-bench_history/r10_sf1_exponents.json. Each end of the r10 record is
-the per-entry MIN over three idle sweeps (r10a/b/c at sf0.1,
-r10_sf1/b/c at the fixture) — contamination only ever adds time, so
-min-of-N is the honest estimator (NOTES_r09.md established the
-protocol; NOTES_r10.md documents this round's ambient band). The
-embedding-LSH trio's values come EXCLUSIVELY from at-HEAD
-min-of-3 idle probes (tools/probe_entries.py) because the sweeps ran
-the pre-int32-lane code for those three entries — mixing codes across
-scale ends would make their exponents fiction (NOTES_r10.md).
+bench_history/r11_sf1_exponents.json. Each end of the r11 record is
+the per-entry MIN over three sweeps (r11a/b/c at sf0.1, r11_sf1/b/c
+at the fixture) — contamination only ever adds time, so min-of-N is
+the honest estimator (NOTES_r09.md established the protocol;
+NOTES_r10/r11 document the ambient bands). All six sweeps ran ONE
+code state (the first-cut bucket cap) at BOTH ends, so every pinned
+exponent compares like with like; the post-sweep window-form cap
+rewrite changed only the minhash family's constant, not its slope —
+at-HEAD probes at both scale ends agree within noise (NOTES_r11.md
+"Post-sweep window-cap probes").
 
 The contract this suite pins — the same pattern as
 test_scaling_curve.py's work-metric pins:
@@ -20,10 +21,9 @@ test_scaling_curve.py's work-metric pins:
 - EXCEPT the two adjudicated embedding-LSH entries, whose exponent is
   the recall contract's table growth (auto_tables 16→66 at the ×4
   embeddings step — NOTES_r08.md), budgeted at ≤ 1.55 since round 9.
-  At the round-10 HEAD (portable quantized law, int32 lanes) they
-  land 1.517 / 1.344 idle — inside the round-9 budget, no raise
-  needed. The environment-free work-metric exponents
-  (scaling_r07.json) are unchanged,
+  At the round-11 HEAD they land 1.426 / 1.507 — inside the round-9
+  budget (r10: 1.517 / 1.344), no raise needed. The environment-free
+  work-metric exponents (scaling_r07.json) are unchanged,
 - and no entry anywhere in the catalog exceeds 1.55.
 
 If a future round regenerates the record with worse numbers, this
@@ -36,7 +36,7 @@ import json
 
 import pytest
 
-_REC = "/root/repo/bench_history/r10_sf1_exponents.json"
+_REC = "/root/repo/bench_history/r11_sf1_exponents.json"
 
 # explained in bench_history/NOTES_r08.md (cause) + NOTES_r09.md
 # (environment re-adjudication) + NOTES_r10.md (portable-law re-check):
@@ -79,10 +79,10 @@ def test_flagged_set_is_exactly_the_adjudicated_set(rec):
 
 def test_catalog_total_ratio_bounded(rec):
     """Mixed 10x/4x/1x input step: the pinned record's
-    intersection-only totals give ~3.43x at the r09 HEAD (r08: 3.27x
-    in the faster container) — pin it under 4x so a broad regression
-    (or a silent fixture change) surfaces here. The ratio is derived
-    from the record, not hand-copied (r09 ADVICE: a hand-copied 3.52x
-    from the pre-intersection totals went stale silently)."""
+    intersection-only totals give ~3.12x at the r11 HEAD (r10: 2.85x,
+    r09: 3.43x) — pin it under 4x so a broad regression (or a silent
+    fixture change) surfaces here. The ratio is derived from the
+    record, not hand-copied (r09 ADVICE: a hand-copied 3.52x from the
+    pre-intersection totals went stale silently)."""
     ratio = rec["total_sf1_s"] / rec["total_sf0.1_s"]
     assert ratio < 4.0, ratio
