@@ -53,11 +53,13 @@ __all__ = [
     "attach_fake_audio",
     "attach_fake_media",
     "attach_fake_video",
+    "attach_jpeg_block_images",
     "attach_png_gradient_images",
     "attach_wav_audio",
     "audio_features",
     "decode_features",
     "frame_sample",
+    "jpeg_image_metrics",
     "png_image_metrics",
     "resize_media",
     "video_frame_metrics",
@@ -564,6 +566,121 @@ def png_image_metrics(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, PNG_METRICS_SCHEMA)
+
+
+# ---- JPEG constant-block law (multimodal/jpeg.py is the codec) ----
+# Grid: wb = id%5+2 blocks wide, hb = id%4+2 blocks tall (8 px each).
+# Block (by, bx) is the CONSTANT value v = 2*((id + 5*by + 7*bx) % 128)
+# — even on purpose: with a flat Q[0][0]=16 table the whole chain
+# (level shift → DC=8(v-128) → quantize /16 → dequantize → IDCT /8) is
+# integer-exact in float64, so the DECODED pixels equal v bit-for-bit
+# and a SQL oracle re-derives them with integer arithmetic. Every
+# third id also encodes with restart_interval=2, so the catalog
+# exercises the DRI/RSTn path (restarts never change decoded values).
+_JPEG_FLAT_Q = np.full((8, 8), 16, dtype=np.int32)
+
+
+def _jpeg_block_values(media_id: int) -> np.ndarray:
+    wb, hb = media_id % 5 + 2, media_id % 4 + 2
+    by, bx = np.mgrid[0:hb, 0:wb]
+    return (2 * ((media_id + 5 * by + 7 * bx) % 128)).astype(np.uint8)
+
+
+def attach_jpeg_block_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Genuine baseline JFIF JPEGs (multimodal/jpeg.py — real Huffman
+    entropy coding, DQT/DHT/SOF0/SOS marker stream, byte stuffing,
+    periodic restart markers) whose decoded pixels follow the
+    constant-block law above, so a SQL engine reconstructs per-image
+    pixel sums and corner probes without seeing the bytes — the
+    DCT-codec sibling of attach_png_gradient_images (round-11: closes
+    the 'JPEG refused loudly' gap). Containers are synthesized
+    executor-side in mapInPandas; each row independent."""
+    from aliyun_emapreduce_datasources_spark.multimodal.jpeg import encode_jpeg
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                v = _jpeg_block_values(mid)
+                px = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+                blob = encode_jpeg(
+                    px,
+                    quant_luma=_JPEG_FLAT_Q,
+                    restart_interval=2 if mid % 3 == 0 else 0,
+                )
+                h, w = px.shape
+                out["media_id"].append(mid)
+                out["payload"].append(blob)
+                out["meta"].append(
+                    {
+                        "modality": "image",
+                        "format": "jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": 0,
+                        "n_bytes": len(blob),
+                        "digest": hashlib.sha256(blob).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+JPEG_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("corner_tl", T.IntegerType()),
+        T.StructField("corner_br", T.IntegerType()),
+    ]
+)
+
+
+def jpeg_image_metrics(media: DataFrame) -> DataFrame:
+    """REAL-decode-only image metrics: parse each payload as a genuine
+    baseline JPEG (multimodal/jpeg.py — marker walk, container-carried
+    DQT/DHT, Huffman scan decode, dequant + exact IDCT; refuses
+    anything else), emit the DECODED width and height (SOF0 must be
+    read right, MCU padding cropped), the int64 sum of all gray
+    pixels, and two corner probes. Under the constant-block law all
+    five are id-derivable, so a full SQL oracle pins the decoded
+    CONTENT — a wrong Huffman table parse, a DC-prediction slip, a
+    dropped restart reset, or an IDCT normalization error
+    hash-mismatches. Blob bytes stay executor-side."""
+    from aliyun_emapreduce_datasources_spark.multimodal.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in JPEG_METRICS_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum"].append(int(img.sum(dtype=np.int64)))
+                rows["corner_tl"].append(int(img[0, 0]))
+                rows["corner_br"].append(int(img[-1, -1]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "px_sum": pd.Series(rows["px_sum"], dtype="int64"),
+                    "corner_tl": pd.Series(rows["corner_tl"], dtype="int32"),
+                    "corner_br": pd.Series(rows["corner_br"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, JPEG_METRICS_SCHEMA)
 
 
 VIDEO_METRICS_SCHEMA = T.StructType(

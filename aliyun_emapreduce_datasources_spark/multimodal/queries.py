@@ -1,9 +1,11 @@
 """Catalog entries for the multimodal layer.
 
-As of round 9 NO catalog entry is stubbed — all three decode genuine
-container bytes with pure-numpy parsers (only COMPRESSED codecs —
-jpeg/mp3/h264 — would need external libraries, and those payloads are
-refused loudly, never faked):
+As of round 9 NO catalog entry is stubbed — every entry decodes
+genuine container bytes with pure-numpy parsers. Round 10 added a
+real DEFLATE PNG codec, round 11 a real baseline JPEG codec
+(multimodal/jpeg.py — Huffman entropy coding + IDCT); the remaining
+compressed formats (mp3/h264) would need external libraries and those
+payloads are refused loudly, never faked:
 
 - media_audio_features attaches genuine RIFF/WAVE containers whose
   oracle checks sample counts that only come out right if the
@@ -30,11 +32,13 @@ from pyspark.sql import functions as F
 from aliyun_emapreduce_datasources_spark.multimodal.media import (
     attach_avi_gradient_video,
     attach_bmp_media,
+    attach_jpeg_block_images,
     attach_png_gradient_images,
     attach_wav_audio,
     audio_features,
     decode_features,
     frame_sample,
+    jpeg_image_metrics,
     png_image_metrics,
     video_frame_metrics,
 )
@@ -193,6 +197,52 @@ GROUP BY media_id
 """
 
 
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → GENUINE baseline JFIF JPEGs (attach_jpeg_block_images
+    — real Huffman entropy coding, DQT/DHT read back from the
+    container, byte stuffing, restart markers on every 3rd id) → REAL
+    decode (multimodal/jpeg.py: marker walk, canonical Huffman, DC
+    prediction, dequant + exact 2-D IDCT, MCU crop) → per-image
+    content metrics. Round 11: the DCT-family compressed codec —
+    the constant-block law (even values, flat Q00=16) makes the whole
+    lossy chain integer-exact, so the SQL twin re-derives the decoded
+    pixels themselves, and a wrong table parse, prediction slip,
+    restart handling bug, or IDCT normalization error hash-mismatches."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    media = attach_jpeg_block_images(docs, "doc_id")
+    return jpeg_image_metrics(media)
+
+
+# mirrors attach_jpeg_block_images (wb = id%5+2, hb = id%4+2 blocks of
+# 8x8 constant pixels; block law v = 2*((id + 5*by + 7*bx) % 128),
+# integer-exact through the flat-16 quantizer) — the unnest grid
+# re-derives each image's full pixel sum and the two corner probes
+# from first principles.
+ORACLE_JPEG = """
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           doc_id % 5 + 2 AS wb,
+           doc_id % 4 + 2 AS hb
+    FROM documents WHERE text IS NOT NULL
+), blocks AS (
+    SELECT media_id, wb, hb,
+           2 * ((media_id + 5 * yy.by + 7 * xx.bx) % 128) AS v
+    FROM dims,
+         unnest(generate_series(0, hb - 1)) AS yy(by),
+         unnest(generate_series(0, wb - 1)) AS xx(bx)
+)
+SELECT media_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(v) * 64 AS BIGINT) AS px_sum,
+       CAST(2 * (media_id % 128) AS INTEGER) AS corner_tl,
+       CAST(2 * ((media_id + 5 * (MAX(hb) - 1) + 7 * (MAX(wb) - 1)) % 128)
+            AS INTEGER) AS corner_br
+FROM blocks
+GROUP BY media_id
+"""
+
+
 def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → GENUINE BMP containers under the grouped md5 pixel
     law → REAL decode + exact-integer pooling → 64-bit dHash as a JVM
@@ -210,6 +260,7 @@ QUERIES = {
     "media_audio_features": media_audio_features,
     "media_video_frames": media_video_frames,
     "media_png_features": media_png_features,
+    "media_jpeg_features": media_jpeg_features,
     "media_image_neardup": media_image_neardup,
 }
 ORACLES = {
@@ -217,5 +268,6 @@ ORACLES = {
     "media_audio_features": ORACLE_AUDIO,
     "media_video_frames": ORACLE_VIDEO,
     "media_png_features": ORACLE_PNG,
+    "media_jpeg_features": ORACLE_JPEG,
     "media_image_neardup": _imagehash.ORACLE,
 }

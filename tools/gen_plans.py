@@ -38,6 +38,7 @@ COMMENT = {
     "media_image_neardup": "Attach + decode/pool are two narrow MapInPandas legs (real BMP codec, blobs never on the driver); the 64-bit dHash packs as a flat whole-stage-codegen OR chain (no higher-order functions); the hamming join is the SimHash Manku block equi-join — one (blk, key) shuffle, never all-pairs.",
     "ann_ivf_drift_check": "Index build + frozen-quantizer append land partitioned-by-cluster parquet; the drift leg is ONE column-pruned (cluster, resid) scan into a 16-row aggregate joined against the stamped baselines — no embeddings read, no re-assignment, broadcast of the scalar median.",
     "media_png_features": "Genuine-PNG synth + decode are two narrow MapInPandas legs (per-row zlib DEFLATE/inflate — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
+    "media_jpeg_features": "Genuine baseline-JPEG synth + decode are two narrow MapInPandas legs (per-row Huffman entropy coding + vectorized block IDCT — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
     "dsir_importance": "Bigram postings reduce map-side (partial HashAggregate before their Exchange); the 256-row bucket-stats side is BroadcastExchange; one doc_id shuffle for the final rollup.",
     "text_rare_bigram_ratio": "Double aggregation over bigrams with map-side partials; corpus frequency table joined back broadcast-eligible; the 1-row scalar rides a BroadcastNestedLoopJoin of bytes.",
     "chunk_documents": "Pure narrow plan: Scan → Project(split/sequence/transform) → Generate(posexplode) → Project, inside one WholeStageCodegen span; the only Exchange is the catalog's deterministic final sort.",
