@@ -43,6 +43,7 @@ from aliyun_emapreduce_datasources_spark.multimodal.media import (
     video_frame_metrics,
 )
 from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash
+from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -255,6 +256,16 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imagehash.QUERY(spark, sf_dir)
 
 
+def media_mixed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → GENUINE containers in THREE formats (id%3 → BMP /
+    PNG / JPEG, all decoding to the same even-valued md5 cell law) →
+    MAGIC-BYTE decode dispatch + exact pooling → one dHash → SimHash
+    Manku block join at hamming <= 3. Round 11: cross-container
+    near-dup — the oracle is format-blind, so any format-dependent
+    decode defect breaks the one invariant it pins."""
+    return _mixed.QUERY(spark, sf_dir)
+
+
 QUERIES = {
     "media_pipeline": media_pipeline,
     "media_audio_features": media_audio_features,
@@ -262,6 +273,7 @@ QUERIES = {
     "media_png_features": media_png_features,
     "media_jpeg_features": media_jpeg_features,
     "media_image_neardup": media_image_neardup,
+    "media_mixed_neardup": media_mixed_neardup,
 }
 ORACLES = {
     "media_pipeline": ORACLE_MEDIA,
@@ -270,4 +282,5 @@ ORACLES = {
     "media_png_features": ORACLE_PNG,
     "media_jpeg_features": ORACLE_JPEG,
     "media_image_neardup": _imagehash.ORACLE,
+    "media_mixed_neardup": _mixed.ORACLE,
 }

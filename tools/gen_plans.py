@@ -16,6 +16,8 @@ from aliyun_emapreduce_datasources_spark.dedup import simhash as _sh  # noqa: E4
 from aliyun_emapreduce_datasources_spark.dedup.containment import (  # noqa: E402
     containment_pairs as _containment_pairs,
 )
+from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash  # noqa: E402
+from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed  # noqa: E402
 from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES  # noqa: E402
 from aliyun_emapreduce_datasources_spark.session import get_session  # noqa: E402
 
@@ -28,6 +30,12 @@ LAZY = {
     ),
     "dedup_simhash": lambda s, d: _sh.QUERY(s, d, materialize=False),
     "dedup_containment": lambda s, d: _containment_pairs(s, d, materialize=False),
+    "media_image_neardup": lambda s, d: _imagehash.image_neardup_pairs(
+        s, d, materialize=False
+    ),
+    "media_mixed_neardup": lambda s, d: _mixed.mixed_neardup_pairs(
+        s, d, materialize=False
+    ),
 }
 
 COMMENT = {
@@ -35,10 +43,11 @@ COMMENT = {
     "q6_forecast_revenue": "All three predicates in PushedFilters at the parquet scan; ReadSchema is the 3-column projection; single partial+final HashAggregate.",
     "dedup_embedding_cosine": "Multi-table LSH blocking under the round-10 quantized-integer portable law: one MapInPandas emits (tbl, sig)-keyed signature rows (exact integer dots), one hashpartitioning Exchange into the grouped per-bucket exact-integer verify, then a pair-distinct — compute bounded by bucket occupancy, no all-pairs stage, no driver collect.",
     "dedup_minhash_lsh": "OPH signatures as a whole-stage expression tree since round 10 (portable md5 via conv, ANSI-safe wrap filler) — NO Python worker anywhere in the plan; band-bucket self-join is a shuffled hash join on (band, bucket) — shuffle volume O(docs×bands), star-capped on over-BUCKET_CAP hot buckets since round 11; the exact-verify join touches only candidate pairs. (Catalog path eagerly checkpoints; the plan dumped here is the materialize=False lazy twin, the shape that actually executes.)",
-    "media_image_neardup": "Attach + decode/pool are two narrow MapInPandas legs (real BMP codec, blobs never on the driver); the 64-bit dHash packs as a flat whole-stage-codegen OR chain (no higher-order functions); the hamming join is the SimHash Manku block equi-join — one (blk, key) shuffle, never all-pairs.",
+    "media_image_neardup": "Attach + decode/pool are two narrow MapInPandas legs (real BMP codec, blobs never on the driver); the 64-bit dHash packs as a flat whole-stage-codegen OR chain (no higher-order functions); the hamming join is the SimHash Manku block equi-join — one (blk, key) shuffle, never all-pairs. (Catalog path persists the fingerprints; the dumped plan is the materialize=False lazy twin.)",
     "ann_ivf_drift_check": "Index build + frozen-quantizer append land partitioned-by-cluster parquet; the drift leg is ONE column-pruned (cluster, resid) scan into a 16-row aggregate joined against the stamped baselines — no embeddings read, no re-assignment, broadcast of the scalar median.",
     "media_png_features": "Genuine-PNG synth + decode are two narrow MapInPandas legs (per-row zlib DEFLATE/inflate — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
     "media_jpeg_features": "Genuine baseline-JPEG synth + decode are two narrow MapInPandas legs (per-row Huffman entropy coding + vectorized block IDCT — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
+    "media_mixed_neardup": "Magic-byte decode dispatch (BMP/PNG/JPEG) rides the same two narrow MapInPandas legs; the 64-bit dHash packs as a flat OR chain and the hamming join is the SimHash Manku block equi-join — one (blk, key) shuffle shared across all three container formats, never all-pairs. (Catalog path persists the fingerprints; the dumped plan is the materialize=False lazy twin.)",
     "dsir_importance": "Bigram postings reduce map-side (partial HashAggregate before their Exchange); the 256-row bucket-stats side is BroadcastExchange; one doc_id shuffle for the final rollup.",
     "text_rare_bigram_ratio": "Double aggregation over bigrams with map-side partials; corpus frequency table joined back broadcast-eligible; the 1-row scalar rides a BroadcastNestedLoopJoin of bytes.",
     "chunk_documents": "Pure narrow plan: Scan → Project(split/sequence/transform) → Generate(posexplode) → Project, inside one WholeStageCodegen span; the only Exchange is the catalog's deterministic final sort.",
