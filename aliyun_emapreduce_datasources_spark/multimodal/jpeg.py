@@ -326,7 +326,10 @@ def _plane_to_qblocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     p = np.pad(plane.astype(np.float64) - 128.0, ((0, ph), (0, pw)), mode="edge")
     nby, nbx = p.shape[0] // 8, p.shape[1] // 8
     blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    f = np.einsum("ux,nmxy,vy->nmuv", _C, blocks, _C, optimize=True)
+    # C·B·Cᵀ per block via broadcast matmul (einsum's per-call path
+    # search costs more than the 8x8 contraction on catalog-sized
+    # images — measured 35% of the codec wall)
+    f = _C @ blocks @ _C.T
     q = np.round(f / qtab.astype(np.float64)).astype(np.int64)
     # baseline envelope: AC magnitude ≤ 1023 (10 bits), clamp like real
     # encoders do at pathological quality settings; DC fits category 11
@@ -702,7 +705,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         dz = np.zeros((nmcu, 64), dtype=np.float64)
         dz[:, _ZZ_FLAT] = coefs[c] * qtabs[tq].reshape(64)[_ZZ_FLAT]
         f = dz.reshape(nmcu, 8, 8)
-        blocks = np.einsum("ux,nuv,vy->nxy", _C, f, _C, optimize=True) + 128.0
+        blocks = _C.T @ f @ _C + 128.0
         grid = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
         plane = grid.reshape(nby * 8, nbx * 8)
         planes.append(np.clip(np.round(plane), 0, 255)[:fh, :fw])

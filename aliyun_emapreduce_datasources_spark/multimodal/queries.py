@@ -209,7 +209,18 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossy chain integer-exact, so the SQL twin re-derives the decoded
     pixels themselves, and a wrong table parse, prediction slip,
     restart handling bug, or IDCT normalization error hash-mismatches."""
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from aliyun_emapreduce_datasources_spark.operators.common import (
+        ensure_parallelism,
+    )
+
+    # synth needs only ids; project before the partition spread so the
+    # single-file local fixture fans the per-row codec work across
+    # cores without shuffling document text (imagehash's move)
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id")
+    )
     media = attach_jpeg_block_images(docs, "doc_id")
     return jpeg_image_metrics(media)
 

@@ -304,9 +304,13 @@ def test_media_jpeg_features_real_decode_e2e(spark, sf_dir):
         assert row.corner_br == int(v[-1, -1])
 
 
-def test_media_jpeg_plan_has_no_exchange(spark, sf_dir):
-    """scan → synth MapInPandas → decode MapInPandas → project: the
-    entry must stay narrow — no shuffle at any scale."""
+def test_media_jpeg_plan_shape(spark, sf_dir):
+    """scan → (id-only partition spread) → synth MapInPandas → decode
+    MapInPandas → project. The ONLY Exchange allowed is
+    ensure_parallelism's round-robin fan-out of the single-file local
+    fixture (a no-op on a production table with many splits) — and it
+    must sit over the id-only projection, never shuffle document
+    text. No data-dependent shuffle at any scale."""
     import io
     from contextlib import redirect_stdout
 
@@ -319,7 +323,15 @@ def test_media_jpeg_plan_has_no_exchange(spark, sf_dir):
         media_jpeg_features(spark, sf_dir).explain(mode="formatted")
     plan = buf.getvalue()
     tree = plan.split("\n\n")[0]  # the operator tree, not the detail dump
-    assert "Exchange" not in plan
+    assert tree.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    if "Exchange" in tree:
+        assert "RoundRobinPartitioning" in plan
+        # the spread carries ids only — text is pruned before it
+        import re
+
+        m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert m and "text" not in m.group(1), m.group(0) if m else plan
     assert tree.count("MapInPandas") == 2
 
 
