@@ -42,6 +42,7 @@ from aliyun_emapreduce_datasources_spark.multimodal.media import (
     png_image_metrics,
     video_frame_metrics,
 )
+from aliyun_emapreduce_datasources_spark.multimodal import audiohash as _audiohash
 from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash
 from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed
 from aliyun_emapreduce_datasources_spark.operators.common import t
@@ -277,6 +278,17 @@ def media_mixed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixed.QUERY(spark, sf_dir)
 
 
+def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → GENUINE mono PCM16 WAV containers under the
+    72-window md5 amplitude law → REAL chunk-walk decode + exact
+    envelope pooling → the SAME 64-bit gradient hash and SimHash
+    Manku block join as the image entries. Round 11: near-dup now
+    spans BOTH shipped modalities — the audio twin of
+    media_image_neardup, with per-id window lengths exercising the
+    duration-invariance leg."""
+    return _audiohash.QUERY(spark, sf_dir)
+
+
 QUERIES = {
     "media_pipeline": media_pipeline,
     "media_audio_features": media_audio_features,
@@ -285,6 +297,7 @@ QUERIES = {
     "media_jpeg_features": media_jpeg_features,
     "media_image_neardup": media_image_neardup,
     "media_mixed_neardup": media_mixed_neardup,
+    "media_audio_neardup": media_audio_neardup,
 }
 ORACLES = {
     "media_pipeline": ORACLE_MEDIA,
@@ -294,4 +307,5 @@ ORACLES = {
     "media_jpeg_features": ORACLE_JPEG,
     "media_image_neardup": _imagehash.ORACLE,
     "media_mixed_neardup": _mixed.ORACLE,
+    "media_audio_neardup": _audiohash.ORACLE,
 }
