@@ -45,6 +45,7 @@ from aliyun_emapreduce_datasources_spark.multimodal.media import (
 from aliyun_emapreduce_datasources_spark.multimodal import audiohash as _audiohash
 from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash
 from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed
+from aliyun_emapreduce_datasources_spark.multimodal import videohash as _videohash
 from aliyun_emapreduce_datasources_spark.operators.common import t
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -289,6 +290,17 @@ def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audiohash.QUERY(spark, sf_dir)
 
 
+def media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → GENUINE uncompressed AVI containers under the
+    72-window md5 luminance law → REAL chunk-walk decode + exact
+    temporal pooling (per-id frames-per-window exercise frame-rate
+    invariance) → the same gradient hash and Manku block join.
+    Round 11: with image, mixed-container, audio, and now video,
+    every modality the repo decodes feeds the same near-dup
+    machinery."""
+    return _videohash.QUERY(spark, sf_dir)
+
+
 QUERIES = {
     "media_pipeline": media_pipeline,
     "media_audio_features": media_audio_features,
@@ -298,6 +310,7 @@ QUERIES = {
     "media_image_neardup": media_image_neardup,
     "media_mixed_neardup": media_mixed_neardup,
     "media_audio_neardup": media_audio_neardup,
+    "media_video_neardup": media_video_neardup,
 }
 ORACLES = {
     "media_pipeline": ORACLE_MEDIA,
@@ -308,4 +321,5 @@ ORACLES = {
     "media_image_neardup": _imagehash.ORACLE,
     "media_mixed_neardup": _mixed.ORACLE,
     "media_audio_neardup": _audiohash.ORACLE,
+    "media_video_neardup": _videohash.ORACLE,
 }

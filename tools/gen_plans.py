@@ -19,6 +19,7 @@ from aliyun_emapreduce_datasources_spark.dedup.containment import (  # noqa: E40
 from aliyun_emapreduce_datasources_spark.multimodal import audiohash as _audiohash  # noqa: E402
 from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash  # noqa: E402
 from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed  # noqa: E402
+from aliyun_emapreduce_datasources_spark.multimodal import videohash as _videohash  # noqa: E402
 from aliyun_emapreduce_datasources_spark.operators.catalog import QUERIES  # noqa: E402
 from aliyun_emapreduce_datasources_spark.session import get_session  # noqa: E402
 
@@ -40,6 +41,9 @@ LAZY = {
     "media_audio_neardup": lambda s, d: _audiohash.audio_neardup_pairs(
         s, d, materialize=False
     ),
+    "media_video_neardup": lambda s, d: _videohash.video_neardup_pairs(
+        s, d, materialize=False
+    ),
 }
 
 COMMENT = {
@@ -53,6 +57,7 @@ COMMENT = {
     "media_jpeg_features": "Genuine baseline-JPEG synth + decode are two narrow MapInPandas legs (per-row Huffman entropy coding + vectorized block IDCT — necessarily Python, blobs never on the driver); no Exchange anywhere: scan → synth → decode → project.",
     "media_mixed_neardup": "Magic-byte decode dispatch (BMP/PNG/JPEG) rides the same two narrow MapInPandas legs; the 64-bit dHash packs as a flat OR chain and the hamming join is the SimHash Manku block equi-join — one (blk, key) shuffle shared across all three container formats, never all-pairs. (Catalog path persists the fingerprints; the dumped plan is the materialize=False lazy twin.)",
     "media_audio_neardup": "The WAV twin: chunk-walk decode + envelope pooling are the same two narrow MapInPandas legs, the hash is the same flat OR chain, the hamming join the same Manku block equi-join — one modality-agnostic shuffle shape. (Catalog path persists the fingerprints; the dumped plan is the materialize=False lazy twin.)",
+    "media_video_neardup": "The AVI twin: chunk-walk decode + temporal-envelope pooling ride the same two narrow MapInPandas legs into the same OR-chain hash and Manku block equi-join — the fourth modality through one shuffle shape. (Catalog path persists the fingerprints; the dumped plan is the materialize=False lazy twin.)",
     "dsir_importance": "Bigram postings reduce map-side (partial HashAggregate before their Exchange); the 256-row bucket-stats side is BroadcastExchange; one doc_id shuffle for the final rollup.",
     "text_rare_bigram_ratio": "Double aggregation over bigrams with map-side partials; corpus frequency table joined back broadcast-eligible; the 1-row scalar rides a BroadcastNestedLoopJoin of bytes.",
     "chunk_documents": "Pure narrow plan: Scan → Project(split/sequence/transform) → Generate(posexplode) → Project, inside one WholeStageCodegen span; the only Exchange is the catalog's deterministic final sort.",
