@@ -35,7 +35,7 @@ from aliyun_emapreduce_datasources_spark.dedup.ngram import (
     ORACLE as NGRAM_PAIRS_ORACLE,
     ngram_jaccard_pairs,
 )
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 
 __all__ = ["connected_components", "dedup_cluster_resolve", "QUERY", "ORACLE"]
 
@@ -78,7 +78,7 @@ def _unionfind_components(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "doc_id: long, cluster_id: long")
+    return local_df(spark, rows, "doc_id: long, cluster_id: long")
 
 
 def connected_components(

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 from aliyun_emapreduce_datasources_spark.similarity.score import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.lsh import _corpus_signatures
 
@@ -88,7 +88,8 @@ def embedding_neardup_blocked(
             .select("vec_id", "embedding")
             .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         )
-        block_pairs = spark.createDataFrame(
+        block_pairs = local_df(
+            spark,
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "blk_a int, blk_b int",
         )

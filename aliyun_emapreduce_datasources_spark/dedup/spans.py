@@ -272,7 +272,14 @@ def scrub_spans_fixpoint(
     cur = docs
     removed = 0
     for _ in range(max_iters):
-        out = scrub_pass(cur, k).localCheckpoint()
+        # non-eager: the convergence aggregate below materializes the
+        # checkpoint, so each pass is ONE job instead of two (the
+        # dedup/clusters.py convention; r11 optimization round — an
+        # incremental changed-docs-only formulation was prototyped and
+        # measured SLOWER at sf0.1: per-pass state-maintenance plans
+        # cost more than the full 260k-posting repass, see
+        # OPTIMIZATION_r11.md)
+        out = scrub_pass(cur, k).localCheckpoint(eager=False)
         removed = out.agg(F.sum("n_removed")).collect()[0][0] or 0
         cur = out.select("doc_id", F.col("clean_text").alias("text"))
         if removed == 0:

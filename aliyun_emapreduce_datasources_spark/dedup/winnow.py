@@ -126,19 +126,30 @@ def _prefix_postings(
     from pyspark.sql import Window
 
     df_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    ranked = fps.join(df_fp, "fp").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("fp").asc())
-        ),
+    # n_fp rides the SAME per-doc exchange as the rank window (a
+    # partition-only window adds no sort and no shuffle) instead of a
+    # separate full-postings aggregate + join-back — one exchange
+    # fewer on the 100 TB postings table, same values (fps carries one
+    # row per distinct (doc, fp), so the partition count IS n_fp)
+    ranked = (
+        fps.join(df_fp, "fp")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("fp").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
     )
-    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     required = F.ceil(
         F.lit(min_containment) * F.col("n_fp") - F.lit(1e-9)
     ).cast("int")
     return (
-        ranked.join(counts, "doc_id")
-        .where(F.col("pos") <= F.col("n_fp") - required + F.lit(int(_slack)))
+        ranked.where(F.col("pos") <= F.col("n_fp") - required + F.lit(int(_slack)))
         .select("doc_id", "fp", "n_fp")
     )
 

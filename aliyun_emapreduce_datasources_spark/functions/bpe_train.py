@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 
 __all__ = ["QUERIES", "bpe_train_merges", "train_merges", "merge_word"]
 
@@ -67,10 +67,13 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
     """Run the BPE merge loop over a (w, cnt) word-frequency DataFrame.
     Returns [(left, right, weighted_pair_count), ...] in merge order.
     """
+    # non-eager: materialized by the pair-count job below, so each
+    # iteration is ONE job (count + checkpoint), not two — the
+    # dedup/clusters.py convergence-loop convention
     sym = words.select(
         F.col("cnt").cast("long").alias("cnt"),
         F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -101,7 +104,7 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
                 pdf["syms"] = pdf["syms"].map(lambda s: merge_word(list(s), _l, _r))
                 yield pdf
 
-        sym = sym.mapInPandas(_apply, schema="cnt long, syms array<string>").localCheckpoint()
+        sym = sym.mapInPandas(_apply, schema="cnt long, syms array<string>").localCheckpoint(eager=False)
     return merges
 
 
@@ -122,8 +125,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, schema="rank long, left string, right string, merged string, pair_count long"
+    return local_df(
+        spark, rows, "rank long, left string, right string, merged string, pair_count long"
     ).orderBy("rank")
 
 
@@ -169,7 +172,8 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()  # reused: train scans it per merge, encode once
+        .localCheckpoint(eager=False)  # reused: train scans it per merge,
+        # encode once; materialized by the first merge's pair-count job
     )
     merges = [(l, r) for l, r, _ in train_merges(words, N_MERGES)]
 

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import bucketed_rank, t
+from aliyun_emapreduce_datasources_spark.operators.common import bucketed_rank, local_df, t
 
 __all__ = ["tokens", "shingles", "EN_STOPWORDS", "QUERIES", "ORACLES"]
 
@@ -1016,7 +1016,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
         )
     )
-    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    ks = local_df(spark, [(k,) for k in COVERAGE_KS], "k int")
     return (
         top.crossJoin(F.broadcast(ks))
         .groupBy("k")

@@ -46,7 +46,7 @@ from aliyun_emapreduce_datasources_spark.multimodal import audiohash as _audioha
 from aliyun_emapreduce_datasources_spark.multimodal import imagehash as _imagehash
 from aliyun_emapreduce_datasources_spark.multimodal import mixed as _mixed
 from aliyun_emapreduce_datasources_spark.multimodal import videohash as _videohash
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -60,9 +60,18 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle pins a real container decode, the image twin of the
     WAV move."""
     # NULL-text docs yield no blob (payload seed is the text) — a real
-    # ingest would likewise skip rows with no media bytes
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    media = attach_bmp_media(docs, "doc_id", "text")
+    # ingest would likewise skip rows with no media bytes. Project to
+    # the two columns the synth needs and spread the single-split
+    # local fixture across cores (a no-op on multi-split production
+    # tables — the jpeg entry's partition-spread move); the synthesized
+    # blobs are materialized ONCE so the feature and frame legs don't
+    # each re-run the attach mapInPandas.
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    media = attach_bmp_media(docs, "doc_id", "text").localCheckpoint()
     feats = decode_features(media).select("media_id", "n_pixels")
     frames = (
         frame_sample(media, every_n=4, n_frames=16)
@@ -91,7 +100,15 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stride-framing count over it, so the oracle now pins a real
     end-to-end decode; the pooled RMS/ZCR stats are RNG-synth values
     covered by tests/test_wav.py instead."""
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # project + partition spread (the jpeg entry's move): the synth
+    # seeds from text, so both columns ride, but the single-split
+    # local fixture no longer serializes the PCM synth+decode chain
+    # onto one core (no-op on multi-split production tables)
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     audio = attach_wav_audio(docs, "doc_id", "text")
     return audio_features(audio).select("media_id", "n_samples", "n_frames")
 
@@ -121,7 +138,14 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r08 verdict ask #2): no stub leg — the catalog video entry now
     decodes genuine container bytes end to end, like the WAV and BMP
     entries."""
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # synth needs only ids (gradient law is id-derived); project to
+    # doc_id + spread before the codec legs, exactly the jpeg entry's
+    # partition-spread move — no text bytes shuffled
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id")
+    )
     video = attach_avi_gradient_video(docs, "doc_id")
     return video_frame_metrics(video, every_n=3)
 
@@ -166,7 +190,13 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded width/height/px_sum/corner probes only come out right if
     the inflate + unfilter pipeline is correct, and the SQL twin
     re-derives all of them from the pixel law."""
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # synth needs only ids (gradient law is id-derived); project +
+    # spread as in the jpeg entry — no text bytes shuffled
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id")
+    )
     media = attach_png_gradient_images(docs, "doc_id")
     return png_image_metrics(media)
 
@@ -211,10 +241,6 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossy chain integer-exact, so the SQL twin re-derives the decoded
     pixels themselves, and a wrong table parse, prediction slip,
     restart handling bug, or IDCT normalization error hash-mismatches."""
-    from aliyun_emapreduce_datasources_spark.operators.common import (
-        ensure_parallelism,
-    )
-
     # synth needs only ids; project before the partition spread so the
     # single-file local fixture fans the per-row codec work across
     # cores without shuffling document text (imagehash's move)

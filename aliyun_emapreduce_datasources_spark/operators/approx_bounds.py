@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -143,7 +143,7 @@ def sketch_merge_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = _self.sketch_global_estimate(spark, sf_dir)
     violated = abs(est - exact) * 100 > exact * HLL_BOUND_PCT
     rows = [("global",)] if violated else []
-    return spark.createDataFrame(rows, "scope string")
+    return local_df(spark, rows, "scope string")
 
 
 def compression_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,33 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "revenue", "O_REVENUE", "centi_band", "o_centi_band", "bucketed_rank", "ntile_case"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "local_df", "revenue", "O_REVENUE", "centi_band", "o_centi_band", "bucketed_rank", "ntile_case"]
+
+
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame with a ROW-PROPORTIONATE slice
+    count instead of ``createDataFrame``'s default 32-way parallelize.
+
+    ``spark.createDataFrame(list)`` splits even a 16-row list into
+    defaultParallelism pickled slices; every consumer then pays one
+    Python-worker round PER SLICE, and a downstream ``coalesce(1)``
+    (the single-file write pattern) evaluates all of them SEQUENTIALLY
+    in one task — measured 5-6 s for a 16-row centroid table where the
+    data itself costs milliseconds. Slicing by actual row count keeps
+    the identical pickled-row conversion semantics (this is the same
+    path createDataFrame takes internally) while a small probe/constant
+    table costs ONE worker round. ~10k rows per slice keeps genuinely
+    large driver-side lists (which the guards cap anyway) parallel."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    n_slices = max(1, min(
+        (len(rows) + 9_999) // 10_000,
+        spark.sparkContext.defaultParallelism,
+    ))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 DEC = "decimal(18,6)"
 

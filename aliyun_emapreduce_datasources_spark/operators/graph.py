@@ -84,7 +84,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         edges.groupBy("src")
         .agg(F.collect_list("dst").alias("dsts"), F.count("*").alias("d"))
-        .localCheckpoint()  # materialize once; K iterations reuse it
+        # non-eager: the count() below materializes it, so build +
+        # materialize is ONE job (dedup/clusters.py convention)
+        .localCheckpoint(eager=False)
     )
     n = adj.count()  # scalar: vertex cardinality (driver-safe)
     base = (DAMP_DEN - DAMP_NUM) * (SCALE // n) // DAMP_DEN

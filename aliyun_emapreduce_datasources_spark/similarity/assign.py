@@ -22,17 +22,90 @@ Micro-unit squared distances stay < 2⁵³ for unit-scale embeddings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 from aliyun_emapreduce_datasources_spark.similarity.centroid import label_centroids
 
-__all__ = ["assign_to_prototype", "QUERY", "ORACLE"]
+__all__ = ["assign_to_prototype", "nearest_prototype", "QUERY", "ORACLE"]
 
 
-def _quant(col: Column) -> Column:
-    return F.floor(col.cast("double") * F.lit(1000000.0))
+def nearest_prototype(emb: DataFrame, labels: list, cent_mat: np.ndarray) -> DataFrame:
+    """(vec_id, label, dist_sq_micro): exact integer-micro nearest-
+    prototype arg-min as ONE Arrow-batched map pass — no shuffle at
+    any scale.
+
+    The original plan exploded every vector into |labels| candidate
+    rows, evaluated the squared-L2 fold through interpreted
+    higher-order expressions (zip_with/aggregate never enter
+    whole-stage codegen), and arg-min'd with a per-vector row_number
+    window — a full corpus shuffle + sort whose only job was picking a
+    row the map side already had in hand. Here each batch quantizes to
+    int64 micro units (same ``floor(float64(x)·1e6)``), computes all
+    |labels| exact integer distances vectorized, and keeps the arg-min
+    (numpy argmin returns the FIRST minimum, and ``labels`` is sorted
+    ascending — identical to the old ``ORDER BY dist, label`` pick).
+    int64 arithmetic wraps exactly like the JVM long, so results are
+    bit-identical — pinned by the unchanged DuckDB oracle.
+
+    ``labels`` must be sorted ascending; ``cent_mat`` is the matching
+    (|labels|, dims) int64 matrix. A NULL / length-mismatched
+    embedding keeps the legacy NULL-distance row (lowest label,
+    NULL dist) the window formulation emitted."""
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    C = cent_mat.astype(np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            good_rows = []
+            good_idx = []
+            for i, v in enumerate(pdf["embedding"]):
+                if v is None or len(v) != C.shape[1]:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if np.isnan(a).any():
+                    # NULL components arrive as NaN: the legacy fold
+                    # made such distances NULL (bad row) — mirror it
+                    continue
+                good_rows.append(a)
+                good_idx.append(i)
+            out_label = np.full(len(pdf), lab_arr[0], dtype=np.int64)
+            out_dist = np.full(len(pdf), np.nan)
+            if good_rows:
+                Q = np.floor(np.vstack(good_rows) * 1e6).astype(np.int64)
+                with np.errstate(over="ignore"):
+                    # exact int64: d_kj = Σ (q_j − c_k)²
+                    d = np.empty((len(Q), len(C)), dtype=np.int64)
+                    for k in range(len(C)):
+                        diff = Q - C[k]
+                        d[:, k] = np.einsum("ij,ij->i", diff, diff)
+                am = np.argmin(d, axis=1)
+                gi = np.asarray(good_idx)
+                out_label[gi] = lab_arr[am]
+                out_dist[gi] = d[np.arange(len(Q)), am].astype(np.float64)
+            res = pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "label": out_label,
+                    "dist_sq_micro": pd.array(
+                        [None if np.isnan(x) else int(x) for x in out_dist],
+                        dtype="Int64",
+                    ),
+                }
+            )
+            yield res
+
+    return ensure_parallelism(emb.select("vec_id", "embedding")).mapInPandas(
+        run, "vec_id long, label long, dist_sq_micro long"
+    )
 
 
 def assign_to_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,36 +117,15 @@ def assign_to_prototype(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("qs.qc").alias("qcent"))
         .collect()
     )  # labels × dims scalars — the one legitimate driver hop
-    protos = F.array(
-        *[
-            F.struct(
-                F.lit(r.label).cast("long").alias("label"),
-                F.array(*[F.lit(int(v)).cast("long") for v in r.qcent]).alias("qcent"),
-            )
-            for r in sorted(cents, key=lambda r: r.label)
-        ]
-    )
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, label long, dist_sq_micro long"
+        )
+    rows = sorted(cents, key=lambda r: r.label)
+    labels = [int(r.label) for r in rows]
+    cent_mat = np.array([[int(v) for v in r.qcent] for r in rows], dtype=np.int64)
     emb = t(spark, sf_dir, "embeddings")
-    qe = F.transform("embedding", lambda x: _quant(x))
-    cand = emb.select(
-        "vec_id",
-        F.explode(protos).alias("p"),
-        qe.alias("qe"),
-    ).select(
-        "vec_id",
-        F.col("p.label").alias("label"),
-        F.aggregate(
-            F.zip_with("qe", "p.qcent", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dist_sq_micro"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist_sq_micro", "label")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "dist_sq_micro")
-    )
+    return nearest_prototype(emb, labels, cent_mat)
 
 
 QUERY = assign_to_prototype

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.similarity import guard, label_noise
+from aliyun_emapreduce_datasources_spark.operators.common import local_df
 
 __all__ = ["emb_bitext_mine", "QUERIES", "ORACLES"]
 
@@ -106,7 +107,8 @@ def emb_bitext_mine(
         .withColumn("side", F.pmod("vec_id", F.lit(2)).cast("int"))
         .localCheckpoint()
     )
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
         "blk_a int, blk_b int",
     )

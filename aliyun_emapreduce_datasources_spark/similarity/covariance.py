@@ -42,10 +42,14 @@ tolerance are emitted; the driver hash-checks the empty set.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import ensure_parallelism, t
 
 __all__ = [
     "embedding_covariance",
@@ -56,32 +60,75 @@ __all__ = [
 
 QSCALE = 1_000_000
 
+_GRAM_SCHEMA = (
+    "dim_a long, dim_b long, n long, s_a long, s_b long, s_ab long"
+)
 
-def _q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    qarr = F.transform(
-        "embedding",
-        lambda e: F.floor(e.cast("double") * F.lit(float(QSCALE))).cast("long"),
-    )
-    return (
-        emb.select(qarr.alias("q"))
-        .select(F.posexplode("q").alias("dim_a", "qa"), "q")
-        .select("dim_a", "qa", F.posexplode("q").alias("dim_b", "qb"))
-        .where(F.col("dim_b") >= F.col("dim_a"))
+
+def _gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle second-moment table
+    (dim_a, dim_b, n, s_a, s_b, s_ab) of the micro-quantized corpus.
+
+    The original shape posexploded every vector into d(d+1)/2 pair
+    rows (2,080 at d=64 — a 41M-row hash aggregate at sf0.1) fed row
+    at a time through interpreted expressions. This is the partial
+    Gram-block swap the module docstring always named for production
+    dims (guide §4.2 — hand whole Arrow batches to native code): each
+    batch computes one int64 ``Q.T @ Q`` and emits ONE set of 2,080
+    partial rows, so the shuffle carries O(batches · d²) rows instead
+    of O(vectors · d²). Exactness is unchanged: quantization is the
+    same ``floor(float64(x) · 1e6)``, and all sums are int64 with the
+    same wraparound arithmetic as the JVM's long (numpy int64), so the
+    merged totals are bit-identical to the exploded plan's — pinned by
+    the unchanged DuckDB oracle. NaN/NULL components would quantize
+    platform-dependently in numpy, so they refuse loudly (none of the
+    fixtures nor the adversarial float suite carries them — the
+    embeddings contract is finite float32)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"] if v is not None]
+            by_len: dict[int, list[np.ndarray]] = {}
+            for v in vecs:
+                a = np.asarray(v, dtype=np.float64)
+                if len(a):
+                    by_len.setdefault(len(a), []).append(a)
+            for d, rows in by_len.items():
+                X = np.vstack(rows)
+                if np.isnan(X).any() or np.isinf(X).any():
+                    raise ValueError(
+                        "embedding covariance: non-finite component — "
+                        "the exact micro-int quantization is only "
+                        "defined for finite values"
+                    )
+                Q = np.floor(X * float(QSCALE)).astype(np.int64)
+                with np.errstate(over="ignore"):
+                    G = Q.T @ Q  # int64, JVM-long wraparound semantics
+                    col = Q.sum(axis=0, dtype=np.int64)
+                ia, ib = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {
+                        "dim_a": ia.astype(np.int64),
+                        "dim_b": ib.astype(np.int64),
+                        "n": np.full(len(ia), len(rows), dtype=np.int64),
+                        "s_a": col[ia],
+                        "s_b": col[ib],
+                        "s_ab": G[ia, ib],
+                    }
+                )
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings").select("embedding"))
+    partials = emb.mapInPandas(run, _GRAM_SCHEMA)
+    return partials.groupBy("dim_a", "dim_b").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_a").cast("long").alias("s_a"),
+        F.sum("s_b").cast("long").alias("s_b"),
+        F.sum("s_ab").cast("long").alias("s_ab"),
     )
 
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _q_pairs(spark, sf_dir)
-    agg = pairs.groupBy(
-        F.col("dim_a").cast("long").alias("dim_a"),
-        F.col("dim_b").cast("long").alias("dim_b"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("qa").cast("long").alias("s_a"),
-        F.sum("qb").cast("long").alias("s_b"),
-        F.sum(F.col("qa") * F.col("qb")).cast("long").alias("s_ab"),
-    )
+    agg = _gram_moments(spark, sf_dir)
     nd = F.col("n").cast("double")
     mean_a = (F.col("s_a").cast("double") / nd) / F.lit(1e6)
     mean_b = (F.col("s_b").cast("double") / nd) / F.lit(1e6)
@@ -139,36 +186,35 @@ def _abtt_mu_u(spark: SparkSession, sf_dir: str):
     """Corpus mean (micro-int exact) + top eigendirection of the exact
     covariance via driver eigh — both deterministic (bit-identical
     aggregate inputs; LAPACK eigh is deterministic per platform).
-    Returns (dims, mu_list, u_list) or None on an empty corpus."""
-    import numpy as np
+    Returns (dims, mu_list, u_list) or None on an empty corpus.
 
-    cov_rows = embedding_covariance(spark, sf_dir).collect()
-    if not cov_rows:
+    Both μ and the covariance derive from ONE collected Gram-moment
+    aggregate (d(d+1)/2 rows): the per-dim stats that used to cost a
+    second corpus scan are the diagonal's (n, s_a), and the cov values
+    are rebuilt on the driver with the exact IEEE sequence the Spark
+    projection evaluates — float64 division/multiplication is
+    bit-identical in Python and the JVM, so the eigh input matrix is
+    unchanged to the bit."""
+    gram_rows = _gram_moments(spark, sf_dir).collect()
+    if not gram_rows:
         return None
-    dims = max(int(r["dim_b"]) for r in cov_rows) + 1
+    dims = max(int(r["dim_b"]) for r in gram_rows) + 1
     C = np.zeros((dims, dims))
-    n = 0
-    for r in cov_rows:
-        C[r["dim_a"], r["dim_b"]] = C[r["dim_b"], r["dim_a"]] = r["cov"]
-        n = r["n"]
+    mu = [0.0] * dims
+    for r in gram_rows:
+        nd = float(r["n"])
+        # same written-out IEEE sequence as embedding_covariance's
+        # projection: (s_ab/n)/1e12 − ((s_a/n)/1e6)·((s_b/n)/1e6)
+        cov = (float(r["s_ab"]) / nd) / 1e12 - (
+            (float(r["s_a"]) / nd) / 1e6
+        ) * ((float(r["s_b"]) / nd) / 1e6)
+        C[r["dim_a"], r["dim_b"]] = C[r["dim_b"], r["dim_a"]] = cov
+        if r["dim_a"] == r["dim_b"]:
+            mu[r["dim_a"]] = float(r["s_a"]) / nd / float(QSCALE)
     _, V = np.linalg.eigh(C)
     u = V[:, -1]
     if u[int(np.argmax(np.abs(u)))] < 0:
         u = -u  # canonical sign
-    emb = t(spark, sf_dir, "embeddings")
-    stats = (
-        emb.select(F.posexplode("embedding").alias("dim", "e"))
-        .groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("e").cast("double") * F.lit(float(QSCALE))).cast("long"))
-            .alias("s1"),
-        )
-        .collect()
-    )
-    mu = [0.0] * dims
-    for r in stats:
-        mu[r["dim"]] = float(r["s1"]) / float(r["n"]) / float(QSCALE)
     return dims, mu, [float(x) for x in u]
 
 
@@ -195,39 +241,63 @@ def abtt_residual_violations(
         return spark.createDataFrame([], "kind string, idx long, residual double")
     dims, mu, u = packed
     emb = t(spark, sf_dir, "embeddings")
-    mu_arr = F.array(*[F.lit(m) for m in mu])
-    u_arr = F.array(*[F.lit(c) for c in u])
-    centered = F.zip_with("embedding", mu_arr, lambda e, m: e.cast("double") - m)
-    proj = F.aggregate(
-        F.zip_with(centered, u_arr, lambda c, b: c * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    # One Arrow pass computes BOTH identity checks (r11 optimization
+    # round). The expression form evaluated the centering/projection
+    # zip_with/aggregate folds through interpreted lambdas TWICE (the
+    # per-vector branch and a d-per-vector posexplode feeding the mean
+    # aggregate); here each batch does the float64 linear algebra
+    # vectorized and ships per-vector 'proj' candidates plus ONE set
+    # of per-dim partial mean sums. Summation order differs from the
+    # sequential fold only at the ~1 ulp level — ABTT_TOL sits 10x
+    # above the structural quantization bias precisely so fold-order
+    # noise can never flip a verdict (see its comment), and the oracle
+    # pins the empty set, not the residual bits.
+    mu_v = np.asarray(mu, dtype=np.float64)
+    u_v = np.asarray(u, dtype=np.float64)
+    skip = bool(_mutate_skip_projection)
+
+    def run(batches):
+        for pdf in batches:
+            good_rows, good_ids = [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                if v is not None and len(v) == dims:
+                    good_rows.append(np.asarray(v, dtype=np.float64))
+                    good_ids.append(int(vid))
+            if not good_rows:
+                continue
+            X = np.vstack(good_rows)
+            Cn = X - mu_v
+            p = Cn @ u_v
+            Y = Cn if skip else Cn - p[:, None] * u_v[None, :]
+            reproj = np.abs(Y @ u_v)
+            bad = reproj > ABTT_TOL
+            out = {
+                "tag": ["p"] * int(bad.sum()) + ["m"] * dims,
+                "idx": np.concatenate(
+                    [np.asarray(good_ids, dtype=np.int64)[bad],
+                     np.arange(dims, dtype=np.int64)]
+                ),
+                "v1": np.concatenate([reproj[bad], Y.sum(axis=0)]),
+                "v2": np.concatenate(
+                    [np.zeros(int(bad.sum())),
+                     np.full(dims, float(len(good_rows)))]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    parts = ensure_parallelism(emb.select("vec_id", "embedding")).mapInPandas(
+        run, "tag string, idx long, v1 double, v2 double"
     )
-    if _mutate_skip_projection:
-        y = centered
-    else:
-        y = F.zip_with(centered, u_arr, lambda c, b: c - F.col("_p") * b)
-    rows = emb.select("vec_id", proj.alias("_p"), "embedding").select(
-        "vec_id", "_p", y.alias("y")
-    )
-    reproj = F.abs(
-        F.aggregate(
-            F.zip_with("y", u_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    proj_bad = (
-        rows.select("vec_id", reproj.alias("residual"))
-        .where(F.col("residual") > F.lit(ABTT_TOL))
-        .select(F.lit("proj").alias("kind"), F.col("vec_id").alias("idx"), "residual")
+    proj_bad = parts.where(F.col("tag") == "p").select(
+        F.lit("proj").alias("kind"), F.col("idx"), F.col("v1").alias("residual")
     )
     mean_bad = (
-        rows.select(F.posexplode("y").alias("dim", "yj"))
-        .groupBy("dim")
-        .agg(F.abs(F.sum("yj") / F.count(F.lit(1))).alias("residual"))
+        parts.where(F.col("tag") == "m")
+        .groupBy("idx")
+        .agg(F.abs(F.sum("v1") / F.sum("v2")).alias("residual"))
         .where(F.col("residual") > F.lit(ABTT_TOL))
-        .select(F.lit("mean").alias("kind"), F.col("dim").cast("long").alias("idx"), "residual")
+        .select(F.lit("mean").alias("kind"), "idx", "residual")
     )
     return proj_bad.unionAll(mean_bad).orderBy("kind", "idx")
 

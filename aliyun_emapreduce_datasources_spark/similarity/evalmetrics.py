@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aliyun_emapreduce_datasources_spark.operators.common import local_df
 from aliyun_emapreduce_datasources_spark.similarity import guard
 from aliyun_emapreduce_datasources_spark.similarity.label_noise import (
     _quantized,
@@ -205,7 +206,8 @@ FROM c
 def _class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, cls, score, rn): per-class probe scores with the
     per-vector rank (score desc, cls asc tie-break → rn=1 is argmax)."""
-    classes = spark.createDataFrame(
+    classes = local_df(
+        spark,
         [(c, _coef_class(c)) for c in range(N_CLASSES)],
         "cls int, coef array<long>",
     )
@@ -578,7 +580,8 @@ def eval_kendall_tau(
     base = base.withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
         "blk_l int, blk_r int",
     )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
@@ -198,7 +198,8 @@ def write_clustered(
         .collect()
     }
     (
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (int(i), [float(x) for x in c], build_resid.get(int(i)))
                 for i, c in enumerate(centroids)
@@ -335,7 +336,8 @@ def ivf_file_search_topk(
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     probes = np.argsort(-(q_mat @ C.T), axis=1)[:, :npb]
-    probe_df = spark.createDataFrame(
+    probe_df = local_df(
+        spark,
         [(int(q), int(c)) for qi, q in enumerate(q_ids) for c in probes[qi]],
         "query_id long, cluster int",
     )
@@ -376,7 +378,8 @@ def ann_ivf_topk(
     q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
     q_mat = _normalize(np.array([r.q_embedding for r in qrows], dtype=np.float64))
     probes = np.argsort(-(q_mat @ C.T), axis=1)[:, :nprobe]
-    probe_df = spark.createDataFrame(
+    probe_df = local_df(
+        spark,
         [(int(q), int(c)) for qi, q in enumerate(q_ids) for c in probes[qi]],
         "query_id long, cluster int",
     )

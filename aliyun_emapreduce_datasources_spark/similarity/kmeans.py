@@ -33,7 +33,11 @@ shape per batch is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.operators.common import t
@@ -53,66 +57,136 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assignment against a (cluster, qc) centroid DataFrame: the k
-    centroids collapse to ONE packed row that broadcast-cross-joins
-    the corpus. Feeding centroids as DATA (not per-iteration literals)
-    keeps the generated code identical across iterations, so the
-    whole-stage-codegen cache compiles the assignment exactly once for
-    the whole training run — per-iteration literal arrays re-compiled
-    a fresh multi-hundred-line class every round (measured ~40% of
-    total runtime) — and nothing ever rides through the driver."""
-    packed = cents.groupBy().agg(
-        F.collect_list(F.struct("cluster", "qc")).alias("ps")
+def _assign_partials(q: DataFrame, labels: list, C: np.ndarray, final: bool) -> DataFrame:
+    """One Arrow map pass over the quantized corpus against the k
+    centroids (collected to the driver — k×dims scalars, the same
+    driver-sized hop as ivf.train_centroids).
+
+    ``final=False`` (the update step): per batch, assign every vector
+    to its exact-int64 nearest centroid AND emit the per-(cluster,
+    dim) partial component sums + member counts — assignment and
+    update fused into one pass, so an iteration is a single job whose
+    shuffle carries O(batches · k · dims) partial rows instead of the
+    exploded O(vectors · dims) rows, and the per-vector row_number
+    window (a full corpus shuffle + sort per iteration) is gone
+    entirely: numpy argmin IS the old ``ORDER BY d, cluster`` pick
+    (first minimum, centroid rows sorted by cluster id). int64
+    arithmetic wraps exactly like the JVM long, so every sum matches
+    the exploded plan bit-for-bit — pinned by the unchanged unrolled
+    DuckDB oracle.
+
+    ``final=True``: emit one (cluster, d) row per vector for the
+    readout aggregate. A NULL / length-mismatched vector keeps the
+    legacy NULL-distance contract: lowest cluster, NULL d, no update
+    contribution (the old posexplode likewise skipped it)."""
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    Cm = C.astype(np.int64)
+    k, dims = Cm.shape
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            good_rows, good_idx = [], []
+            for i, v in enumerate(pdf["q"]):
+                if v is None or len(v) != dims:
+                    continue
+                a = np.asarray(v)
+                if a.dtype.kind not in "iu":
+                    # NULL elements arrive as NaN through Arrow — the
+                    # legacy fold made such distances NULL (bad row)
+                    af = a.astype(np.float64)
+                    if np.isnan(af).any():
+                        continue
+                    a = af.astype(np.int64)
+                good_rows.append(a.astype(np.int64))
+                good_idx.append(i)
+            Q = np.vstack(good_rows) if good_rows else np.zeros((0, dims), np.int64)
+            with np.errstate(over="ignore"):
+                d = np.empty((len(Q), k), dtype=np.int64)
+                for j in range(k):
+                    diff = Q - Cm[j]
+                    d[:, j] = np.einsum("ij,ij->i", diff, diff)
+            am = d.argmin(axis=1) if len(Q) else np.zeros(0, dtype=np.int64)
+            if final:
+                out_cl = np.full(len(pdf), lab_arr[0], dtype=np.int64)
+                out_d = np.full(len(pdf), np.nan)
+                if len(Q):
+                    gi = np.asarray(good_idx)
+                    out_cl[gi] = lab_arr[am]
+                    out_d[gi] = d[np.arange(len(Q)), am].astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "cluster": out_cl,
+                        "d": pd.array(
+                            [None if np.isnan(x) else int(x) for x in out_d],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+            else:
+                if not len(Q):
+                    continue
+                with np.errstate(over="ignore"):
+                    S = np.zeros((k, dims), dtype=np.int64)
+                    np.add.at(S, am, Q)
+                cnt = np.bincount(am, minlength=k).astype(np.int64)
+                occ = np.flatnonzero(cnt)
+                ci, di = np.meshgrid(occ, np.arange(dims), indexing="ij")
+                yield pd.DataFrame(
+                    {
+                        "cluster": lab_arr[ci.ravel()],
+                        "dim": di.ravel().astype(np.int64),
+                        "s": S[ci.ravel(), di.ravel()],
+                        "n": cnt[ci.ravel()],
+                    }
+                )
+
+    schema = "cluster long, d long" if final else "cluster long, dim long, s long, n long"
+    return q.select("q").mapInPandas(run, schema)
+
+
+def _collect_cents(rows) -> tuple[list, np.ndarray]:
+    """(sorted cluster labels, matching (k, dims) int64 centroid
+    matrix) from collected (cluster, dim, qc) rows."""
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["qc"])
+    labels = sorted(by_cluster)
+    C = np.array(
+        [[by_cluster[c][d] for d in sorted(by_cluster[c])] for c in labels],
+        dtype=np.int64,
     )
-    cand = (
-        q.crossJoin(F.broadcast(packed))
-        .select("vec_id", "q", F.explode("ps").alias("p"))
-        .select(
-            "vec_id",
-            "q",
-            F.col("p.cluster").alias("cluster"),
-            F.aggregate(
-                F.zip_with("q", "p.qc", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
-    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    return labels, C
 
 
 def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: 4 Lloyd iterations, k=8, init = the k smallest
     vec_ids; output per surviving cluster (cluster, n_points,
-    inertia) — all exact integers."""
-    q = _quantized(spark, sf_dir).localCheckpoint()  # one scan, reused 2*ITERS times
-    # seed centroids: k smallest vec_ids, numbered 0..k-1 (k-row frame
-    # — the single-partition window is k rows, not data)
-    wk = Window.orderBy("vec_id")
-    cents = (
-        q.orderBy("vec_id")
-        .limit(K)
-        .withColumn("cluster", (F.row_number().over(wk) - 1).cast("long"))
-        .select("cluster", F.col("q").alias("qc"))
-        .localCheckpoint()
-    )
+    inertia) — all exact integers. Each iteration is ONE fused
+    assign+partial-sum map pass (see _assign_partials); the truncating
+    ``s DIV n`` centroid division stays a Spark expression so the
+    engine/oracle integer semantics cannot drift."""
+    # non-eager: the seed collect below materializes it in one job;
+    # ITERS+1 passes then reuse the checkpointed scan
+    q = _quantized(spark, sf_dir).localCheckpoint(eager=False)
+    seed = q.orderBy("vec_id").limit(K).collect()
+    if not seed:
+        return spark.createDataFrame([], "cluster long, n_points long, inertia long")
+    labels = list(range(len(seed)))
+    C = np.array([[int(x) for x in r["q"]] for r in seed], dtype=np.int64)
 
     for _ in range(ITERS):
-        assigned = _assign(q, cents)
-        cents = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        partials = _assign_partials(q, labels, C, final=False)
+        rows = (
+            partials.groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select("cluster", "dim", F.expr("s DIV n").alias("qc"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "qc"))).alias("qs"))
-            .select("cluster", F.col("qs.qc").alias("qc"))
-            .localCheckpoint()  # k rows materialized; lineage truncated
+            .collect()
         )
+        labels, C = _collect_cents(rows)
 
-    final = _assign(q, cents)
+    final = _assign_partials(q, labels, C, final=True)
     return (
         final.groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_points"), F.sum("d").cast("long").alias("inertia"))

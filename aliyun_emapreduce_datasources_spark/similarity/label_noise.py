@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 from aliyun_emapreduce_datasources_spark.similarity import guard
 
 __all__ = [
@@ -120,7 +120,8 @@ def exact_knn_topk(
         q.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .localCheckpoint()
     )
-    grid = spark.createDataFrame(
+    grid = local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
         "blk_l int, blk_r int",
     )

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
 from aliyun_emapreduce_datasources_spark.similarity.bruteforce import _normalize
 from aliyun_emapreduce_datasources_spark.similarity.guard import collect_query_batch, empty_topk
 from aliyun_emapreduce_datasources_spark.similarity.score import score_candidates
@@ -204,7 +204,7 @@ def ann_lsh_topk(
             sig0 = int(sigs[qi, tbl])
             probes = [sig0] + ([sig0 ^ (1 << h) for h in range(n_planes)] if multiprobe else [])
             probe_rows.extend((int(qid), tbl, s) for s in probes)
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, tbl int, sig long")
+    probe_df = local_df(spark, probe_rows, "query_id long, tbl int, sig long")
 
     c = _corpus_signatures(corpus, n_planes, n_tables, dim)
     joined = (

@@ -132,13 +132,17 @@ def test_source_overlap_is_join_free(spark, sf_dir):
 
 
 def test_prototype_assignment_has_no_prototype_join(spark, sf_dir):
-    """Prototypes ride as an in-plan literal: the distance fold must
-    not introduce a join against a centroid table (the arg-min window
-    is the only shuffle after the explode)."""
+    """Prototypes ride in the map-pass closure: the arg-min must not
+    introduce a join against a centroid table, and since the r11
+    optimization round it must also not pay the per-vector row_number
+    window — the assignment is one Arrow map pass with NO shuffle
+    (the only Exchange allowed is the single-split fixture's
+    ensure_parallelism round-robin spread)."""
     plan = plan_of(QUERIES["emb_assign_prototype"](spark, sf_dir))
     for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
-    assert "Window" in plan
+    assert "Window" not in plan  # the shuffle+sort the rewrite removed
+    assert "MapInPandas" in plan  # the Arrow arg-min pass
 
 
 def test_events_funnel_joins_are_hash_equi(spark, sf_dir):
