@@ -90,6 +90,60 @@ def _law_cells(media_id: int) -> np.ndarray:
     return cells
 
 
+def _synth_wav_row(mid: int) -> bytes:
+    """One genuine mono PCM16 WAV container under the 72-window law —
+    the per-row synth attach_wav_group_audio and the fused
+    synth+decode path share."""
+    win = _WIN_CHOICES[mid % 3]
+    pcm = _law_cells(mid).repeat(win).astype(np.int16)
+    return encode_wav(pcm, SR)
+
+
+def _pool_cells_row(payload: bytes) -> np.ndarray:
+    """REAL chunk-walk decode + exact 72-window envelope pooling of
+    one container — the per-row core audio_dhash_cells and the fused
+    path share (all refusal checks included)."""
+    pcm, sr = decode_wav(bytes(payload))
+    if sr != SR:
+        raise ValueError(f"audio_dhash_cells: sample rate {sr} != {SR}")
+    if pcm.shape[1] != 1:
+        raise ValueError(
+            f"audio_dhash_cells: {pcm.shape[1]} channels, want mono"
+        )
+    mono = pcm[:, 0].astype(np.int64)
+    n = mono.shape[0]
+    if n % N_CELLS:
+        raise ValueError(
+            f"audio_dhash_cells: {n} samples is not a multiple "
+            f"of the {N_CELLS}-window envelope grid"
+        )
+    win = n // N_CELLS
+    return (mono.reshape(N_CELLS, win).sum(axis=1) // win).astype(np.int32)
+
+
+def audio_dhash_cells_fused(df: DataFrame, id_col: str) -> DataFrame:
+    """attach_wav_group_audio ∘ audio_dhash_cells as ONE map pass:
+    each row synthesizes its genuine WAV container and immediately
+    decodes + pools it — identical bytes, identical refusal checks,
+    identical cells, but the PCM blobs never cross the JVM boundary.
+    (r11 optimization round: the two-stage form's Arrow blob churn
+    made the entry GC-cadence-coupled — see
+    media.wav_audio_features_fused for the measured mechanism.)"""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_rows = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                cells = _pool_cells_row(_synth_wav_row(mid))
+                ids.append(mid)
+                cell_rows.append(cells)
+            yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
+
+    return src.mapInPandas(run, CELLS_SCHEMA)
+
+
 def attach_wav_group_audio(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, payload, meta): genuine mono PCM16 WAV containers
     holding the 72-window amplitude law, window length id%3-dependent
@@ -102,13 +156,8 @@ def attach_wav_group_audio(df: DataFrame, id_col: str) -> DataFrame:
             out = {"media_id": [], "payload": [], "meta": []}
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                win = _WIN_CHOICES[mid % 3]
-                pcm = (
-                    _law_cells(mid)
-                    .repeat(win)
-                    .astype(np.int16)
-                )
-                wav = encode_wav(pcm, SR)
+                wav = _synth_wav_row(mid)
+                n_pcm = len(wav[44:]) // 2  # PCM16 payload samples
                 out["media_id"].append(mid)
                 out["payload"].append(wav)
                 out["meta"].append(
@@ -117,7 +166,7 @@ def attach_wav_group_audio(df: DataFrame, id_col: str) -> DataFrame:
                         "format": "wav",
                         "width": 0,
                         "height": 0,
-                        "duration_ms": len(pcm) * 1000 // SR,
+                        "duration_ms": n_pcm * 1000 // SR,
                         "n_bytes": len(wav),
                         "digest": hashlib.sha256(wav).hexdigest(),
                     }
@@ -175,8 +224,7 @@ def audio_neardup_pairs(
         .where(F.col("text").isNotNull())
         .select("doc_id")
     )
-    media = attach_wav_group_audio(docs, "doc_id")
-    fps = audio_dhash_cells(media).select(
+    fps = audio_dhash_cells_fused(docs, "doc_id").select(
         F.col("media_id"), dhash64(F.col("cells")).alias("simhash")
     )
     if materialize:

@@ -113,11 +113,7 @@ def attach_dhash_group_images(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 sx, sy = mid % 3 + 1, mid % 2 + 1
-                c = _law_cells(mid).repeat(sy, axis=0).repeat(sx, axis=1)
-                px = np.stack(
-                    [(c + off) % 256 for off in _CH_OFF], axis=-1
-                ).astype(np.uint8)
-                bmp = encode_bmp(px)
+                bmp = _synth_bmp_row(mid)
                 out["media_id"].append(mid)
                 out["payload"].append(bmp)
                 out["meta"].append(
@@ -144,6 +140,51 @@ CELLS_SCHEMA = T.StructType(
 )
 
 
+def _synth_bmp_row(mid: int) -> bytes:
+    """One genuine BMP container under the grouped law — the per-row
+    synth attach_dhash_group_images and the fused path share."""
+    sx, sy = mid % 3 + 1, mid % 2 + 1
+    c = _law_cells(mid).repeat(sy, axis=0).repeat(sx, axis=1)
+    px = np.stack([(c + off) % 256 for off in _CH_OFF], axis=-1).astype(np.uint8)
+    return encode_bmp(px)
+
+
+def _pool_cells_row(payload: bytes) -> np.ndarray:
+    """REAL decode + exact 9x8 pooling of one container — the per-row
+    core image_dhash_cells and the fused path share."""
+    img = decode_bmp(bytes(payload))
+    r = img[:, :, 0].astype(np.int64)
+    h, w = r.shape
+    if h % CH or w % CW:
+        raise ValueError(
+            f"image_dhash_cells: {w}x{h} is not a multiple of "
+            f"the {CW}x{CH} dHash grid"
+        )
+    sy, sx = h // CH, w // CW
+    pooled = r.reshape(CH, sy, CW, sx).sum(axis=(1, 3)) // (sy * sx)
+    return pooled.ravel().astype(np.int32)
+
+
+def image_dhash_cells_fused(df: DataFrame, id_col: str) -> DataFrame:
+    """attach_dhash_group_images ∘ image_dhash_cells as ONE map pass:
+    identical container bytes and decode, but the BMP blobs never
+    cross the JVM boundary (r11 optimization round — the Arrow blob
+    churn of the two-stage form is GC-cadence-coupled under heap debt;
+    see media.wav_audio_features_fused)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_rows = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ids.append(mid)
+                cell_rows.append(_pool_cells_row(_synth_bmp_row(mid)))
+            yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
+
+    return src.mapInPandas(run, CELLS_SCHEMA)
+
+
 def image_dhash_cells(media: DataFrame) -> DataFrame:
     """REAL-decode-only pooling: parse each payload as a genuine BMP,
     average-pool the R channel to the 9x8 dHash grid (exact integer —
@@ -156,18 +197,8 @@ def image_dhash_cells(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, cell_rows = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_bmp(bytes(payload))
-                r = img[:, :, 0].astype(np.int64)
-                h, w = r.shape
-                if h % CH or w % CW:
-                    raise ValueError(
-                        f"image_dhash_cells: {w}x{h} is not a multiple of "
-                        f"the {CW}x{CH} dHash grid"
-                    )
-                sy, sx = h // CH, w // CW
-                pooled = r.reshape(CH, sy, CW, sx).sum(axis=(1, 3)) // (sy * sx)
                 ids.append(int(mid))
-                cell_rows.append(pooled.ravel().astype(np.int32))
+                cell_rows.append(_pool_cells_row(payload))
             yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
 
     return media.select("media_id", "payload").mapInPandas(run, CELLS_SCHEMA)
@@ -209,13 +240,12 @@ def image_neardup_pairs(
         .where(F.col("text").isNotNull())
         .select("doc_id")
     )
-    media = attach_dhash_group_images(docs, "doc_id")
     # persist the fingerprints: both sides of the block self-join read
-    # them, and without the boundary the synth+decode MapInPandas
-    # chain runs once PER SIDE; released deterministically once the
+    # them, and without the boundary the fused synth+decode MapInPandas
+    # runs once PER SIDE; released deterministically once the
     # (tiny) pair result is checkpointed — the r10-ask-#2 pattern the
     # whole pair-dedup family follows (dedup/minhash.py)
-    fps = image_dhash_cells(media).select(
+    fps = image_dhash_cells_fused(docs, "doc_id").select(
         F.col("media_id"), dhash64(F.col("cells")).alias("simhash")
     )
     if materialize:

@@ -955,28 +955,88 @@ def audio_features(
         for pdf in batches:
             out = {"media_id": [], "n_samples": [], "n_frames": [], "mean_rms": [], "mean_zcr": []}
             for _, row in pdf.iterrows():
-                pcm = decode(row)
-                if pcm.size < frame:
-                    # a clip shorter than one analysis window has no
-                    # frames — emit zero-frame metadata with null stats
-                    # instead of letting sliding_window_view raise an
-                    # opaque ValueError (reachable once the stub is
-                    # swapped for a real decoder on arbitrary clips)
-                    out["media_id"].append(row["media_id"])
-                    out["n_samples"].append(int(pcm.size))
-                    out["n_frames"].append(0)
-                    out["mean_rms"].append(None)
-                    out["mean_zcr"].append(None)
-                    continue
-                frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop]
-                x = frames.astype(np.float64)
-                rms = np.sqrt((x * x).mean(axis=1))
-                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
-                out["media_id"].append(row["media_id"])
-                out["n_samples"].append(int(pcm.size))
-                out["n_frames"].append(int(frames.shape[0]))
-                out["mean_rms"].append(float(rms.mean()))
-                out["mean_zcr"].append(float(zcr.mean()))
+                _append_audio_feature_row(out, row["media_id"], decode(row), frame, hop)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def _append_audio_feature_row(out: dict, media_id, pcm: np.ndarray, frame: int, hop: int) -> None:
+    """Frame (25 ms / 10 ms hop) + RMS/ZCR pooling of one decoded mono
+    clip — the per-row core audio_features and the fused synth+decode
+    path share."""
+    if pcm.size < frame:
+        # a clip shorter than one analysis window has no frames —
+        # emit zero-frame metadata with null stats instead of letting
+        # sliding_window_view raise an opaque ValueError (reachable
+        # once the stub is swapped for a real decoder on arbitrary
+        # clips)
+        out["media_id"].append(media_id)
+        out["n_samples"].append(int(pcm.size))
+        out["n_frames"].append(0)
+        out["mean_rms"].append(None)
+        out["mean_zcr"].append(None)
+        return
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop]
+    x = frames.astype(np.float64)
+    rms = np.sqrt((x * x).mean(axis=1))
+    zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+    out["media_id"].append(media_id)
+    out["n_samples"].append(int(pcm.size))
+    out["n_frames"].append(int(frames.shape[0]))
+    out["mean_rms"].append(float(rms.mean()))
+    out["mean_zcr"].append(float(zcr.mean()))
+
+
+def wav_audio_features_fused(
+    df: DataFrame,
+    id_col: str,
+    seed_col: str,
+    sr: int = SR,
+    frame: int = FRAME,
+    hop: int = HOP,
+) -> DataFrame:
+    """attach_wav_audio ∘ audio_features as ONE map pass: each row
+    synthesizes its genuine RIFF/WAVE container and immediately
+    chunk-walks it back through the REAL decoder (multimodal/wav.py)
+    before framing — identical bytes, identical decode, identical
+    features, but the PCM16 blobs never cross the JVM boundary.
+
+    Why (r11 optimization round, guide §4): the two-stage form shipped
+    ~hundreds of MB of payload python→JVM→python through Arrow; under
+    a debt-carrying heap that allocation burst made the entry
+    GC-CADENCE-COUPLED — 9–16 s in default-cadence sweeps vs 2.1 s
+    with per-entry GC and 1.2 s isolated (the r10 minhash pathology).
+    Fusing removes the JVM-side blob traffic outright, which is also
+    the 100 TB shape when no other consumer needs the container
+    bytes."""
+    from aliyun_emapreduce_datasources_spark.multimodal.wav import (
+        decode_wav,
+        encode_wav,
+        to_mono,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(seed_col).cast("string").alias("_seed"),
+        (F.pmod(F.col(id_col), F.lit(2000)) + 500)
+        .cast("long")
+        .alias("_duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "n_frames": [], "mean_rms": [], "mean_zcr": []}
+            for _, row in pdf.iterrows():
+                digest = hashlib.sha256(str(row["_seed"]).encode()).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+                n = int(row["_duration_ms"]) * sr // 1000
+                pcm = rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+                wav = encode_wav(pcm, sr)  # the genuine container bytes
+                decoded, _sr = decode_wav(wav)  # REAL chunk-walk decode
+                _append_audio_feature_row(
+                    out, int(row["media_id"]), to_mono(decoded), frame, hop
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

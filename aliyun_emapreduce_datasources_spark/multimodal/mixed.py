@@ -118,30 +118,11 @@ def attach_mixed_group_images(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 fmt = _FORMATS[mid % 3]
-                cells = _law_cells(mid)
+                blob = _synth_mixed_row(mid)
                 if fmt == "jpeg":
-                    px = (
-                        cells.repeat(_JPEG_SCALE, axis=0)
-                        .repeat(_JPEG_SCALE, axis=1)
-                        .astype(np.uint8)
-                    )
-                    blob = encode_jpeg(
-                        px,
-                        quant_luma=_JPEG_Q16,
-                        restart_interval=3 if mid % 2 else 0,
-                    )
                     w, h = CW * _JPEG_SCALE, CH * _JPEG_SCALE
                 else:
-                    sx, sy = mid % 3 + 1, mid % 2 + 1
-                    c = cells.repeat(sy, axis=0).repeat(sx, axis=1)
-                    px = np.stack(
-                        [(c + off) % 256 for off in _CH_OFF], axis=-1
-                    ).astype(np.uint8)
-                    if fmt == "bmp":
-                        blob = encode_bmp(px)
-                    else:
-                        blob = encode_png(px, [y % 5 for y in range(px.shape[0])])
-                    w, h = CW * sx, CH * sy
+                    w, h = CW * (mid % 3 + 1), CH * (mid % 2 + 1)
                 out["media_id"].append(mid)
                 out["payload"].append(blob)
                 out["meta"].append(
@@ -160,6 +141,29 @@ def attach_mixed_group_images(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _synth_mixed_row(mid: int) -> bytes:
+    """One genuine container (BMP/PNG/JPEG by id % 3) under the shared
+    law — the per-row synth attach_mixed_group_images and the fused
+    path share."""
+    fmt = _FORMATS[mid % 3]
+    cells = _law_cells(mid)
+    if fmt == "jpeg":
+        px = (
+            cells.repeat(_JPEG_SCALE, axis=0)
+            .repeat(_JPEG_SCALE, axis=1)
+            .astype(np.uint8)
+        )
+        return encode_jpeg(
+            px, quant_luma=_JPEG_Q16, restart_interval=3 if mid % 2 else 0
+        )
+    sx, sy = mid % 3 + 1, mid % 2 + 1
+    c = cells.repeat(sy, axis=0).repeat(sx, axis=1)
+    px = np.stack([(c + off) % 256 for off in _CH_OFF], axis=-1).astype(np.uint8)
+    if fmt == "bmp":
+        return encode_bmp(px)
+    return encode_png(px, [y % 5 for y in range(px.shape[0])])
+
+
 def _decode_any(blob: bytes) -> np.ndarray:
     """MAGIC-BYTE dispatch — the real-lake posture: the payload says
     what it is, metadata is not trusted, unknown magics are refused
@@ -175,6 +179,42 @@ def _decode_any(blob: bytes) -> np.ndarray:
     )
 
 
+def _pool_cells_row(payload: bytes) -> np.ndarray:
+    """Magic-dispatch REAL decode + exact 9x8 pooling of one container
+    — the per-row core mixed_dhash_cells and the fused path share."""
+    img = _decode_any(bytes(payload))
+    plane = (img[:, :, 0] if img.ndim == 3 else img).astype(np.int64)
+    h, w = plane.shape
+    if h % CH or w % CW:
+        raise ValueError(
+            f"mixed_dhash_cells: {w}x{h} is not a multiple of "
+            f"the {CW}x{CH} dHash grid"
+        )
+    sy, sx = h // CH, w // CW
+    pooled = plane.reshape(CH, sy, CW, sx).sum(axis=(1, 3)) // (sy * sx)
+    return pooled.ravel().astype(np.int32)
+
+
+def mixed_dhash_cells_fused(df: DataFrame, id_col: str) -> DataFrame:
+    """attach_mixed_group_images ∘ mixed_dhash_cells as ONE map pass:
+    identical container bytes, magic-byte dispatch and decode, but the
+    blobs never cross the JVM boundary (r11 optimization round — see
+    media.wav_audio_features_fused for the measured GC-coupling
+    mechanism)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_rows = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ids.append(mid)
+                cell_rows.append(_pool_cells_row(_synth_mixed_row(mid)))
+            yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
+
+    return src.mapInPandas(run, CELLS_SCHEMA)
+
+
 def mixed_dhash_cells(media: DataFrame) -> DataFrame:
     """REAL-decode-only pooling behind the magic dispatch: whichever
     codec the payload selects, take the first channel (R for the RGB
@@ -186,18 +226,8 @@ def mixed_dhash_cells(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, cell_rows = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_any(bytes(payload))
-                plane = (img[:, :, 0] if img.ndim == 3 else img).astype(np.int64)
-                h, w = plane.shape
-                if h % CH or w % CW:
-                    raise ValueError(
-                        f"mixed_dhash_cells: {w}x{h} is not a multiple of "
-                        f"the {CW}x{CH} dHash grid"
-                    )
-                sy, sx = h // CH, w // CW
-                pooled = plane.reshape(CH, sy, CW, sx).sum(axis=(1, 3)) // (sy * sx)
                 ids.append(int(mid))
-                cell_rows.append(pooled.ravel().astype(np.int32))
+                cell_rows.append(_pool_cells_row(payload))
             yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
 
     return media.select("media_id", "payload").mapInPandas(run, CELLS_SCHEMA)
@@ -215,8 +245,7 @@ def mixed_neardup_pairs(
         .where(F.col("text").isNotNull())
         .select("doc_id")
     )
-    media = attach_mixed_group_images(docs, "doc_id")
-    fps = mixed_dhash_cells(media).select(
+    fps = mixed_dhash_cells_fused(docs, "doc_id").select(
         F.col("media_id"), dhash64(F.col("cells")).alias("simhash")
     )
     if materialize:

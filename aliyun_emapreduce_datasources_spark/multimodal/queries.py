@@ -34,10 +34,9 @@ from aliyun_emapreduce_datasources_spark.multimodal.media import (
     attach_bmp_media,
     attach_jpeg_block_images,
     attach_png_gradient_images,
-    attach_wav_audio,
-    audio_features,
     decode_features,
     frame_sample,
+    wav_audio_features_fused,
     jpeg_image_metrics,
     png_image_metrics,
     video_frame_metrics,
@@ -92,8 +91,9 @@ FROM documents WHERE text IS NOT NULL
 
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → GENUINE RIFF/WAVE blobs (attach_wav_audio) → real
-    chunk-walking PCM16 decode (multimodal/wav.py) → frame (25 ms /
+    """documents → GENUINE RIFF/WAVE blobs → real
+    chunk-walking PCM16 decode (multimodal/wav.py, one fused map pass
+    — wav_audio_features_fused) → frame (25 ms /
     10 ms hop) → per-media frame accounting. n_samples is the DECODED
     sample count (no longer metadata trust — the parser must read the
     data chunk correctly for duration_ms × 16 to come out), n_frames
@@ -103,14 +103,19 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project + partition spread (the jpeg entry's move): the synth
     # seeds from text, so both columns ride, but the single-split
     # local fixture no longer serializes the PCM synth+decode chain
-    # onto one core (no-op on multi-split production tables)
+    # onto one core (no-op on multi-split production tables). The
+    # synth → decode → frame chain runs as ONE fused map pass so the
+    # WAV blobs never cross the JVM boundary (wav_audio_features_fused
+    # — removes the Arrow blob churn that made the two-stage form
+    # GC-cadence-coupled; same bytes, same real chunk-walk decode).
     docs = ensure_parallelism(
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    audio = attach_wav_audio(docs, "doc_id", "text")
-    return audio_features(audio).select("media_id", "n_samples", "n_frames")
+    return wav_audio_features_fused(docs, "doc_id", "text").select(
+        "media_id", "n_samples", "n_frames"
+    )
 
 
 # mirrors attach_fake_audio metadata (duration_ms = doc_id%2000+500,

