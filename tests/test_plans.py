@@ -354,12 +354,18 @@ def test_trend_fit_single_aggregate_with_partials(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_column_profile_single_scan(spark, sf_dir):
-    # one orders scan feeds all five columns' profiles (multi-distinct
-    # via Expand), no self-union of scans
+def test_column_profile_pruned_per_column_aggs(spark, sf_dir):
+    # one single-distinct aggregate per column, unioned — NO 6-way
+    # Expand (the multi-distinct rewrite's row replication, measured
+    # 2.2x slower at sf0.1); each of the 6 scans must prune to at most
+    # its own column, so total I/O equals the old single 5-column scan
     plan = plan_of(QUERIES["audit_column_profile"](spark, sf_dir), mode="simple")
-    assert plan.count("FileScan parquet") == 1
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    assert plan.count("FileScan parquet") == 6
+    import re
+    for m_ in re.finditer(r"FileScan parquet[^\[]*\[([^\]]*)\]", plan):
+        read_cols = [c for c in m_.group(1).split(",") if c.strip()]
+        assert len(read_cols) <= 1, m_.group(0)
 
 
 def test_pit_features_single_user_shuffle(spark, sf_dir):
