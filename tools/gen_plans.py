@@ -70,7 +70,7 @@ COMMENT = {
     "sample_weighted_reservoir": "A-ES top-k is TakeOrderedAndProject (per-partition size-k heaps merged on the driver) directly over the scan — no Exchange before it, no global sort.",
     "text_boilerplate_scrub": "Block extraction is an in-row expression before the Generate; the boilerplate set joins back as BroadcastHashJoin LeftAnti — the corpus never shuffles for membership; rebuild is one doc_id shuffle.",
     "trend_linear_fit": "Customer dim is BroadcastExchange; the five OLS moments fold into ONE partial+final HashAggregate pair on the segment key — the closed-form fit adds no shuffle beyond the aggregate.",
-    "audit_column_profile": "A single orders scan fans out through Expand (multi-distinct rewrite) into one partial+final aggregate; min/max/count for all five columns ride the same pass.",
+    "audit_column_profile": "One single-distinct aggregate per column, unioned — NO multi-distinct Expand (its 6x row replication measured 2.2x slower, r11 optimization round); every FileScan prunes to at most one column so total I/O equals the old single five-column scan, and n_rows rides a metadata-only count leg joined in as a 1-row broadcast.",
     "graph_pagerank": "Graph materialized ONCE as a vertex-sized adjacency table (Scan ExistingRDD = localCheckpoint) — lineitem is not re-scanned per iteration; each iteration is one |V|-sized hash join (ranks x adjacency) + in-row explode + the edge-sized contribution aggregate, never nested-loop.",
     "text_keyness_lift": "One corpus shuffle for (source, token) counts with map-side partials; per-source and per-token totals are Window sums over the vocabulary-sized aggregate; the grand total rides a 1-row BroadcastNestedLoopJoin; the per-source top-k compiles to WindowGroupLimit.",
     "events_ks_drift": "Raw events reduce with partial HashAggregate; the type list is a tiny BroadcastNestedLoopJoin onto the distinct-value grid; both CDFs are cumulative Window sums over the grid, never over raw events.",
