@@ -342,8 +342,8 @@ def lsh_candidate_pairs(
     is sharp).
 
     CALLER CONTRACT: persist (or checkpoint) ``with_sig`` first — the
-    capped plan references it from four branches (stats, membership,
-    both all-pairs sides), and over an UN-materialized signature
+    capped plan references it from three branches (the windowed
+    stats/star side and both all-pairs sides), and over an UN-materialized signature
     expression tree that multiplies a multi-MB codegen unit whose
     Janino compile stalls executors for minutes (observed: 3.1 MiB
     task binaries, tasks pinned at 0 progress).
@@ -361,15 +361,18 @@ def lsh_candidate_pairs(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-    # ONE shuffle for the whole capped path, same as the uncapped
-    # twin: a Window over (band, bucket) — no orderBy, so no sort —
-    # attaches the bucket count and its MIN-doc_id leader to every
-    # membership row in the same exchange the self-join needs, and
-    # both self-join sides then consume that HashPartitioning without
-    # a new shuffle. (The first cut aggregated stats separately and
-    # joined them back — a blocking aggregate + join that tripled the
-    # banding stage's wall; the window formulation measured at parity
-    # with the uncapped path.)
+    # The capped path pays the (band, bucket) stats as a Window — no
+    # orderBy, so no sort beyond the partitioning — attached in the
+    # same exchange geometry the self-join needs. (The first cut
+    # aggregated stats separately and joined them back — a blocking
+    # aggregate + join that tripled the banding stage's wall; the
+    # window formulation measured at parity with the uncapped path.)
+    # Only the LEFT self-join side filters on the window's cnt: a row
+    # joins on equal (band, bucket), and a bucket is ≤ cap or > cap as
+    # a whole, so restricting one side already restricts the pair —
+    # the right side reads the plain membership rows and skips a whole
+    # second window pass (exchange + sort + two window functions over
+    # the full posting list; r11 optimization round, guide §2.4).
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
@@ -377,7 +380,7 @@ def lsh_candidate_pairs(
         "lead_id", F.min("doc_id").over(w)
     )
     small = mem.where(F.col("cnt") <= bucket_cap).select("doc_id", "band", "bucket")
-    a, b = small.alias("a"), small.alias("b")
+    a, b = small.alias("a"), exploded.alias("b")
     all_pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -422,15 +425,24 @@ def minhash_dedup_pairs(
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     with_sig = _with_signatures(docs, hash_name=hash_name)
+    jac = (
+        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
+    )
+    # A slim-cache variant (persist only (doc_id, bands), eagerly
+    # checkpoint the candidate list, re-shingle only the pair MEMBERS
+    # for the verify) was prototyped in the r11 optimization round and
+    # MEASURED SLOWER at both bench scales (sf0.1: 5.72 vs 5.01 s;
+    # sf1 fixture: ~24 vs 17.5 s): on a dup-heavy corpus the pair
+    # members are a large corpus fraction, so two fresh member-shingle
+    # legs plus one extra eager job cost more than reading the cached
+    # arrays whose computation the signature pass already paid — see
+    # OPTIMIZATION_r11.md. The persisted-signature shape stays.
     if materialize:
         with_sig = with_sig.persist()
         with_sig.count()
     cand = lsh_candidate_pairs(with_sig)
     sh_only = with_sig.select("doc_id", "sh")
-    jac = (
-        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-        / F.size(F.array_distinct(F.concat("a_sh", "b_sh")))
-    )
     result = (
         cand.join(sh_only.withColumnsRenamed({"doc_id": "doc_a", "sh": "a_sh"}), "doc_a")
         .join(sh_only.withColumnsRenamed({"doc_id": "doc_b", "sh": "b_sh"}), "doc_b")

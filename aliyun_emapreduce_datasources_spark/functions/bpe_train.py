@@ -15,10 +15,13 @@ TABLE, not the corpus:
   weighted by word count, and `orderBy().limit(1)` for the winner —
   TakeOrderedAndProject, a 1-row driver result (the same scalar-collect
   shape as the convergence test in dedup/clusters.py).
-- The merge application is an Arrow-batched pandas UDF over the word
+- The merge application is a JVM ``aggregate`` fold over the word
   table's symbol arrays (greedy left-to-right non-overlapping, the
-  reference algorithm), then `localCheckpoint()` so K iterations don't
-  stack K plans of lineage.
+  reference algorithm — ``_merge_expr``, bit-identical to the Python
+  ``merge_word`` the encoder and tests use), then `localCheckpoint()`
+  so K iterations don't stack K plans of lineage. Since the r11
+  optimization round the word table never crosses the Python/Arrow
+  boundary during training (guide §4.1).
 
 Determinism: counts are integers; the winning pair tie-breaks
 lexicographically — so the merge list is reproducible run-to-run and
@@ -44,6 +47,53 @@ __all__ = ["QUERIES", "bpe_train_merges", "train_merges", "merge_word"]
 
 N_MERGES = 8
 EOW = "</w>"
+
+
+def _merge_expr(syms, left: str, right: str):
+    """JVM expression twin of ``merge_word``: greedy left-to-right
+    non-overlapping merge of (left, right) over a symbol-array column,
+    as an ``aggregate`` fold — the accumulator carries the emitted
+    prefix plus one PENDING symbol (the cursor's lookbehind), so a
+    match consumes pending+current exactly like the reference walk's
+    ``i += 2``. Replaces the per-iteration ``mapInPandas`` apply (r11
+    optimization, guide §4.1): the word table no longer crosses the
+    Arrow boundary once per merge step, and each training iteration
+    stays a single whole-JVM job. Values are bit-identical to
+    ``merge_word`` (pinned by the differential tests and the unchanged
+    DuckDB oracle)."""
+    merged = left + right
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, acc0, step, fin)
 
 
 def merge_word(syms: list, left: str, right: str) -> list:
@@ -98,13 +148,9 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
             break
         left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((left, right, n))
-
-        def _apply(pdf_iter, _l=left, _r=right):
-            for pdf in pdf_iter:
-                pdf["syms"] = pdf["syms"].map(lambda s: merge_word(list(s), _l, _r))
-                yield pdf
-
-        sym = sym.mapInPandas(_apply, schema="cnt long, syms array<string>").localCheckpoint(eager=False)
+        sym = sym.select(
+            "cnt", _merge_expr(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=False)
     return merges
 
 
