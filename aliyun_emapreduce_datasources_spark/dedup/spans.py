@@ -84,11 +84,12 @@ def scrub_dup_spans(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     one posexplode for positioned shingles, a (shingle, doc) group +
     per-shingle window for the ≥2-docs test and keeper election (the
     same window trick as dup_spans above), an explode of the covered
-    positions, and one anti-join back onto the positioned tokens.
-    The plan reads `documents` three times (shingle side, token side,
-    size side — each pruned to doc_id+text); at 100 TB materialize the
-    tokenized corpus once (storage.compact) and feed all three from it
-    so reconstruction costs one scan of the narrow form. Note the
+    positions collect_set-aggregated per doc, and one join of that
+    small cut table back onto the in-row token arrays (_rebuild — the
+    corpus itself never shuffles; only cut positions do). The plan
+    reads `documents` twice (shingle side, rebuild side — each pruned
+    to doc_id+text); at 100 TB materialize the tokenized corpus once
+    (storage.compact) and feed both from it. Note the
     scrub can CREATE new cross-doc shingles (tokens bridging a removed
     span become adjacent) — same property as the suffix-array original;
     run to a fixpoint if downstream needs none."""
@@ -100,7 +101,6 @@ def scrub_pass(docs: DataFrame, k: int = 3) -> DataFrame:
     """One scrub pass over (doc_id, text) rows — the core
     scrub_dup_spans and scrub_spans_fixpoint share."""
     base = docs.select("doc_id", tokens("text").alias("tk"))
-    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
     # shuffle the 64-bit shingle hash, not the raw string (same trick
     # as dup_spans): the grouping/window/join keys shrink to 8 bytes,
     # and the oracle stays valid because the OUTPUT (reconstructed
@@ -126,36 +126,42 @@ def scrub_pass(docs: DataFrame, k: int = 3) -> DataFrame:
                 "pos"
             ),
         )
-        .distinct()
     )
-    return _rebuild(base, toks, cuts)
+    return _rebuild(base, cuts)
 
 
-def _rebuild(base: DataFrame, toks: DataFrame, cuts: DataFrame) -> DataFrame:
-    """(doc_id, clean_text, n_removed) from positioned tokens minus the
-    (doc_id, pos) cut set — shared by the cross-doc and intra-doc
-    scrubs."""
-    kept = (
-        toks.join(cuts, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
+def _rebuild(base: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_removed) by deleting the (doc_id, pos)
+    cut set from the IN-ROW token arrays — shared by the cross-doc and
+    intra-doc scrubs. The cut positions are collect_set-aggregated per
+    doc (one exchange over the cut table, which is O(duplicated spans)
+    — orders of magnitude smaller than the corpus; the set dedups, so
+    callers need no separate .distinct() pass) and subtracted in-row:
+    ``array_except(sequence(0, n-1), cut_pos)`` keeps the surviving
+    positions in original order and ``element_at`` re-reads each
+    surviving token — positions are in range by construction, so the
+    ANSI index contract cannot fire. The corpus itself never shuffles.
+    The previous formulation posexploded EVERY token, anti-joined the
+    cuts and re-assembled each document with a collect_list +
+    array_sort — a full-token exchange per scrub pass (at 100 TB, a
+    corpus-sized shuffle; r11 optimization round, guide §2.3/§2.4)."""
+    per_doc = cuts.groupBy("doc_id").agg(F.collect_set("pos").alias("cut_pos"))
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.size("tk") - F.lit(1)),
+        F.coalesce(F.col("cut_pos"), F.array().cast("array<int>")),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("kept_pos", kept)
+        .select(
+            "doc_id",
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
+                    "kept_pos", lambda p: F.element_at(F.col("tk"), p + F.lit(1))
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-    )
-    return (
-        base.select("doc_id", F.size("tk").cast("long").alias("n_tok"))
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            (F.size("tk") - F.size("kept_pos")).cast("long").alias("n_removed"),
         )
     )
 
@@ -179,7 +185,6 @@ def scrub_intra_doc_repeats(
     view)."""
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     base = docs.select("doc_id", tokens("text").alias("tk"))
-    toks = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
     sh = base.select(
         "doc_id",
         F.posexplode(
@@ -196,9 +201,8 @@ def scrub_intra_doc_repeats(
                 "pos"
             ),
         )
-        .distinct()
     )
-    return _rebuild(base, toks, cuts)
+    return _rebuild(base, cuts)
 
 
 def _true_token_count(text_col) -> "F.Column":
