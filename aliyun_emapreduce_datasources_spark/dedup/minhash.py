@@ -209,8 +209,31 @@ def _with_signatures_expr(
     # GC-amplified 5-20x wall swing whenever the sweep carries heap
     # debt (NOTES_r10.md). Instead: sort (slot, hash) pairs once —
     # struct ordering is lexicographic, so each slot-run's HEAD is
-    # that slot's minimum — keep run heads, build a map, and probe it
-    # P times. ~3·S + P lambda evals per document, same values.
+    # that slot's minimum — keep the run heads, and CONCATENATE the
+    # signature from them: each run head contributes its hash plus the
+    # densification fillers for the empty slots up to the next run
+    # head (plus one leading filler segment before the first run).
+    # ~2·S + P lambda evals per document and no map probes — the r10
+    # map-probe form paid P try_element_at calls per doc, each a
+    # linear scan of the run-head map (r11 optimization, guide §4.1:
+    # sig stage 1.84 → 1.21 s at sf0.1, bit-identical signatures).
+    def fill(k):
+        return fill_base.bitwiseXOR(k.cast("long") * F.lit(_FILL_C2))
+
+    rh = F.filter(
+        F.col("pairs"),
+        # try_element_at returns NULL at the 1-based index 0 (i is the
+        # 0-based lambda index, so `pairs[i]` is e's PREDECESSOR), and
+        # `NULL != e.s` is NULL → the i==0 branch keeps the first
+        # element without relying on Or short-circuit order (r10
+        # advice: element_at(…, 0) is an ERROR kept latent only by
+        # evaluation order).
+        lambda e, i: (i == F.lit(0))
+        | (F.try_element_at(F.col("pairs"), i)["s"] != e["s"]),
+    )
+    sentinel = F.array(
+        F.struct(F.lit(n_perm).cast("int").alias("s"), F.lit(0).cast("long").alias("h"))
+    )
     return (
         ensure_parallelism(docs.select(id_col, text_col))
         .select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh"))
@@ -229,33 +252,40 @@ def _with_signatures_expr(
                 )
             ),
         )
+        .withColumn("rh", rh)
         .withColumn(
-            "slotmap",
-            F.map_from_entries(
-                F.filter(
-                    F.col("pairs"),
-                    # try_element_at returns NULL at the 1-based index
-                    # 0 (i is the 0-based lambda index, so `pairs[i]`
-                    # is e's PREDECESSOR), and `NULL != e.s` is NULL →
-                    # the i==0 branch keeps the first element without
-                    # relying on Or short-circuit order (r10 advice:
-                    # element_at(…, 0) is an ERROR kept latent only by
-                    # evaluation order).
-                    lambda e, i: (i == F.lit(0))
-                    | (F.try_element_at(F.col("pairs"), i)["s"] != e["s"]),
-                )
-            ),
-        )
-        .withColumn(
-            "sig",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_perm - 1)),
-                lambda k: F.coalesce(
-                    F.try_element_at(F.col("slotmap"), k.cast("int")),
-                    fill_base.bitwiseXOR(k.cast("long") * F.lit(_FILL_C2)),
+            "segs",
+            F.zip_with(
+                "rh",
+                # each run head zipped with its SUCCESSOR (sentinel
+                # s=P past the last), so a segment = the run's minimum
+                # followed by fillers for the empty slots before the
+                # next run; sequence() is only built when the gap is
+                # non-empty (sequence defaults to a DESCENDING step
+                # when stop < start — guarded, never reached)
+                F.concat(
+                    F.slice(F.col("rh"), 2, F.greatest(F.size("rh") - 1, F.lit(0))),
+                    sentinel,
+                ),
+                lambda a, b: F.concat(
+                    F.array(a["h"]),
+                    F.when(
+                        b["s"] - a["s"] > 1,
+                        F.transform(F.sequence(a["s"] + 1, b["s"] - 1), fill),
+                    ).otherwise(F.array().cast("array<long>")),
                 ),
             ),
         )
+        .withColumn(
+            "head",
+            F.when(
+                F.element_at("rh", 1)["s"] > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.element_at("rh", 1)["s"] - 1), fill
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        )
+        .withColumn("sig", F.concat("head", F.flatten("segs")))
         .select(
             "doc_id",
             "sh",
