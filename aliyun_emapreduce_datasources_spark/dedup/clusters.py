@@ -222,7 +222,9 @@ ORDER BY doc_id
 """
 
 
-def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_weights(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Soft dedup: instead of dropping duplicates, every member of a
     near-dup cluster is DOWN-WEIGHTED to 1/cluster_size — the
     alternative training-mix practice when exact provenance balance
@@ -239,6 +241,12 @@ def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id for the size aggregate, re-joined on the same key.
     """
     labels = dedup_cluster_resolve(spark, sf_dir).select("doc_id", "cluster_id")
+    if materialize:
+        # labels feeds the size aggregate AND the weight join-back —
+        # materialize the docs-scan ∪ propagated-labels assembly ONCE
+        # (non-eager; realized by the final job; the propagation loop's
+        # own rounds are already checkpointed upstream).
+        labels = labels.localCheckpoint(eager=False)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

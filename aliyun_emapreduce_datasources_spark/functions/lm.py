@@ -31,7 +31,7 @@ postings — broadcast-eligible, AQE decides. One doc_id shuffle each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import _O_BG, shingles, tokens
@@ -116,11 +116,19 @@ ORDER BY doc_id
 """
 
 
-def lm_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_bigram_surprise(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Per-document total/mean surprise under an add-one-smoothed
     corpus bigram LM: per occurrence of bigram (w1 w2),
     ``(1e6·(C(w1)+V)) div (C(w1 w2)+1)`` — the integer-scaled inverse
-    conditional probability; V = corpus unigram vocabulary size."""
+    conditional probability; V = corpus unigram vocabulary size.
+
+    ``materialize=False`` keeps the inherited three-builds-of-per
+    groupBy+join-back shape for plan inspection / A-B; the default
+    attaches both counts with unordered windows over ``per`` itself —
+    identical integer sums, one build of the fat per-doc table (see
+    tests/test_materialize_once.py)."""
     docs = t(spark, sf_dir, "documents")
     tok = tokens("text")
     # per-doc bigram occurrence counts, with the context word split out
@@ -130,20 +138,37 @@ def lm_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bg", "w1")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bigram_lm = per.groupBy("bg").agg(F.sum("c").alias("bg_c"))
-    # context count = occurrences of w1 as the *first* token of a
-    # bigram (i.e. unigram count excluding each doc's last token)
-    ctx_lm = per.groupBy("w1").agg(F.sum("c").alias("ctx_c"))
     vocab = (
         docs.select(F.explode(tok).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
-    scored = (
-        per.join(bigram_lm, "bg")
-        .join(ctx_lm, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn("s", F.expr(f"({SCALE} * (ctx_c + v)) div (bg_c + 1)"))
-    )
+    if materialize:
+        # the corpus-wide bigram count and the context count (= w1's
+        # occurrences as a bigram's FIRST token) are partition sums
+        # OVER per itself — attach them with two unordered windows
+        # (exchange, no sort) instead of building per three times and
+        # joining the two count tables back (guide §2.4: two
+        # operations keyed the same way share one pass; the fat
+        # per-doc table is never materialized or rebuilt).
+        scored = (
+            per.withColumn(
+                "bg_c", F.sum("c").over(Window.partitionBy("bg"))
+            )
+            .withColumn("ctx_c", F.sum("c").over(Window.partitionBy("w1")))
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("s", F.expr(f"({SCALE} * (ctx_c + v)) div (bg_c + 1)"))
+        )
+    else:
+        bigram_lm = per.groupBy("bg").agg(F.sum("c").alias("bg_c"))
+        # context count = occurrences of w1 as the *first* token of a
+        # bigram (i.e. unigram count excluding each doc's last token)
+        ctx_lm = per.groupBy("w1").agg(F.sum("c").alias("ctx_c"))
+        scored = (
+            per.join(bigram_lm, "bg")
+            .join(ctx_lm, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("s", F.expr(f"({SCALE} * (ctx_c + v)) div (bg_c + 1)"))
+        )
     return (
         scored.groupBy("doc_id")
         .agg(

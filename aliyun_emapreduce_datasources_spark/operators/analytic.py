@@ -579,7 +579,9 @@ MIN_COOCCUR = 3
 BASKET_TOP = 20
 
 
-def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_basket_lift(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Association analysis over order baskets: for part pairs bought
     together in ≥ MIN_COOCCUR orders, the lift
     ``P(a,b) / (P(a)·P(b))`` in integer milli-units, top-20.
@@ -597,12 +599,23 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
+    if materialize:
+        # baskets feeds three consumers (scalar, freq, pair expansion)
+        # — materialize the lineitem scan + orderkey collect_set ONCE
+        # (non-eager; realized by the final job) instead of once per
+        # consumer (guide §2.4).
+        baskets = baskets.localCheckpoint(eager=False)
     scalar = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     freq = (
         baskets.select(F.explode("items").alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_p"))
     )
+    if materialize:
+        # freq broadcasts twice (part_a / part_b sides): build its
+        # |parts|-row aggregate once rather than re-exploding baskets
+        # per broadcast subtree.
+        freq = freq.localCheckpoint(eager=False)
     pairs = baskets.select(
         F.explode(
             F.flatten(

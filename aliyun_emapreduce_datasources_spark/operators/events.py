@@ -502,7 +502,9 @@ ORDER BY day
 """
 
 
-def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_interarrival_stats(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Per-type inter-arrival-time distribution (exact p50/p90/p99 in
     integer microseconds) — the event-rate health readout that feeds
     watermark sizing (streaming/windows.py) and anomaly thresholds: a
@@ -532,10 +534,20 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     evb = ev.withColumn("bkt", F.expr(f"us DIV {bucket_us}"))
     w_in = Window.partitionBy("event_type", "bkt").orderBy("us", "event_id")
     with_lag = evb.withColumn("prev_us", F.lag("us").over(w_in))
+    lasts_src = evb
+    if materialize:
+        # with_lag feeds three consumers (in-bucket gaps, the stitch
+        # probe, and — via the same rows — the per-bucket lasts):
+        # materialize the scan + (type, bkt) sort window ONCE
+        # (non-eager; realized by the final job) instead of once per
+        # consumer. `materialize=False` keeps the lazy plan for the
+        # plan pins (tests/test_plans.py windowspec assert).
+        with_lag = with_lag.localCheckpoint(eager=False)
+        lasts_src = with_lag
     in_gaps = with_lag.where(F.col("prev_us").isNotNull()).select(
         "event_type", (F.col("us") - F.col("prev_us")).alias("gap")
     )
-    lasts = evb.groupBy("event_type", "bkt").agg(
+    lasts = lasts_src.groupBy("event_type", "bkt").agg(
         F.max(F.struct("us", "event_id")).alias("last")
     )
     w_b = Window.partitionBy("event_type").orderBy("bkt")
@@ -1460,7 +1472,9 @@ ORACLES["events_sessionize"] = ORACLE_SESSIONIZE
 _DAY_MICROS = 86_400 * 1_000_000
 
 
-def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_session_concurrency(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Max concurrent sessions per day — the sweep-line computation
     (+1 at session start, −1 at session end, running sum) that naive
     implementations run as ONE global sort. Here it is the two-phase
@@ -1475,6 +1489,15 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     all deltas are equal, so the per-day MAX is order-invariant.
     """
     sessions = events_sessionize(spark, sf_dir)
+    if materialize:
+        # the start/end union plus the two bounds consumers otherwise
+        # rebuild the whole sessionize chain (events scan + user_id
+        # sort window ×2) FOUR times — materialize the session rows
+        # once (non-eager; realized by the final job). The sessions
+        # table is |sessions| rows of four longs, far smaller than the
+        # event log it summarizes, so the checkpoint is the cheap side
+        # of the trade at any scale (guide §2.4/§5).
+        sessions = sessions.localCheckpoint(eager=False)
     bounds = sessions.select(
         F.col("session_start_micro").alias("t"), F.lit(1).alias("delta")
     ).unionByName(

@@ -580,7 +580,9 @@ ORACLES = {
 }
 
 
-def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_v2(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Round-2 flagship composition: the full modern curation chain as
     ONE declarative plan — quality gate → exact dedup → DSIR-style
     importance selection → hash split → context-window chunk
@@ -612,6 +614,13 @@ def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where((F.col("n_tok") >= 20) & (F.col("n_tok") <= 1000))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    if materialize:
+        # deduped feeds the bigram postings AND the kept-join;
+        # per feeds bstats AND the importance join — materialize each
+        # ONCE (non-eager; realized by the final job) so the corpus
+        # scan + md5 dedup window runs once, not three times
+        # (guide §2.4).
+        deduped = deduped.localCheckpoint(eager=False)
 
     per = (
         deduped.select(
@@ -625,6 +634,8 @@ def curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if materialize:
+        per = per.localCheckpoint(eager=False)
     bstats = per.groupBy("bucket").agg(
         F.sum("c").alias("raw_c"),
         F.sum(

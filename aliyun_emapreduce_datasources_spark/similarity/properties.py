@@ -36,9 +36,21 @@ __all__ = [
 ]
 
 
-def ann_rank_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_rank_consistency_violations(
+    spark: SparkSession, sf_dir: str, concurrent: bool = True
+) -> DataFrame:
     """(variant, query_id, rnk) for every adjacent-rank pair whose
-    JVM-cosine order contradicts the emitted rank order — empty."""
+    JVM-cosine order contradicts the emitted rank order — empty.
+
+    The four variant plans are INDEPENDENT, but each variant's
+    construction runs 1-2 eager driver jobs (guarded query-batch
+    collects; IVF/PQ additionally collect their quantizer training
+    sample), which serialized end to end. ``concurrent=True`` builds
+    the four from a small thread pool so those jobs overlap and each
+    job's straggler tail back-fills with the next variant's work
+    (guide §2.6); the assembled plan — and therefore the result — is
+    identical, as each thread only CONSTRUCTS its variant's DataFrame.
+    """
     from aliyun_emapreduce_datasources_spark.similarity import ivf, lsh, pq, quantize
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -48,8 +60,9 @@ def ann_rank_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFra
         "int8": quantize.QUERY,
         "pq": pq.QUERY,
     }
-    out = None
-    for name, q in variants.items():
+
+    def build(item) -> DataFrame:
+        name, q = item
         topk = q(spark, sf_dir)  # (query_id, neighbor_id, rnk)
         scored = (
             topk.join(
@@ -67,7 +80,7 @@ def ann_rank_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFra
             )
         )
         w = Window.partitionBy("query_id").orderBy("rnk")
-        viol = (
+        return (
             scored.withColumn("next_sim", F.lead("sim").over(w))
             # only genuine inversions: a pair within 1e-9 of each other
             # may have been ordered by the variant's own (equally
@@ -78,7 +91,17 @@ def ann_rank_consistency_violations(spark: SparkSession, sf_dir: str) -> DataFra
             )
             .select(F.lit(name).alias("variant"), "query_id", "rnk")
         )
-        out = viol if out is None else out.unionByName(viol)
+
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+            viols = list(pool.map(build, variants.items()))
+    else:
+        viols = [build(item) for item in variants.items()]
+    out = viols[0]
+    for viol in viols[1:]:
+        out = out.unionByName(viol)
     return out.orderBy("variant", "query_id", "rnk")
 
 

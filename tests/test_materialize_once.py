@@ -1,0 +1,93 @@
+"""Round-11 optimization batch: multi-consumer subtrees materialize
+ONCE (non-eager localCheckpoint) instead of being re-planned — and so
+re-executed — per consumer.  Pins two things for every touched entry:
+
+1. RESULT PARITY: the materialized default and the ``materialize=False``
+   lazy twin (byte-for-byte the inherited plan) produce identical rows.
+2. THE STRUCTURAL POINT: the default plan builds the shared subtree
+   once — strictly fewer parquet scans than the lazy twin, which
+   inlines it per consumer.
+
+lm_bigram_surprise is the one non-checkpoint member of the batch: its
+corpus/context counts are attached with two unordered windows over the
+``per`` table instead of rebuilding ``per`` for two groupBy+join-back
+legs — same scan reduction, no materialization, so the plan pin also
+asserts no ExistingRDD scan appears.
+
+NOT in the batch, measured and REJECTED (same interleaved A/B + parity
+protocol, sf0.1 AND the sf1 fixture): checkpointing lm_trigram_backoff's
+c1/c2 count tables (+ deriving nt/ns from c1) and text_rare_bigram_ratio's
+corpus table — a LogicalRDD has no size statistics, so the count-table
+joins lose their auto-broadcast and the fat per-doc side shuffles
+instead (sf1 ratios 1.14 / 1.66). Those two keep the inherited shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aliyun_emapreduce_datasources_spark.dedup.clusters import (
+    dedup_cluster_weights,
+)
+from aliyun_emapreduce_datasources_spark.functions.lm import lm_bigram_surprise
+from aliyun_emapreduce_datasources_spark.operators.analytic import (
+    market_basket_lift,
+)
+from aliyun_emapreduce_datasources_spark.operators.events import (
+    events_interarrival_stats,
+    events_session_concurrency,
+)
+from aliyun_emapreduce_datasources_spark.operators.pipeline import curate_v2
+
+ENTRIES = {
+    "events_interarrival_stats": events_interarrival_stats,
+    "events_session_concurrency": events_session_concurrency,
+    "market_basket_lift": market_basket_lift,
+    "lm_bigram_surprise": lm_bigram_surprise,
+    "curate_v2": curate_v2,
+    "dedup_cluster_weights": dedup_cluster_weights,
+}
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(ENTRIES))
+def test_materialized_equals_lazy_twin(spark, sf_dir, name):
+    fn = ENTRIES[name]
+    lazy = _canon(fn(spark, sf_dir, materialize=False))
+    mat = _canon(fn(spark, sf_dir, materialize=True))
+    assert lazy.equals(mat), f"{name}: materialize=True changed the result"
+
+
+@pytest.mark.parametrize("name", sorted(ENTRIES))
+def test_shared_subtree_planned_once(spark, sf_dir, name):
+    fn = ENTRIES[name]
+    lazy = _plan(fn(spark, sf_dir, materialize=False), mode="simple")
+    mat = _plan(fn(spark, sf_dir, materialize=True), mode="simple")
+    n_lazy = lazy.count("FileScan parquet")
+    n_mat = mat.count("FileScan parquet")
+    assert n_mat < n_lazy, (
+        f"{name}: default plan scans parquet {n_mat}x vs lazy {n_lazy}x — "
+        "the shared subtree is being rebuilt per consumer again"
+    )
+    if name == "lm_bigram_surprise":
+        # window-attach, not a checkpoint: nothing materializes
+        assert "ExistingRDD" not in mat and "Scan rdd" not in mat
+    else:
+        assert "ExistingRDD" in mat or "Scan rdd" in mat, (
+            f"{name}: expected a checkpoint scan in the default plan"
+        )

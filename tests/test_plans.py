@@ -608,7 +608,15 @@ def test_interarrival_bucketed_lag_and_grid_walk(spark, sf_dir):
     per-type partitioning whose task holds a type's full history —
     and the gap rank walk runs on the count grid (single-partition
     exchanges above aggregates only)."""
-    plan = plan_of(QUERIES["events_interarrival_stats"](spark, sf_dir), mode="simple")
+    # materialize=False: the default path checkpoints the lagged rows
+    # (they feed three consumers — see test_materialize_once.py), which
+    # hides the raw-row window behind an RDD scan; the lazy twin IS the
+    # pipeline plan this test pins.
+    from aliyun_emapreduce_datasources_spark.operators.events import (
+        events_interarrival_stats,
+    )
+
+    plan = plan_of(events_interarrival_stats(spark, sf_dir, materialize=False), mode="simple")
     _assert_single_partition_only_above_aggregates(plan)
     assert "bkt" in plan, "hourly bucket column missing from the lag window"
     import re
