@@ -362,7 +362,7 @@ def simhash_bits_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_cluster_containment_violations(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, concurrent: bool = True
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs at >= 0.6 whose members land in
     DIFFERENT MinHash-LSH clusters — empty: LSH banding at threshold
@@ -370,17 +370,41 @@ def minhash_cluster_containment_violations(
     transitive hull, so every exact high-Jaccard pair is intra-cluster.
     The exact side is the oracle-checked dedup_ngram_jaccard operator,
     so this row pins the whole approximate pairs→clusters composition
-    against a value-verified reference."""
+    against a value-verified reference.
+
+    The two sides are INDEPENDENT until the final join, and BOTH run
+    eagerly at construction time (``ngram_jaccard_pairs`` checkpoints
+    its pair set; ``minhash_cluster_resolve`` checkpoints the MinHash
+    pipeline, then collects the bounded edge list for union-find) —
+    built sequentially they serialize end to end. ``concurrent=True``
+    constructs them from a 2-thread pool so the cheaper side's jobs
+    back-fill the other's straggler tails (guide §2.6, the
+    ann_rank_consistency_check pattern); each thread only BUILDS its
+    side's DataFrame, so the assembled plan and the result are
+    identical."""
     from aliyun_emapreduce_datasources_spark.dedup import clusters, ngram
 
-    exact_pairs = (
-        ngram.ngram_jaccard_pairs(spark, sf_dir)
-        .where(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b")
-    )
-    assign = clusters.minhash_cluster_resolve(spark, sf_dir).select(
-        "doc_id", "cluster_id"
-    )
+    def build_exact() -> DataFrame:
+        return (
+            ngram.ngram_jaccard_pairs(spark, sf_dir)
+            .where(F.col("jaccard") >= 0.6)
+            .select("doc_a", "doc_b")
+        )
+
+    def build_assign() -> DataFrame:
+        return clusters.minhash_cluster_resolve(spark, sf_dir).select(
+            "doc_id", "cluster_id"
+        )
+
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exact = pool.submit(build_exact)
+            f_assign = pool.submit(build_assign)
+            exact_pairs, assign = f_exact.result(), f_assign.result()
+    else:
+        exact_pairs, assign = build_exact(), build_assign()
     return (
         exact_pairs.join(
             assign.withColumnsRenamed({"doc_id": "doc_a", "cluster_id": "ca"}),

@@ -35,8 +35,6 @@ the greedy apply as a bounded per-word recursive walk.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -113,17 +111,26 @@ def merge_word(syms: list, left: str, right: str) -> list:
     return out
 
 
-def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
-    """Run the BPE merge loop over a (w, cnt) word-frequency DataFrame.
-    Returns [(left, right, weighted_pair_count), ...] in merge order.
-    """
+def _train_loop(
+    words: DataFrame, n_merges: int, keep_word: bool
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """The BPE merge loop. Returns (merges, final_sym) where final_sym
+    is the word table AFTER every elected merge has been applied —
+    i.e. each row's ``syms`` is exactly ``encode_word(w, merges)``
+    (the greedy fold per iteration IS the encode replay; the DuckDB
+    encode oracle makes the same identification). ``keep_word=True``
+    carries the word string through the loop so the caller can read
+    the encoded vocabulary straight off the final table."""
     # non-eager: materialized by the pair-count job below, so each
     # iteration is ONE job (count + checkpoint), not two — the
     # dedup/clusters.py convergence-loop convention
+    carry = [F.col("w")] if keep_word else []
     sym = words.select(
+        *carry,
         F.col("cnt").cast("long").alias("cnt"),
         F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("syms"),
     ).localCheckpoint(eager=False)
+    keep = (["w"] if keep_word else []) + ["cnt"]
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -149,9 +156,16 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
         left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((left, right, n))
         sym = sym.select(
-            "cnt", _merge_expr(F.col("syms"), left, right).alias("syms")
+            *keep, _merge_expr(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=False)
-    return merges
+    return merges, sym
+
+
+def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, str, int]]:
+    """Run the BPE merge loop over a (w, cnt) word-frequency DataFrame.
+    Returns [(left, right, weighted_pair_count), ...] in merge order.
+    """
+    return _train_loop(words, n_merges, keep_word=False)[0]
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,13 +213,20 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train on the corpus, then encode the corpus for packing/batching).
 
     Scale shape: training collapses to the word table as before; the
-    ENCODE runs per distinct word — not per occurrence — over the word
-    table (an Arrow-batched mapInPandas with the merge list broadcast
-    in the closure), and documents get their symbol counts back via an
+    ENCODE is read straight off the training loop's FINAL word table —
+    each row's ``syms`` after the last elected merge IS
+    ``encode_word(w, merges)`` (training's per-iteration greedy fold is
+    the encode replay; the encode oracle below makes the same
+    identification, and ``_merge_expr`` ≡ ``merge_word`` is pinned by
+    the differential tests). Until the r11 optimization round the
+    vocabulary was re-encoded in an Arrow-batched mapInPandas that
+    replayed every merge per word — a second full apply pass plus a
+    Python boundary crossing the final table already paid for in the
+    JVM (guide §4.1). Documents get their symbol counts back via an
     in-row lookup join of their words against the encoded vocabulary:
     explode doc words (map-side combined counts) → hash join on word →
-    per-doc rollup. 100 TB of text encodes through a vocabulary-sized
-    UDF, never a corpus-sized one.
+    per-doc rollup. 100 TB of text encodes with no corpus-sized — and
+    now no vocabulary-sized — Python stage at all.
 
     Full-oracle since round 7 (ORACLE_ENCODE_CORPUS — the unrolled
     train chain's final word table IS the encoded vocabulary);
@@ -221,15 +242,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # reused: train scans it per merge,
         # encode once; materialized by the first merge's pair-count job
     )
-    merges = [(l, r) for l, r, _ in train_merges(words, N_MERGES)]
-
-    def _encode(pdf_iter):
-        for pdf in pdf_iter:
-            pdf = pdf[["w"]].copy()
-            pdf["n_syms"] = pdf["w"].map(lambda w: len(encode_word(w, merges)))
-            yield pdf
-
-    vocab_syms = words.select("w").mapInPandas(_encode, schema="w string, n_syms long")
+    _, final_sym = _train_loop(words, N_MERGES, keep_word=True)
+    vocab_syms = final_sym.select(
+        "w", F.size("syms").cast("long").alias("n_syms")
+    )
 
     per_doc_words = (
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))

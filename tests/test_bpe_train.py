@@ -96,6 +96,48 @@ def test_merge_word_overlapping_runs():
     assert merge_word(["x"], "a", "b") == ["x"]
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(WORDS, st.integers(min_value=1, max_value=50), min_size=1, max_size=30)
+)
+def test_train_loop_final_table_is_the_encoded_vocab(spark, word_counts):
+    """The r11 encode optimization reads the encoded vocabulary off the
+    training loop's FINAL word table instead of re-encoding every word
+    in Python — valid iff each row's syms after the last merge equals
+    encode_word(w, merges) exactly (the greedy fold per iteration IS
+    the encode replay)."""
+    from aliyun_emapreduce_datasources_spark.functions.bpe_train import (
+        _train_loop,
+        encode_word,
+    )
+
+    words = spark.createDataFrame(
+        list(word_counts.items()), schema="w string, cnt long"
+    )
+    merges3, final_sym = _train_loop(words, 6, keep_word=True)
+    merges = [(l, r) for l, r, _ in merges3]
+    got = {r["w"]: list(r["syms"]) for r in final_sym.collect()}
+    assert got == {w: encode_word(w, merges) for w in word_counts}
+
+
+def test_bpe_encode_corpus_has_no_python_stage(spark, sf_dir):
+    """The encode entry's plan must hold no Python/Arrow evaluation
+    node — the vocabulary encode rides the training fold (guide §4.1)."""
+    from aliyun_emapreduce_datasources_spark.functions.bpe_train import (
+        bpe_encode_corpus,
+    )
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bpe_encode_corpus(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert node not in plan, node
+
+
 def test_bpe_encode_corpus_matches_reference(spark, sf_dir):
     """Distributed encode accounting equals the pure-Python tokenizer
     run over the same docs with the same trained merges."""

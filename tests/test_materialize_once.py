@@ -19,7 +19,13 @@ protocol, sf0.1 AND the sf1 fixture): checkpointing lm_trigram_backoff's
 c1/c2 count tables (+ deriving nt/ns from c1) and text_rare_bigram_ratio's
 corpus table — a LogicalRDD has no size statistics, so the count-table
 joins lose their auto-broadcast and the fat per-doc side shuffles
-instead (sf1 ratios 1.14 / 1.66). Those two keep the inherited shape.
+instead (sf1 ratios 1.14 / 1.66). Continuation 3 additionally tried
+lm_trigram_backoff with ``persist()`` instead (an InMemoryRelation keeps
+the child plan's statistics, so broadcasts survive): parity held and
+sf0.1 read 0.88-0.95, but the sf1 ratio was a consistent 1.02-1.04 —
+caching the vocabulary-sized count tables costs more than the scans it
+saves once they are big, i.e. scale-regressive. Both entries keep the
+inherited multi-scan shape.
 """
 
 from __future__ import annotations
