@@ -59,17 +59,19 @@ def test_bpe_encode_oracle_rejects_truncated_merge_table(
 ):
     """An encoder shipped one merge short (a truncated tokenizer
     artifact — every symbol count downstream of the lost merge
-    inflates) must hash-mismatch. Seeded at the train_merges seam the
-    encode entry resolves at call time, like the property-mutation
-    suite's monkeypatching convention."""
-    real = bpe_train.train_merges
+    inflates) must hash-mismatch. Seeded at the ``_train_loop`` seam
+    the encode entry resolves at call time (since the r11 optimization
+    round the encode reads the training fold's final word table, so
+    the loop itself — not ``train_merges`` — is the seam on the
+    entry's path): running the loop one merge short yields exactly the
+    final table an encoder missing its last merge would produce."""
+    real = bpe_train._train_loop
 
-    def truncated(words, n_merges=bpe_train.N_MERGES):
-        merges = real(words, n_merges)
-        assert len(merges) > 1, "precondition: >1 merge trained"
-        return merges[:-1]
+    def truncated(words, n_merges, keep_word=False):
+        assert n_merges > 1, "precondition: >1 merge trained"
+        return real(words, n_merges - 1, keep_word)
 
-    monkeypatch.setattr(bpe_train, "train_merges", truncated)
+    monkeypatch.setattr(bpe_train, "_train_loop", truncated)
     pdf = bpe_train.bpe_encode_corpus(spark, sf_dir).toPandas()
     with pytest.raises(AssertionError):
         assert_frames_match(
