@@ -35,7 +35,11 @@ from aliyun_emapreduce_datasources_spark.dedup.ngram import (
     ORACLE as NGRAM_PAIRS_ORACLE,
     ngram_jaccard_pairs,
 )
-from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
+from aliyun_emapreduce_datasources_spark.operators.common import (
+    local_df,
+    release_checkpoint,
+    t,
+)
 
 __all__ = ["connected_components", "dedup_cluster_resolve", "QUERY", "ORACLE"]
 
@@ -82,7 +86,10 @@ def _unionfind_components(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, small_graph_edges: int = SMALL_GRAPH_EDGES
+    nodes: DataFrame,
+    edges: DataFrame,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    consume_edges: bool = False,
 ) -> DataFrame:
     """Connected components: (doc_id, cluster_id) with cluster_id the
     component's minimum doc_id.
@@ -93,6 +100,14 @@ def connected_components(
     driver in one pass; otherwise run distributed min-label
     propagation. Pass ``small_graph_edges=0`` to force the distributed
     path (tests pin both paths to the same fixpoint).
+
+    ``consume_edges=True`` transfers ownership of ``edges`` to this
+    call: once the result no longer depends on the edge pipeline (the
+    union-find path after its one bounded collect), any checkpoint
+    blocks the edge plan reads are released immediately instead of
+    waiting for a driver GC (they are typically the pair pipeline's
+    eagerly materialized candidate table). Callers that reuse ``edges``
+    afterwards must keep the default.
     """
     spark = edges.sparkSession
     if small_graph_edges > 0:
@@ -105,22 +120,28 @@ def connected_components(
             .collect()
         )
         if len(head) <= small_graph_edges:
+            if consume_edges:
+                # the collected rows are the only thing the result uses
+                release_checkpoint(edges)
             labels = _unionfind_components(spark, head)
             # nodes not touched by any edge keep their own id
             return nodes.join(labels, "doc_id", "left").select(
                 "doc_id",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
             )
-    return _propagate_components(nodes, edges)
+    return _propagate_components(nodes, edges, consume_edges=consume_edges)
 
 
-def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _propagate_components(
+    nodes: DataFrame, edges: DataFrame, consume_edges: bool = False
+) -> DataFrame:
     """Distributed min-label propagation to fixpoint — the 100 TB path.
     Each round is one shuffle join of the label table against the
     symmetrized edge list; rounds = graph diameter. The loop runs only
     over EDGE-TOUCHED nodes (the near-dup subgraph — orders of
     magnitude smaller than the corpus); untouched nodes take their own
     id in the final join-back and never enter a round."""
+    edges_src = edges if consume_edges else None
     edges = edges.select("doc_a", "doc_b").persist()
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -132,6 +153,7 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum = None
+    prev_labels = None
     converged = False
     for _ in range(MAX_ROUNDS):
         # neighbor minimum, then elementwise min with own label
@@ -153,6 +175,18 @@ def _propagate_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if edges_src is not None:
+            # the persisted edge projections above were filled by this
+            # first round's join — the upstream edge pipeline (often an
+            # eagerly checkpointed candidate table) is now dead weight
+            release_checkpoint(edges_src)
+            edges_src = None
+        # round N's checkpoint just materialized (the agg above), so
+        # round N-1's blocks are dead — drop them now instead of
+        # leaving up to MAX_ROUNDS label tables for a driver GC
+        if prev_labels is not None:
+            release_checkpoint(prev_labels)
+        prev_labels = labels
         if cur == prev_sum:
             converged = True
             break
@@ -193,7 +227,11 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, pairs)
+    # consume_edges: the pair pipeline's eagerly checkpointed candidate
+    # table is released the moment the closure no longer reads it (r12
+    # heap-release pass — un-collected blocks inflated LATER sweep
+    # entries by holding heap until a driver GC)
+    labels = connected_components(docs, pairs, consume_edges=True)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -314,7 +352,9 @@ def minhash_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(
         spark, sf_dir, threshold=0.5, hash_name=CATALOG_HASH
     ).select("doc_a", "doc_b")
-    labels = connected_components(docs, pairs)
+    # consume_edges: see dedup_cluster_resolve — the MinHash pipeline's
+    # checkpointed pair table dies as soon as the closure has it
+    labels = connected_components(docs, pairs, consume_edges=True)
     return (
         labels.withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")

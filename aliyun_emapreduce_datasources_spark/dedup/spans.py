@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.dedup.decontaminate import _O_SH
 from aliyun_emapreduce_datasources_spark.functions.text import shingles, tokens
-from aliyun_emapreduce_datasources_spark.operators.common import t
+from aliyun_emapreduce_datasources_spark.operators.common import (
+    release_checkpoint,
+    t,
+)
 
 __all__ = [
     "dup_spans",
@@ -285,6 +288,12 @@ def scrub_spans_fixpoint(
         # OPTIMIZATION_r11.md)
         out = scrub_pass(cur, k).localCheckpoint(eager=False)
         removed = out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        # pass N's checkpoint just materialized (the agg above) and its
+        # lineage truncated — pass N-1's corpus-sized blocks are dead;
+        # release them now instead of holding max_iters copies of the
+        # corpus until a driver GC (r12 heap-release pass)
+        if cur is not docs:
+            release_checkpoint(cur)
         cur = out.select("doc_id", F.col("clean_text").alias("text"))
         if removed == 0:
             break

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aliyun_emapreduce_datasources_spark.functions.text import tokens
-from aliyun_emapreduce_datasources_spark.operators.common import local_df, t
+from aliyun_emapreduce_datasources_spark.operators.common import (
+    local_df,
+    release_checkpoint,
+    t,
+)
 
 __all__ = ["QUERIES", "bpe_train_merges", "train_merges", "merge_word"]
 
@@ -133,7 +137,8 @@ def _train_loop(
     keep = (["w"] if keep_word else []) + ["cnt"]
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    mat = None  # last checkpoint known materialized (blocks live)
+    for it in range(n_merges):
         pairs = sym.select(
             "cnt",
             F.explode(
@@ -151,13 +156,29 @@ def _train_loop(
             .limit(1)
             .collect()
         )
+        # the collect materialized `sym`'s checkpoint (and truncated its
+        # lineage), so the previously live state's blocks are dead —
+        # release them now instead of holding n_merges vocabulary
+        # tables until a driver GC (r12 heap-release pass)
+        if mat is not None and mat is not sym:
+            release_checkpoint(mat)
+        mat = sym
         if not top:
             break
         left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((left, right, n))
-        sym = sym.select(
+        applied = sym.select(
             *keep, _merge_expr(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=False)
+        )
+        # the LAST merge's apply stays a lazy select over the final
+        # materialized state: checkpointing it would double-store the
+        # vocabulary (old blocks + new blocks) for a table read at most
+        # once by the caller
+        sym = (
+            applied
+            if it == n_merges - 1
+            else applied.localCheckpoint(eager=False)
+        )
     return merges, sym
 
 
@@ -165,7 +186,11 @@ def train_merges(words: DataFrame, n_merges: int = N_MERGES) -> list[tuple[str, 
     """Run the BPE merge loop over a (w, cnt) word-frequency DataFrame.
     Returns [(left, right, weighted_pair_count), ...] in merge order.
     """
-    return _train_loop(words, n_merges, keep_word=False)[0]
+    merges, final_sym = _train_loop(words, n_merges, keep_word=False)
+    # merges-only caller: the final word table is discarded, so the
+    # loop's last live checkpoint (final_sym's plan leaf) dies here
+    release_checkpoint(final_sym)
+    return merges
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,10 +264,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)  # reused: train scans it per merge,
-        # encode once; materialized by the first merge's pair-count job
+        .localCheckpoint(eager=False)  # materialized by the first
+        # merge's pair-count job; the loop's own states take over from
+        # there (released below once training has run)
     )
     _, final_sym = _train_loop(words, N_MERGES, keep_word=True)
+    # the first training state's materialization consumed `words`; its
+    # blocks have been dead since merge 1 (r12 heap-release pass)
+    release_checkpoint(words)
     vocab_syms = final_sym.select(
         "w", F.size("syms").cast("long").alias("n_syms")
     )

@@ -27,7 +27,42 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "local_df", "revenue", "O_REVENUE", "centi_band", "o_centi_band", "bucketed_rank", "ntile_case"]
+__all__ = ["t", "m", "dsum", "davg", "o_m", "o_dsum", "o_davg", "md5_bucket", "ensure_parallelism", "local_df", "release_checkpoint", "revenue", "O_REVENUE", "centi_band", "o_centi_band", "bucketed_rank", "ntile_case"]
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Deterministically drop a ``localCheckpoint``'d DataFrame's
+    storage blocks.
+
+    A localCheckpoint's blocks are NOT managed by the CacheManager
+    (``spark.catalog.clearCache()`` ignores them) and are otherwise
+    reclaimed only when a driver JVM GC lets the ContextCleaner run —
+    in a sweep of many queries the un-collected blocks of one entry
+    inflate the NEXT entries' measurements (and, on a real cluster,
+    hold executor storage memory hostage between GCs). Every loop that
+    checkpoints per-iteration state, and every builder that eagerly
+    materializes its result, must release dead intermediates through
+    this helper the moment the last consumer has materialized.
+
+    Releases EVERY checkpoint ``df``'s plan reads (the plan's
+    LogicalRDD leaves), so it also works on projections/filters OVER a
+    checkpoint. MUST only be called once nothing will read those
+    checkpoints again — the blocks are the truncated lineage's only
+    copy, so a later action on any plan over them fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than silently recomputing.
+    Safe no-op for plans that read no checkpoint (unpersisting a
+    never-persisted RDD does nothing).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        # best-effort: releasing storage must never fail a query
+        pass
 
 
 def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
