@@ -282,9 +282,11 @@ def dedup_cluster_weights(
     if materialize:
         # labels feeds the size aggregate AND the weight join-back —
         # materialize the docs-scan ∪ propagated-labels assembly ONCE
-        # (non-eager; realized by the final job; the propagation loop's
-        # own rounds are already checkpointed upstream).
-        labels = labels.localCheckpoint(eager=False)
+        # (lazy persist, filled by the final job; the propagation
+        # loop's own rounds are already checkpointed-and-released
+        # upstream). persist over localCheckpoint (r12): deterministic
+        # release via clearCache, stats kept, lineage kept.
+        labels = labels.persist()
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -106,7 +106,9 @@ def containment_pairs(
     ).where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     if not materialize:
         return result
-    out = result.localCheckpoint(eager=True)  # release the postings now
+    out = result.persist()  # r12: CacheManager-managed (deterministic
+    # release), lineage kept; materialize now to release the postings
+    out.count()
     kept.unpersist()
     return out
 

@@ -481,7 +481,12 @@ def minhash_dedup_pairs(
     )
     if not materialize:
         return result
-    out = result.localCheckpoint(eager=True)
+    # persist+count over an eager localCheckpoint (r12): same one
+    # materialization job, but the pair blocks are CacheManager-managed
+    # — released deterministically by unpersist/clearCache instead of
+    # waiting for a driver GC — and lineage is kept (fault-tolerant)
+    out = result.persist()
+    out.count()
     with_sig.unpersist()
     return out
 

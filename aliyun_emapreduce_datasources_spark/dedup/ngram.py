@@ -76,8 +76,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .localCheckpoint(eager=True)
+        .persist()  # r12: CacheManager-managed result (deterministic
+        # release via unpersist/clearCache), lineage kept
     )
+    out.count()  # materialize now so the postings cache can drop
     ex.unpersist()
     return out
 

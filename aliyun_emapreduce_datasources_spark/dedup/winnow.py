@@ -174,11 +174,14 @@ def winnow_dedup_pairs(
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
-    # deterministic release (r10 verdict ask #2's pattern): checkpoint
-    # the small pair result eagerly, free the postings cache NOW
+    # deterministic release (r10 verdict ask #2's pattern): materialize
+    # the small pair result now, free the postings cache; the result is
+    # a CacheManager-managed persist (r12) — its blocks are released by
+    # unpersist/clearCache instead of a driver GC
     out = winnow_pairs_from_fingerprints(
         fps, min_containment, prefix_filter
-    ).localCheckpoint(eager=True)
+    ).persist()
+    out.count()
     fps.unpersist()
     return out
 

@@ -1096,7 +1096,10 @@ def trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tg = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("tg"),
-    ).localCheckpoint()
+    ).persist()  # lazy, CacheManager-managed: the final job fills the
+    # cache once for both consumers, and the blocks are released
+    # deterministically by catalog.clearCache() instead of waiting for
+    # a driver GC like an (eager) localCheckpoint's would (r12)
     counts = tg.groupBy("tg").agg(F.count(F.lit(1)).cast("long").alias("n_docs_with"))
     return (
         tg.join(counts, "tg")
@@ -1172,7 +1175,8 @@ def source_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()  # one scan feeds totals + both join sides
+        .persist()  # one scan feeds totals + both join sides (lazy,
+        # CacheManager-managed — released by clearCache, not driver GC)
     )
     totals = counts.groupBy("source").agg(F.sum("cnt").cast("long").alias("tt"))
     spine = (
@@ -1304,7 +1308,9 @@ def langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    ).localCheckpoint()  # one scan feeds profile training AND scoring
+    ).persist()  # one scan feeds profile training AND scoring — lazy:
+    # the profile broadcast's build fills the cache (no separate eager
+    # job), scoring reads it back, clearCache releases it (r12)
     # profiles train ONLY on labeled docs: a NULL "language" must not
     # become a classification candidate (and a NULL cand in the argmax
     # tie-break hits the engines' NULLS FIRST/LAST asymmetry — the

@@ -262,7 +262,8 @@ def mixed_neardup_pairs(
     )
     if not materialize:
         return result
-    out = result.localCheckpoint(eager=True)
+    out = result.persist()  # r12: CacheManager-managed result
+    out.count()  # materialize now so the fingerprint cache can drop
     fps.unpersist()
     return out
 

@@ -70,7 +70,10 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    media = attach_bmp_media(docs, "doc_id", "text").localCheckpoint()
+    # lazy persist (r12): the first leg's execution fills the cache (no
+    # separate eager job writing every blob twice), blocks are
+    # CacheManager-managed (clearCache-releasable), lineage kept
+    media = attach_bmp_media(docs, "doc_id", "text").persist()
     feats = decode_features(media).select("media_id", "n_pixels")
     frames = (
         frame_sample(media, every_n=4, n_frames=16)

@@ -214,7 +214,8 @@ def video_neardup_pairs(
     )
     if not materialize:
         return result
-    out = result.localCheckpoint(eager=True)
+    out = result.persist()  # r12: CacheManager-managed result
+    out.count()  # materialize now so the fingerprint cache can drop
     fps_df.unpersist()
     return out
 

@@ -602,9 +602,11 @@ def market_basket_lift(
     if materialize:
         # baskets feeds three consumers (scalar, freq, pair expansion)
         # — materialize the lineitem scan + orderkey collect_set ONCE
-        # (non-eager; realized by the final job) instead of once per
-        # consumer (guide §2.4).
-        baskets = baskets.localCheckpoint(eager=False)
+        # (lazy persist, filled by the final job) instead of once per
+        # consumer (guide §2.4). persist over localCheckpoint (r12):
+        # deterministic release via clearCache, stats kept, lineage
+        # kept (fault-tolerant at scale).
+        baskets = baskets.persist()
     scalar = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     freq = (
         baskets.select(F.explode("items").alias("p"))
@@ -615,7 +617,7 @@ def market_basket_lift(
         # freq broadcasts twice (part_a / part_b sides): build its
         # |parts|-row aggregate once rather than re-exploding baskets
         # per broadcast subtree.
-        freq = freq.localCheckpoint(eager=False)
+        freq = freq.persist()
     pairs = baskets.select(
         F.explode(
             F.flatten(

@@ -242,7 +242,10 @@ def bucketed_rank(
             f"bucketed_rank: input columns {sorted(clash)} collide with "
             "internal working/output names — rename them first"
         )
-    b = df.withColumn("_rb", bucket.cast("long")).localCheckpoint()
+    # lazy persist (r12, was an eager localCheckpoint): both passes
+    # read the cache, no separate materialization job, and the blocks
+    # are CacheManager-managed — released by clearCache, not driver GC
+    b = df.withColumn("_rb", bucket.cast("long")).persist()
     per_b = b.groupBy(*part_cols, "_rb").agg(F.count(F.lit(1)).alias("_bc"))
     bo = F.asc("_rb") if bucket_asc else F.desc("_rb")
     w_off = (

@@ -459,7 +459,9 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint()  # one scan+dedupe feeds spine, DAU and the fan-out
+        .persist()  # one scan+dedupe feeds spine, DAU and the fan-out
+        # (lazy, CacheManager-managed — released by clearCache, not a
+        # driver GC; no separate eager materialization job)
     )
     spine = pairs.select("day").distinct()
     wau = (
@@ -538,11 +540,13 @@ def events_interarrival_stats(
     if materialize:
         # with_lag feeds three consumers (in-bucket gaps, the stitch
         # probe, and — via the same rows — the per-bucket lasts):
-        # materialize the scan + (type, bkt) sort window ONCE
-        # (non-eager; realized by the final job) instead of once per
+        # materialize the scan + (type, bkt) sort window ONCE (lazy
+        # persist, filled by the final job) instead of once per
         # consumer. `materialize=False` keeps the lazy plan for the
-        # plan pins (tests/test_plans.py windowspec assert).
-        with_lag = with_lag.localCheckpoint(eager=False)
+        # plan pins (tests/test_plans.py windowspec assert). persist
+        # over localCheckpoint (r12): deterministic release via
+        # clearCache, stats kept, lineage kept.
+        with_lag = with_lag.persist()
         lasts_src = with_lag
     in_gaps = with_lag.where(F.col("prev_us").isNotNull()).select(
         "event_type", (F.col("us") - F.col("prev_us")).alias("gap")
@@ -1214,7 +1218,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", vc.alias("v_c"))
         .groupBy("event_type", "v_c")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # the grid feeds three branches (median,
+        .persist()  # the grid feeds three branches (median,
         # MAD, outlier count) — materialize once so the corpus-sized
         # scan+reduce is paid once, not per branch (same rule as the
         # iterative operators' loop-invariant materialization)
@@ -1493,11 +1497,15 @@ def events_session_concurrency(
         # the start/end union plus the two bounds consumers otherwise
         # rebuild the whole sessionize chain (events scan + user_id
         # sort window ×2) FOUR times — materialize the session rows
-        # once (non-eager; realized by the final job). The sessions
+        # once (lazy persist, filled by the final job). The sessions
         # table is |sessions| rows of four longs, far smaller than the
-        # event log it summarizes, so the checkpoint is the cheap side
-        # of the trade at any scale (guide §2.4/§5).
-        sessions = sessions.localCheckpoint(eager=False)
+        # event log it summarizes, so the cache is the cheap side of
+        # the trade at any scale (guide §2.4/§5). persist over
+        # localCheckpoint (r12): deterministic release via clearCache,
+        # and lineage is kept — an executor loss recomputes the narrow
+        # sessions partition instead of failing the job (the r11
+        # verdict's fault-tolerance concern for this table).
+        sessions = sessions.persist()
     bounds = sessions.select(
         F.col("session_start_micro").alias("t"), F.lit(1).alias("delta")
     ).unionByName(

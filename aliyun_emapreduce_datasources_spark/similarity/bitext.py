@@ -105,7 +105,7 @@ def emb_bitext_mine(
             "blk", F.pmod(F.expr("vec_id DIV 2"), F.lit(n_blocks)).cast("int")
         )
         .withColumn("side", F.pmod("vec_id", F.lit(2)).cast("int"))
-        .localCheckpoint()
+        .persist()
     )
     grid = local_df(
         spark,
@@ -175,7 +175,7 @@ def _lsh_cross_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each parity against corpus entries of the other, exact int64
     rescore in the JVM expression tree (same wrap-is-an-error ANSI
     contract as lsh_shortlist_knn_topk)."""
-    base = label_noise._quantized(spark, sf_dir).localCheckpoint()
+    base = label_noise._quantized(spark, sf_dir).persist()
     tagged = label_noise.lsh_bucket_probes(base).withColumn(
         "par", F.pmod("vec_id", F.lit(2)).cast("int")
     )
@@ -221,7 +221,8 @@ def _bitext_from_candidates(
     topk = (
         cands.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .localCheckpoint()  # one global-topk shuffle feeds fwd, sum_x, sum_y
+        .persist()  # one global-topk shuffle feeds fwd, sum_x, sum_y
+        # (lazy, CacheManager-managed — clearCache-releasable, r12)
     )
     fwd = topk.where(F.col("dir") == "f").select(
         F.col("qid").alias("x"), F.col("nbr").alias("y"), "dot"

@@ -167,9 +167,10 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign+partial-sum map pass (see _assign_partials); the truncating
     ``s DIV n`` centroid division stays a Spark expression so the
     engine/oracle integer semantics cannot drift."""
-    # non-eager: the seed collect below materializes it in one job;
-    # ITERS+1 passes then reuse the checkpointed scan
-    q = _quantized(spark, sf_dir).localCheckpoint(eager=False)
+    # lazy persist: the seed collect starts filling the cache and the
+    # ITERS+1 passes reuse it (r12 — was a non-eager localCheckpoint;
+    # persist keeps lineage and is released by clearCache, not a GC)
+    q = _quantized(spark, sf_dir).persist()
     seed = q.orderBy("vec_id").limit(K).collect()
     if not seed:
         return spark.createDataFrame([], "cluster long, n_points long, inertia long")

@@ -113,12 +113,15 @@ def exact_knn_topk(
     # corpus must be refused, not first materialized to local disk)
     q = _quantized(spark, sf_dir)
     guard.assert_probe_sized(q, "exact_knn_topk", cap)
-    # ONE scan+quantize feeds both cogroup sides (localCheckpoint —
+    # ONE scan+quantize feeds both cogroup sides (lazy persist —
     # without it each side re-reads and re-quantizes the table); the
-    # block grid is built once and broadcast to both replication joins
+    # block grid is built once and broadcast to both replication joins.
+    # persist over an eager localCheckpoint (r12): no separate
+    # materialization job, and the blocks are CacheManager-managed
+    # (released deterministically by clearCache, not a driver GC)
     base = (
         q.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
-        .localCheckpoint()
+        .persist()
     )
     grid = local_df(
         spark,
@@ -306,7 +309,7 @@ def lsh_shortlist_knn_topk(
     # reused 4x (two signature fan-outs via the flag column + the two
     # rescore vector joins) — materialize the narrow quantized table
     # once instead of re-scanning parquet per consumer
-    base = _quantized(spark, sf_dir).localCheckpoint()
+    base = _quantized(spark, sf_dir).persist()
     tagged = lsh_bucket_probes(base, n_planes, n_tables)
     corp = tagged.where(F.col("probe") == 0).select(
         "tbl", "sig", F.col("vec_id").alias("cid")
@@ -420,7 +423,7 @@ def ivf_shortlist_knn_topk(
         )
     C = train_centroids(emb, k=n_clusters)
     b_c = spark.sparkContext.broadcast(C)
-    base = _quantized(spark, sf_dir).localCheckpoint()
+    base = _quantized(spark, sf_dir).persist()
     npb = min(max(nprobe, soft), len(C))
     soft = min(soft, npb)
 

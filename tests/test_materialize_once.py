@@ -1,6 +1,7 @@
-"""Round-11 optimization batch: multi-consumer subtrees materialize
-ONCE (non-eager localCheckpoint) instead of being re-planned — and so
-re-executed — per consumer.  Pins two things for every touched entry:
+"""Round-11 optimization batch (vehicle swapped to a lazy ``persist()``
+in round 12): multi-consumer subtrees materialize ONCE instead of being
+re-planned — and so re-executed — per consumer.  Pins two things for
+every touched entry:
 
 1. RESULT PARITY: the materialized default and the ``materialize=False``
    lazy twin (byte-for-byte the inherited plan) produce identical rows.
@@ -81,19 +82,29 @@ def test_materialized_equals_lazy_twin(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(ENTRIES))
 def test_shared_subtree_planned_once(spark, sf_dir, name):
+    # Since the r12 heap-release pass the materialize-once vehicle is a
+    # lazy ``persist()`` (CacheManager-managed, so the blocks release
+    # deterministically via clearCache/unpersist; lineage and child
+    # statistics are kept). In explain text each InMemoryTableScan
+    # prints the cached child plan, so a raw FileScan count no longer
+    # shrinks — the structural pin is that EVERY consumer reads the ONE
+    # cached relation (>= 2 InMemoryTableScans over it), which is what
+    # guarantees the shared subtree computes once per action.
     fn = ENTRIES[name]
+    # cache substitution is session-wide by canonical plan — drop any
+    # cache a previous invocation registered so the lazy twin is clean
+    spark.catalog.clearCache()
     lazy = _plan(fn(spark, sf_dir, materialize=False), mode="simple")
     mat = _plan(fn(spark, sf_dir, materialize=True), mode="simple")
-    n_lazy = lazy.count("FileScan parquet")
-    n_mat = mat.count("FileScan parquet")
-    assert n_mat < n_lazy, (
-        f"{name}: default plan scans parquet {n_mat}x vs lazy {n_lazy}x — "
-        "the shared subtree is being rebuilt per consumer again"
+    assert "InMemoryTableScan" not in lazy, (
+        f"{name}: the materialize=False twin must stay cache-free"
     )
     if name == "lm_bigram_surprise":
-        # window-attach, not a checkpoint: nothing materializes
+        # window-attach, not a cache: nothing materializes
+        assert "InMemoryTableScan" not in mat
         assert "ExistingRDD" not in mat and "Scan rdd" not in mat
     else:
-        assert "ExistingRDD" in mat or "Scan rdd" in mat, (
-            f"{name}: expected a checkpoint scan in the default plan"
+        assert mat.count("InMemoryTableScan") >= 2, (
+            f"{name}: expected every consumer to read the shared cached "
+            "relation — the subtree is being rebuilt per consumer again"
         )
