@@ -106,9 +106,9 @@ def containment_pairs(
     ).where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     if not materialize:
         return result
-    out = result.persist()  # r12: CacheManager-managed (deterministic
-    # release), lineage kept; materialize now to release the postings
-    out.count()
+    # eager checkpoint, NOT persist: plan truncation for the consumer
+    # entries (see dedup/minhash.py, r12); releases the postings now
+    out = result.localCheckpoint(eager=True)
     kept.unpersist()
     return out
 

@@ -481,12 +481,15 @@ def minhash_dedup_pairs(
     )
     if not materialize:
         return result
-    # persist+count over an eager localCheckpoint (r12): same one
-    # materialization job, but the pair blocks are CacheManager-managed
-    # — released deterministically by unpersist/clearCache instead of
-    # waiting for a driver GC — and lineage is kept (fault-tolerant)
-    out = result.persist()
-    out.count()
+    # eager localCheckpoint, NOT persist (re-measured r12): the
+    # checkpoint TRUNCATES the plan to one LogicalRDD leaf, so the
+    # check/cluster entries that read this table several times carry a
+    # one-leaf subplan. The persist form kept the whole pipeline (plus
+    # its internal caches) in every consumer's logical plan — Catalyst
+    # re-analysis alone took ~6 s per consumer entry
+    # (dedup_minhash_precision_check 4.4 → 16.7 s isolated). The small
+    # pair blocks riding until a driver GC is the cheaper side.
+    out = result.localCheckpoint(eager=True)
     with_sig.unpersist()
     return out
 

@@ -76,10 +76,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .persist()  # r12: CacheManager-managed result (deterministic
-        # release via unpersist/clearCache), lineage kept
+        # eager checkpoint, NOT persist: truncates the plan to one leaf
+        # for the many consumer entries (see dedup/minhash.py — the
+        # persist form re-inflated every consumer's logical plan, r12)
+        .localCheckpoint(eager=True)
     )
-    out.count()  # materialize now so the postings cache can drop
     ex.unpersist()
     return out
 

@@ -208,12 +208,12 @@ def QUERY(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFra
         return simhash_candidates(fps)
     fps = fps.persist()
     fps.count()  # materialize once; both self-join sides read the cache
-    # deterministic release (r10 verdict ask #2's pattern): materialize
-    # the small pair result now, then free the fingerprint cache — the
-    # result itself is a CacheManager-managed persist (r12), so its own
-    # blocks are released by unpersist/clearCache, not a driver GC
-    out = simhash_candidates(fps).persist()
-    out.count()
+    # deterministic release (r10 verdict ask #2's pattern): checkpoint
+    # the small pair result eagerly, then free the cache NOW instead
+    # of waiting for a JVM GC to surface the dead weak ref. Eager
+    # checkpoint, NOT persist — the checkpoint truncates the plan for
+    # the bits_check consumer (see dedup/minhash.py, r12)
+    out = simhash_candidates(fps).localCheckpoint(eager=True)
     fps.unpersist()
     return out
 

@@ -174,14 +174,13 @@ def winnow_dedup_pairs(
     # would crash on None; skip them like every per-text operator
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(docs).persist()
-    # deterministic release (r10 verdict ask #2's pattern): materialize
-    # the small pair result now, free the postings cache; the result is
-    # a CacheManager-managed persist (r12) — its blocks are released by
-    # unpersist/clearCache instead of a driver GC
+    # deterministic release (r10 verdict ask #2's pattern): checkpoint
+    # the small pair result eagerly, free the postings cache NOW. Eager
+    # checkpoint, NOT persist — plan truncation for the containment
+    # check consumer (see dedup/minhash.py, r12)
     out = winnow_pairs_from_fingerprints(
         fps, min_containment, prefix_filter
-    ).persist()
-    out.count()
+    ).localCheckpoint(eager=True)
     fps.unpersist()
     return out
 

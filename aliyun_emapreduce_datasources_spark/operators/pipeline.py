@@ -617,14 +617,13 @@ def curate_v2(
     if materialize:
         # deduped feeds the bigram postings AND the kept-join;
         # per feeds bstats AND the importance join — materialize each
-        # ONCE (lazy persist; the final job fills the cache) so the
-        # corpus scan + md5 dedup window runs once, not three times
-        # (guide §2.4). persist over localCheckpoint (r12): the blocks
-        # are CacheManager-managed (released deterministically by
-        # clearCache/unpersist, not a driver GC), statistics survive,
-        # and lineage is kept — executor loss recomputes instead of
-        # failing the job at scale.
-        deduped = deduped.persist()
+        # ONCE (non-eager; realized by the final job) so the corpus
+        # scan + md5 dedup window runs once, not three times
+        # (guide §2.4). A persist() form was A/B'd in r12 and was
+        # consistently ~1.3-1.7x slower isolated (columnar encode of
+        # the text-fat rows + no plan truncation for the downstream
+        # pipeline); the checkpoint stays.
+        deduped = deduped.localCheckpoint(eager=False)
 
     per = (
         deduped.select(
@@ -639,7 +638,7 @@ def curate_v2(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if materialize:
-        per = per.persist()
+        per = per.localCheckpoint(eager=False)
     bstats = per.groupBy("bucket").agg(
         F.sum("c").alias("raw_c"),
         F.sum(

@@ -103,6 +103,13 @@ def test_shared_subtree_planned_once(spark, sf_dir, name):
         # window-attach, not a cache: nothing materializes
         assert "InMemoryTableScan" not in mat
         assert "ExistingRDD" not in mat and "Scan rdd" not in mat
+    elif name == "curate_v2":
+        # text-fat subtrees: the non-eager localCheckpoint form stayed
+        # (persist measured 1.3-1.7x slower isolated, r12) — the plan
+        # reduces to checkpoint-RDD scans
+        assert "ExistingRDD" in mat or "Scan rdd" in mat, (
+            f"{name}: expected a checkpoint scan in the default plan"
+        )
     else:
         assert mat.count("InMemoryTableScan") >= 2, (
             f"{name}: expected every consumer to read the shared cached "
